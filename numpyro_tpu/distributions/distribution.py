@@ -1,0 +1,770 @@
+"""Distribution base class + structural combinators.
+
+TPU-native re-design of the distribution layer of NumPyro (reference:
+numpyro/distributions/distribution.py).  Key properties kept because they are
+what make a JAX-first PPL work, re-implemented fresh:
+
+- every Distribution subclass is auto-registered as a JAX pytree
+  (``__init_subclass__``) so distribution objects flow through
+  jit/vmap/scan/pjit boundaries — parameters are leaves, shapes are aux data.
+- batch_shape/event_shape algebra identical in semantics to
+  torch.distributions, so models written against the reference port 1:1.
+- combinators (Independent / Expanded / Masked / Transformed / Folded) are
+  themselves distributions.
+
+Chain-massive note: distributions are *constructed inside traced model code*,
+so none of this Python machinery exists at runtime — XLA sees only the fused
+log_prob/sample math, batched over the leading chain axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from contextlib import contextmanager
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax, tree_util
+from jax.scipy.special import logsumexp
+
+from . import constraints
+from .transforms import ComposeTransform, Transform, biject_to
+from .util import lazy_property, promote_shapes, sum_rightmost, validate_sample
+
+_VALIDATION_ENABLED = False
+
+
+def enable_validation(is_validate: bool = True) -> None:
+    """Globally toggle distribution argument/sample validation."""
+    global _VALIDATION_ENABLED
+    _VALIDATION_ENABLED = is_validate
+    Distribution.set_default_validate_args(is_validate)
+
+
+@contextmanager
+def validation_enabled(is_validate: bool = True):
+    old = _VALIDATION_ENABLED
+    enable_validation(is_validate)
+    try:
+        yield
+    finally:
+        enable_validation(old)
+
+
+COERCIONS = []  # hook: enumeration machinery may intercept construction
+
+
+class DistributionMeta(type):
+    def __call__(cls, *args, **kwargs):
+        for coerce_ in COERCIONS:
+            result = coerce_(cls, args, kwargs)
+            if result is not None:
+                return result
+        return super().__call__(*args, **kwargs)
+
+
+class Distribution(metaclass=DistributionMeta):
+    """Base class with pytree flattening, shape algebra and combinators."""
+
+    arg_constraints: dict = {}
+    support = None
+    has_enumerate_support = False
+    reparametrized_params: list = []
+    _validate_args = False
+
+    # pytree protocol: which attributes are traced data vs static aux
+    pytree_data_fields: tuple = ()
+    pytree_aux_fields: tuple = ("_batch_shape", "_event_shape")
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        tree_util.register_pytree_node(
+            cls, cls.tree_flatten, cls.tree_unflatten
+        )
+
+    @classmethod
+    def gather_pytree_data_fields(cls) -> tuple:
+        bases = [b for b in cls.__mro__ if issubclass(b, Distribution)]
+        all_fields = set()
+        for b in bases:
+            all_fields.update(b.__dict__.get("pytree_data_fields", ()))
+            # default: arg_constraints keys not marked dependent
+            all_fields.update(
+                k
+                for k, v in b.__dict__.get("arg_constraints", {}).items()
+                if not isinstance(v, constraints._Dependent)
+            )
+        return tuple(sorted(all_fields))
+
+    @classmethod
+    def gather_pytree_aux_fields(cls) -> tuple:
+        bases = [b for b in cls.__mro__ if issubclass(b, Distribution)]
+        all_fields = set()
+        for b in bases:
+            all_fields.update(b.__dict__.get("pytree_aux_fields", ()))
+        return tuple(sorted(all_fields))
+
+    def tree_flatten(self):
+        data_fields = type(self).gather_pytree_data_fields()
+        aux_fields = type(self).gather_pytree_aux_fields()
+        data = tuple(getattr(self, k, None) for k in data_fields)
+        aux = tuple(getattr(self, k, None) for k in aux_fields)
+        return data, (data_fields, aux_fields, aux)
+
+    @classmethod
+    def tree_unflatten(cls, aux_data, params):
+        data_fields, aux_fields, aux = aux_data
+        self = cls.__new__(cls)
+        for k, v in zip(data_fields, params):
+            setattr(self, k, v)
+        for k, v in zip(aux_fields, aux):
+            setattr(self, k, v)
+        # re-derive shapes if they were not stored (shouldn't happen)
+        return self
+
+    @staticmethod
+    def set_default_validate_args(value: bool):
+        Distribution._validate_args = value
+
+    def __init__(self, batch_shape=(), event_shape=(), *, validate_args=None):
+        self._batch_shape = tuple(batch_shape)
+        self._event_shape = tuple(event_shape)
+        if validate_args is not None:
+            self._validate_args = validate_args
+        if self._validate_args:
+            for param, constraint in self.arg_constraints.items():
+                if param not in self.__dict__ and isinstance(
+                    getattr(type(self), param, None), lazy_property
+                ):
+                    continue
+                if isinstance(constraint, constraints._Dependent):
+                    continue
+                value = getattr(self, param)
+                if value is None:
+                    continue
+                is_valid = constraint(value)
+                if not_jax_tracer(is_valid):
+                    if not np.all(np.asarray(is_valid)):
+                        raise ValueError(
+                            f"{type(self).__name__}: invalid {param} parameter"
+                        )
+
+    @property
+    def batch_shape(self) -> tuple:
+        return self._batch_shape
+
+    @property
+    def event_shape(self) -> tuple:
+        return self._event_shape
+
+    @property
+    def event_dim(self) -> int:
+        return len(self.event_shape)
+
+    @property
+    def has_rsample(self) -> bool:
+        return set(self.reparametrized_params) == set(self.arg_constraints)
+
+    def rsample(self, key, sample_shape=()):
+        if self.has_rsample:
+            return self.sample(key, sample_shape)
+        raise NotImplementedError
+
+    def shape(self, sample_shape=()) -> tuple:
+        return tuple(sample_shape) + self.batch_shape + self.event_shape
+
+    def sample(self, key, sample_shape=()):
+        raise NotImplementedError
+
+    def sample_with_intermediates(self, key, sample_shape=()):
+        """Sample returning latent intermediates (used by TransformedDistribution
+        to avoid recomputing inner values in log_prob during tracing)."""
+        return self.sample(key, sample_shape), []
+
+    def __call__(self, *args, **kwargs):
+        """Sampler entry point used by the effect-handler stack."""
+        key = kwargs.pop("rng_key")
+        sample_intermediates = kwargs.pop("sample_intermediates", False)
+        if sample_intermediates:
+            return self.sample_with_intermediates(key, *args, **kwargs)
+        return self.sample(key, *args, **kwargs)
+
+    def log_prob(self, value):
+        raise NotImplementedError
+
+    @property
+    def mean(self):
+        raise NotImplementedError
+
+    @property
+    def variance(self):
+        raise NotImplementedError
+
+    def cdf(self, value):
+        raise NotImplementedError
+
+    def icdf(self, q):
+        raise NotImplementedError
+
+    def entropy(self):
+        raise NotImplementedError
+
+    def enumerate_support(self, expand=True):
+        raise NotImplementedError
+
+    def _validate_sample(self, value):
+        mask = self.support(value)
+        if not_jax_tracer(mask):
+            if not np.all(np.asarray(mask)):
+                import warnings
+
+                warnings.warn(
+                    f"Out-of-support values provided to log_prob of "
+                    f"{type(self).__name__}",
+                    stacklevel=2,
+                )
+        return mask
+
+    # -- combinators --------------------------------------------------------
+
+    def expand(self, batch_shape):
+        batch_shape = tuple(batch_shape)
+        if batch_shape == self.batch_shape:
+            return self
+        return ExpandedDistribution(self, batch_shape)
+
+    def expand_by(self, sample_shape):
+        return self.expand(tuple(sample_shape) + self.batch_shape)
+
+    def to_event(self, reinterpreted_batch_ndims=None):
+        if reinterpreted_batch_ndims is None:
+            reinterpreted_batch_ndims = len(self.batch_shape)
+        if reinterpreted_batch_ndims == 0:
+            return self
+        return Independent(self, reinterpreted_batch_ndims)
+
+    def mask(self, mask):
+        if mask is True:
+            return self
+        return MaskedDistribution(self, mask)
+
+    @property
+    def is_discrete(self):
+        return self.support.is_discrete
+
+    def infer_shapes(cls, *args, **kwargs):  # pragma: no cover
+        raise NotImplementedError
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(batch_shape={self.batch_shape}, "
+            f"event_shape={self.event_shape})"
+        )
+
+
+def not_jax_tracer(x) -> bool:
+    return not isinstance(x, jax.core.Tracer)
+
+
+class ExpandedDistribution(Distribution):
+    """Broadcast a distribution to a larger batch shape (free at trace time)."""
+
+    arg_constraints = {}
+    pytree_data_fields = ("base_dist",)
+    pytree_aux_fields = ("_expanded_sizes", "_interstitial_sizes")
+
+    def __init__(self, base_dist, batch_shape=()):
+        if isinstance(base_dist, ExpandedDistribution):
+            batch_shape, _, _ = self._broadcast_shape(
+                base_dist.batch_shape, batch_shape
+            )
+            base_dist = base_dist.base_dist
+        self.base_dist = base_dist
+        new_shape, expanded_sizes, interstitial_sizes = self._broadcast_shape(
+            base_dist.batch_shape, batch_shape
+        )
+        self._expanded_sizes = expanded_sizes
+        self._interstitial_sizes = interstitial_sizes
+        super().__init__(new_shape, base_dist.event_shape)
+
+    @staticmethod
+    def _broadcast_shape(existing_shape, new_shape):
+        if len(new_shape) < len(existing_shape):
+            raise ValueError(
+                f"Cannot broadcast distribution of shape {existing_shape} "
+                f"to shape {new_shape}"
+            )
+        reversed_shape = list(reversed(existing_shape))
+        expanded_sizes, interstitial_sizes = [], []
+        for i, size in enumerate(reversed(new_shape)):
+            if i >= len(reversed_shape):
+                reversed_shape.append(size)
+                expanded_sizes.append((-i - 1, size))
+            elif reversed_shape[i] == 1:
+                if size != 1:
+                    reversed_shape[i] = size
+                    interstitial_sizes.append((-i - 1, size))
+            elif reversed_shape[i] != size and size != 1:
+                raise ValueError(
+                    f"Cannot broadcast distribution of shape {existing_shape} "
+                    f"to shape {new_shape}"
+                )
+        return tuple(reversed(reversed_shape)), OrderedDict(
+            expanded_sizes
+        ), OrderedDict(interstitial_sizes)
+
+    @property
+    def has_enumerate_support(self):
+        return self.base_dist.has_enumerate_support
+
+    @property
+    def has_rsample(self):
+        return self.base_dist.has_rsample
+
+    def rsample(self, key, sample_shape=()):
+        return self._sample(self.base_dist.rsample, key, sample_shape)
+
+    @property
+    def support(self):
+        return self.base_dist.support
+
+    def _compute_chunk_shape(self, sample_shape):
+        # sample from base with the expanded axes as part of sample_shape,
+        # then move interstitial axes into place.
+        interstitial_dims = tuple(self._interstitial_sizes.keys())
+        event_dim = len(self.event_shape)
+        interstitial_dims = tuple(i - event_dim for i in interstitial_dims)
+        interstitial_sizes = tuple(self._interstitial_sizes.values())
+        expanded_sizes = tuple(self._expanded_sizes.values())
+        batch_shape = expanded_sizes + interstitial_sizes
+        return interstitial_dims, batch_shape
+
+    def _sample(self, sample_fn, key, sample_shape=()):
+        interstitial_dims, batch_shape = self._compute_chunk_shape(sample_shape)
+        samples = sample_fn(key, sample_shape + batch_shape)
+        interstitial_idx = len(sample_shape) + len(self._expanded_sizes)
+        interstitial_sample_dims = tuple(
+            range(interstitial_idx, interstitial_idx + len(self._interstitial_sizes))
+        )
+        for dim1, dim2 in zip(interstitial_dims, interstitial_sample_dims):
+            samples = jnp.swapaxes(samples, dim1, dim2)
+        return samples.reshape(sample_shape + self.batch_shape + self.event_shape)
+
+    def sample(self, key, sample_shape=()):
+        return self._sample(self.base_dist.sample, key, sample_shape)
+
+    def log_prob(self, value):
+        shape = lax.broadcast_shapes(
+            self.batch_shape,
+            jnp.shape(value)[: max(jnp.ndim(value) - self.event_dim, 0)],
+        )
+        log_prob = self.base_dist.log_prob(value)
+        return jnp.broadcast_to(log_prob, shape)
+
+    def enumerate_support(self, expand=True):
+        samples = self.base_dist.enumerate_support(expand=False)
+        enum_shape = samples.shape[:1]
+        samples = samples.reshape(enum_shape + (1,) * len(self.batch_shape))
+        if expand:
+            samples = samples.expand(enum_shape + self.batch_shape)  # pragma: no cover
+        return samples
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(
+            self.base_dist.mean, self.batch_shape + self.event_shape
+        )
+
+    @property
+    def variance(self):
+        return jnp.broadcast_to(
+            self.base_dist.variance, self.batch_shape + self.event_shape
+        )
+
+    def entropy(self):
+        return jnp.broadcast_to(self.base_dist.entropy(), self.batch_shape)
+
+
+class Independent(Distribution):
+    """Reinterpret rightmost batch dims of a distribution as event dims."""
+
+    arg_constraints = {}
+    pytree_data_fields = ("base_dist",)
+    pytree_aux_fields = ("reinterpreted_batch_ndims",)
+
+    def __init__(self, base_dist, reinterpreted_batch_ndims, *, validate_args=None):
+        if reinterpreted_batch_ndims > len(base_dist.batch_shape):
+            raise ValueError(
+                "reinterpreted_batch_ndims exceeds batch shape ndims "
+                f"({reinterpreted_batch_ndims} > {len(base_dist.batch_shape)})"
+            )
+        shape = base_dist.batch_shape + base_dist.event_shape
+        event_dim = reinterpreted_batch_ndims + len(base_dist.event_shape)
+        batch_shape = shape[: len(shape) - event_dim]
+        event_shape = shape[len(shape) - event_dim :]
+        self.base_dist = base_dist
+        self.reinterpreted_batch_ndims = reinterpreted_batch_ndims
+        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+
+    @property
+    def support(self):
+        return constraints.independent(
+            self.base_dist.support, self.reinterpreted_batch_ndims
+        )
+
+    @property
+    def has_enumerate_support(self):
+        return self.base_dist.has_enumerate_support
+
+    @property
+    def reparametrized_params(self):
+        return self.base_dist.reparametrized_params
+
+    @property
+    def mean(self):
+        return self.base_dist.mean
+
+    @property
+    def variance(self):
+        return self.base_dist.variance
+
+    @property
+    def has_rsample(self):
+        return self.base_dist.has_rsample
+
+    def rsample(self, key, sample_shape=()):
+        return self.base_dist.rsample(key, sample_shape)
+
+    def sample(self, key, sample_shape=()):
+        return self.base_dist.sample(key, sample_shape)
+
+    def log_prob(self, value):
+        log_prob = self.base_dist.log_prob(value)
+        return sum_rightmost(log_prob, self.reinterpreted_batch_ndims)
+
+    def entropy(self):
+        ent = self.base_dist.entropy()
+        return sum_rightmost(ent, self.reinterpreted_batch_ndims)
+
+    def expand(self, batch_shape):
+        batch_shape = tuple(batch_shape)
+        base_batch = batch_shape + self.event_shape[: self.reinterpreted_batch_ndims]
+        return self.base_dist.expand(base_batch).to_event(
+            self.reinterpreted_batch_ndims
+        )
+
+
+class MaskedDistribution(Distribution):
+    """Zero out log_prob where mask is False (used by plates/handlers)."""
+
+    arg_constraints = {}
+    pytree_data_fields = ("base_dist", "_mask")
+    pytree_aux_fields = ("_mask_is_bool",)
+
+    def __init__(self, base_dist, mask):
+        if isinstance(mask, bool):
+            self._mask = mask
+            self._mask_is_bool = True
+        else:
+            batch_shape = lax.broadcast_shapes(
+                jnp.shape(mask), tuple(base_dist.batch_shape)
+            )
+            if mask.shape != batch_shape:
+                mask = jnp.broadcast_to(mask, batch_shape)
+            if base_dist.batch_shape != batch_shape:
+                base_dist = base_dist.expand(batch_shape)
+            self._mask = mask.astype("bool")
+            self._mask_is_bool = False
+        self.base_dist = base_dist
+        super().__init__(base_dist.batch_shape, base_dist.event_shape)
+
+    @property
+    def has_enumerate_support(self):
+        return self.base_dist.has_enumerate_support
+
+    @property
+    def has_rsample(self):
+        return self.base_dist.has_rsample
+
+    def rsample(self, key, sample_shape=()):
+        return self.base_dist.rsample(key, sample_shape)
+
+    @property
+    def support(self):
+        return self.base_dist.support
+
+    def sample(self, key, sample_shape=()):
+        return self.base_dist.sample(key, sample_shape)
+
+    def log_prob(self, value):
+        if self._mask_is_bool:
+            if self._mask:
+                return self.base_dist.log_prob(value)
+            return jnp.zeros(
+                lax.broadcast_shapes(
+                    self.batch_shape,
+                    jnp.shape(value)[: max(jnp.ndim(value) - self.event_dim, 0)],
+                )
+            )
+        # replace invalid values with feasible ones so masked-out sites
+        # cannot produce nan gradients
+        try:
+            feasible = self.base_dist.support.feasible_like(value)
+        except (ValueError, NotImplementedError):
+            feasible = None
+        if feasible is not None:
+            value = jnp.where(
+                jnp.reshape(
+                    self._mask, jnp.shape(self._mask) + (1,) * self.event_dim
+                )
+                if self.event_dim
+                else self._mask,
+                value,
+                feasible,
+            )
+        return jnp.where(self._mask, self.base_dist.log_prob(value), 0.0)
+
+    def enumerate_support(self, expand=True):
+        return self.base_dist.enumerate_support(expand=expand)
+
+    @property
+    def mean(self):
+        return self.base_dist.mean
+
+    @property
+    def variance(self):
+        return self.base_dist.variance
+
+
+class TransformedDistribution(Distribution):
+    """Pushforward of a base distribution through bijective transforms."""
+
+    arg_constraints = {}
+    pytree_data_fields = ("base_dist", "transforms")
+
+    def __init__(self, base_distribution, transforms, *, validate_args=None):
+        if isinstance(transforms, Transform):
+            transforms = [transforms]
+        elif isinstance(transforms, list):
+            if not all(isinstance(t, Transform) for t in transforms):
+                raise ValueError("transforms must be a Transform or list thereof")
+        else:
+            raise ValueError("transforms must be a Transform or list thereof")
+        if isinstance(base_distribution, TransformedDistribution):
+            base_dist = base_distribution.base_dist
+            self.transforms = base_distribution.transforms + transforms
+        else:
+            base_dist = base_distribution
+            self.transforms = transforms
+        # shape computation
+        base_shape = base_dist.shape()
+        base_event_dim = base_dist.event_dim
+        transform = ComposeTransform(self.transforms)
+        domain_event_dim = transform.domain.event_dim
+        shape = transform.forward_shape(base_shape)
+        expanded_base_shape = transform.inverse_shape(shape)
+        if base_shape != expanded_base_shape:
+            base_batch_shape = expanded_base_shape[
+                : len(expanded_base_shape) - base_event_dim
+            ]
+            base_dist = base_dist.expand(base_batch_shape)
+        reinterpreted_batch_ndims = domain_event_dim - base_event_dim
+        if reinterpreted_batch_ndims > 0:
+            base_dist = base_dist.to_event(reinterpreted_batch_ndims)
+        self.base_dist = base_dist
+        codomain_event_dim = transform.codomain.event_dim
+        event_shape = shape[len(shape) - codomain_event_dim :]
+        batch_shape = shape[: len(shape) - codomain_event_dim]
+        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+
+    @property
+    def has_rsample(self):
+        return self.base_dist.has_rsample
+
+    def rsample(self, key, sample_shape=()):
+        x = self.base_dist.rsample(key, sample_shape)
+        for transform in self.transforms:
+            x = transform(x)
+        return x
+
+    @property
+    def support(self):
+        codomain = self.transforms[-1].codomain
+        codomain_event_dim = codomain.event_dim
+        assert self.event_dim >= codomain_event_dim
+        if self.event_dim == codomain_event_dim:
+            return codomain
+        return constraints.independent(
+            codomain, self.event_dim - codomain_event_dim
+        )
+
+    def sample(self, key, sample_shape=()):
+        x = self.base_dist.sample(key, sample_shape)
+        for transform in self.transforms:
+            x = transform(x)
+        return x
+
+    def sample_with_intermediates(self, key, sample_shape=()):
+        x = self.base_dist.sample(key, sample_shape)
+        intermediates = []
+        for transform in self.transforms:
+            x_tmp = x
+            x, t_inter = transform.call_with_intermediates(x)
+            intermediates.append([x_tmp, t_inter])
+        return x, intermediates
+
+    @validate_sample
+    def log_prob(self, value, intermediates=None):
+        if intermediates is not None:
+            if len(intermediates) != len(self.transforms):
+                raise ValueError("intermediates length mismatch")
+        event_dim = len(self.event_shape)
+        log_prob = 0.0
+        y = value
+        for i, transform in enumerate(reversed(self.transforms)):
+            inv_idx = len(self.transforms) - 1 - i
+            if intermediates is None:
+                x = transform.inv(y)
+                t_inter = None
+            else:
+                x = intermediates[inv_idx][0]
+                t_inter = intermediates[inv_idx][1]
+            t_log_det = transform.log_abs_det_jacobian(x, y, t_inter)
+            batch_ndim = event_dim - transform.codomain.event_dim
+            log_prob = log_prob - sum_rightmost(t_log_det, batch_ndim)
+            event_dim = transform.domain.event_dim + batch_ndim
+            y = x
+        log_prob = log_prob + sum_rightmost(
+            self.base_dist.log_prob(y), event_dim - len(self.base_dist.event_shape)
+        )
+        return log_prob
+
+    @property
+    def mean(self):
+        raise NotImplementedError
+
+    @property
+    def variance(self):
+        raise NotImplementedError
+
+
+class FoldedDistribution(TransformedDistribution):
+    """|X| for a real-valued X (e.g. half-* distributions on arbitrary loc)."""
+
+    support = constraints.positive
+
+    def __init__(self, base_dist, *, validate_args=None):
+        if base_dist.event_shape:
+            raise ValueError("Only univariate distributions can be folded.")
+        from .transforms import AbsTransform
+
+        super().__init__(base_dist, AbsTransform(), validate_args=validate_args)
+
+    @validate_sample
+    def log_prob(self, value):
+        dim = max(len(self.batch_shape), jnp.ndim(value))
+        plus_minus = jnp.array([1.0, -1.0]).reshape((2,) + (1,) * dim)
+        return logsumexp(self.base_dist.log_prob(plus_minus * value), axis=0)
+
+
+class Delta(Distribution):
+    arg_constraints = {
+        "v": constraints.dependent(is_discrete=False),
+        "log_density": constraints.real,
+    }
+    reparametrized_params = ["v", "log_density"]
+    pytree_data_fields = ("v", "log_density")
+
+    def __init__(self, v=0.0, log_density=0.0, event_dim=0, *, validate_args=None):
+        if event_dim > jnp.ndim(v):
+            raise ValueError(
+                "Expected event_dim <= v.dim(), actual {} vs {}".format(
+                    event_dim, jnp.ndim(v)
+                )
+            )
+        batch_dim = jnp.ndim(v) - event_dim
+        batch_shape = jnp.shape(v)[:batch_dim]
+        event_shape = jnp.shape(v)[batch_dim:]
+        self.v = v
+        self.log_density = promote_shapes(log_density, shape=batch_shape)[0]
+        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+
+    @property
+    def support(self):
+        return constraints.independent(constraints.real, self.event_dim)
+
+    def sample(self, key, sample_shape=()):
+        shape = sample_shape + self.batch_shape + self.event_shape
+        return jnp.broadcast_to(self.v, shape)
+
+    @validate_sample
+    def log_prob(self, value):
+        log_prob = jnp.log(value == self.v)
+        log_prob = sum_rightmost(log_prob, len(self.event_shape))
+        return log_prob + self.log_density
+
+    @property
+    def mean(self):
+        return self.v
+
+    @property
+    def variance(self):
+        return jnp.zeros(self.batch_shape + self.event_shape)
+
+
+class Unit(Distribution):
+    """Trivial nonnormalized distribution over the empty event — the carrier
+    of a bare ``log_factor`` (used by the ``factor`` primitive)."""
+
+    arg_constraints = {"log_factor": constraints.real}
+    support = constraints.real
+    pytree_data_fields = ("log_factor",)
+
+    def __init__(self, log_factor, *, validate_args=None):
+        batch_shape = jnp.shape(log_factor)
+        event_shape = (0,)  # size-zero event so values are empty arrays
+        self.log_factor = log_factor
+        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.empty(sample_shape + self.batch_shape + self.event_shape)
+
+    def log_prob(self, value):
+        shape = lax.broadcast_shapes(self.batch_shape, jnp.shape(value)[:-1])
+        return jnp.broadcast_to(self.log_factor, shape)
+
+
+class ImproperUniform(Distribution):
+    """Improper (unnormalized) flat prior over an arbitrary support —
+    log_prob is identically 0 inside the support."""
+
+    arg_constraints = {}
+    pytree_aux_fields = ("support",)
+
+    def __init__(self, support, batch_shape, event_shape, *, validate_args=None):
+        self.support = constraints.independent(
+            support, len(event_shape) - support.event_dim
+        )
+        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+
+    @validate_sample
+    def log_prob(self, value):
+        batch_shape = jnp.shape(value)[: jnp.ndim(value) - len(self.event_shape)]
+        batch_shape = lax.broadcast_shapes(batch_shape, self.batch_shape)
+        return jnp.zeros(batch_shape)
+
+    def _validate_sample(self, value):
+        mask = super(ImproperUniform, self)._validate_sample(value)
+        batch_dim = jnp.ndim(value) - len(self.event_shape)
+        if batch_dim < jnp.ndim(mask):
+            mask = mask.all(tuple(range(batch_dim - jnp.ndim(mask), 0)))
+        return mask
+
+    def sample(self, key, sample_shape=()):
+        raise NotImplementedError(
+            "ImproperUniform has no sampler; use an init strategy or "
+            ".mask(False) over a proper prior instead"
+        )

@@ -1,0 +1,52 @@
+"""numpyro_tpu.infer — inference kernels, drivers, and objectives (L4/L5).
+
+API parity target: numpyro/infer/__init__.py:33-62.
+"""
+
+from numpyro_tpu.infer import initialization
+from numpyro_tpu.infer.initialization import (
+    init_to_feasible,
+    init_to_mean,
+    init_to_median,
+    init_to_sample,
+    init_to_uniform,
+    init_to_value,
+)
+from numpyro_tpu.infer.hmc import HMC, NUTS
+from numpyro_tpu.infer.mcmc import MCMC, MCMCKernel
+from numpyro_tpu.infer.util import (
+    Predictive,
+    constrain_fn,
+    find_valid_initial_params,
+    get_transforms,
+    initialize_model,
+    log_density,
+    log_likelihood,
+    potential_energy,
+    transform_fn,
+    unconstrain_fn,
+)
+
+__all__ = [
+    "HMC",
+    "MCMC",
+    "MCMCKernel",
+    "NUTS",
+    "Predictive",
+    "constrain_fn",
+    "find_valid_initial_params",
+    "get_transforms",
+    "init_to_feasible",
+    "init_to_mean",
+    "init_to_median",
+    "init_to_sample",
+    "init_to_uniform",
+    "init_to_value",
+    "initialization",
+    "initialize_model",
+    "log_density",
+    "log_likelihood",
+    "potential_energy",
+    "transform_fn",
+    "unconstrain_fn",
+]

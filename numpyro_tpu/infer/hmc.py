@@ -1,0 +1,592 @@
+"""HMC / NUTS kernels.
+
+Fresh implementation of numpyro/infer/hmc.py.  The functional core is a
+``(init_kernel, sample_kernel)`` pair operating on a single-chain
+``HMCState`` pytree; the chain-massive engine vmaps both over a leading
+(num_chains,) axis so thousands of chains advance in ONE fused XLA program —
+vectorized chains are the default execution mode, not an afterthought.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import namedtuple
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import random, vmap
+from jax.flatten_util import ravel_pytree
+
+from numpyro_tpu.infer.hmc_util import (
+    IntegratorState,
+    build_tree,
+    euclidean_kinetic_energy,
+    find_reasonable_step_size,
+    velocity_verlet,
+    warmup_adapter,
+)
+from numpyro_tpu.infer.mcmc import MCMCKernel
+from numpyro_tpu.infer.util import ParamInfo, initialize_model
+from numpyro_tpu.util import cond, fori_loop, identity, is_prng_key
+
+HMCState = namedtuple(
+    "HMCState",
+    [
+        "i",
+        "z",
+        "z_grad",
+        "potential_energy",
+        "energy",
+        "r",
+        "trajectory_length",
+        "num_steps",
+        "accept_prob",
+        "mean_accept_prob",
+        "diverging",
+        "adapt_state",
+        "rng_key",
+    ],
+)
+"""Kernel state pytree — every leaf batches over chains (reference field
+semantics: numpyro/infer/hmc.py:31-48)."""
+
+
+def _get_num_steps(step_size, trajectory_length):
+    num_steps = jnp.ceil(trajectory_length / step_size)
+    return num_steps.astype(jnp.result_type(int))
+
+
+def momentum_generator(prototype_r, mass_matrix_sqrt, rng_key):
+    """r ~ N(0, M): scale standard normals by the mass-matrix sqrt; supports
+    diag / dense / dict-blocked structure (reference: hmc.py:92-110)."""
+    if isinstance(mass_matrix_sqrt, dict):
+        rng_keys = random.split(rng_key, len(mass_matrix_sqrt))
+        r = {}
+        for (site_names, mm_sqrt), rng_key_block in zip(
+            mass_matrix_sqrt.items(), rng_keys
+        ):
+            r_block = momentum_generator(
+                {k: prototype_r[k] for k in site_names}, mm_sqrt, rng_key_block
+            )
+            r.update(r_block)
+        return r
+
+    _, unpack_fn = ravel_pytree(prototype_r)
+    eps = random.normal(rng_key, jnp.shape(mass_matrix_sqrt)[:1])
+    if jnp.ndim(mass_matrix_sqrt) == 1:
+        r = mass_matrix_sqrt * eps
+        return unpack_fn(r)
+    elif jnp.ndim(mass_matrix_sqrt) == 2:
+        r = jnp.dot(mass_matrix_sqrt, eps)
+        return unpack_fn(r)
+    else:
+        raise ValueError("Mass matrix has incorrect number of dims.")
+
+
+def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
+    """Functional HMC/NUTS factory returning (init_kernel, sample_kernel)
+    (reference: numpyro/infer/hmc.py:113-538)."""
+    if kinetic_fn is None:
+        kinetic_fn = euclidean_kinetic_energy
+    vv_update = None
+    trajectory_len = None
+    max_treedepth = None
+    wa_update = None
+    wa_steps = None
+    forward_mode_ad = False
+    max_delta_energy = 1000.0
+    fixed_num_steps = None
+    if algo not in {"HMC", "NUTS"}:
+        raise ValueError("`algo` must be one of `HMC`, `NUTS`.")
+
+    def init_kernel(
+        init_params,
+        num_warmup,
+        *,
+        step_size=1.0,
+        inverse_mass_matrix=None,
+        adapt_step_size=True,
+        adapt_mass_matrix=True,
+        dense_mass=False,
+        target_accept_prob=0.8,
+        num_steps=None,
+        trajectory_length=2 * math.pi,
+        max_tree_depth=10,
+        find_heuristic_step_size=False,
+        forward_mode_differentiation=False,
+        regularize_mass_matrix=True,
+        model_args=(),
+        model_kwargs=None,
+        rng_key=None,
+    ):
+        nonlocal wa_update, max_treedepth, vv_update, wa_steps, fixed_num_steps
+        nonlocal forward_mode_ad, trajectory_len
+        forward_mode_ad = forward_mode_differentiation
+        wa_steps = num_warmup
+        trajectory_len = trajectory_length
+        max_treedepth = (
+            max_tree_depth
+            if isinstance(max_tree_depth, tuple)
+            else (max_tree_depth, max_tree_depth)
+        )
+        fixed_num_steps = num_steps
+        if isinstance(init_params, ParamInfo):
+            z, pe, z_grad = init_params
+        else:
+            z, pe, z_grad = init_params, None, None
+        pe_fn = potential_fn
+        if potential_fn_gen:
+            if pe_fn is not None:
+                raise ValueError(
+                    "Only one of `potential_fn` or `potential_fn_gen` must be provided."
+                )
+            else:
+                kwargs = {} if model_kwargs is None else model_kwargs
+                pe_fn = potential_fn_gen(*model_args, **kwargs)
+
+        if rng_key is None:
+            rng_key = random.PRNGKey(0)
+        rng_key_hmc, rng_key_wa, rng_key_momentum = random.split(rng_key, 3)
+        vv_init, vv_update_ = velocity_verlet(
+            pe_fn, kinetic_fn, forward_mode_differentiation
+        )
+        vv_update = vv_update_
+
+        wa_init, wa_update_ = warmup_adapter(
+            num_warmup,
+            adapt_step_size=adapt_step_size,
+            adapt_mass_matrix=adapt_mass_matrix,
+            dense_mass=dense_mass,
+            target_accept_prob=target_accept_prob,
+            find_reasonable_step_size=partial(
+                find_reasonable_step_size, pe_fn, kinetic_fn, momentum_generator
+            )
+            if find_heuristic_step_size or adapt_step_size
+            else None,
+        )
+        wa_update = wa_update_
+
+        # compute initial pe/grad first — find_reasonable_step_size needs them
+        z_info = vv_init(z, r=None, potential_energy=pe, z_grad=z_grad)
+        wa_state = wa_init(
+            z_info,
+            rng_key_wa,
+            step_size,
+            inverse_mass_matrix=inverse_mass_matrix,
+        )
+        r = momentum_generator(z, wa_state.mass_matrix_sqrt, rng_key_momentum)
+        vv_state = IntegratorState(
+            z, r, z_info.potential_energy, z_info.z_grad
+        )
+        energy = vv_state.potential_energy + kinetic_fn(
+            wa_state.inverse_mass_matrix, vv_state.r
+        )
+        zero_int = jnp.array(0, dtype=jnp.result_type(int))
+        hmc_state = HMCState(
+            zero_int,
+            vv_state.z,
+            vv_state.z_grad,
+            vv_state.potential_energy,
+            energy,
+            None,
+            trajectory_length,
+            zero_int,
+            jnp.zeros(()),
+            jnp.zeros(()),
+            jnp.array(False),
+            wa_state,
+            rng_key_hmc,
+        )
+        return jax.device_put(hmc_state)
+
+    def _hmc_next(
+        step_size,
+        inverse_mass_matrix,
+        vv_state,
+        model_args,
+        model_kwargs,
+        rng_key,
+        trajectory_length,
+    ):
+        if potential_fn_gen:
+            nonlocal vv_update, forward_mode_ad
+            pe_fn = potential_fn_gen(*model_args, **model_kwargs)
+            _, vv_update = velocity_verlet(pe_fn, kinetic_fn, forward_mode_ad)
+
+        if fixed_num_steps is not None:
+            num_steps = fixed_num_steps
+        # no need to spend too many steps if the state z has 0 size (i.e. z is empty)
+        elif len(inverse_mass_matrix) == 0:
+            num_steps = 1
+        else:
+            num_steps = _get_num_steps(step_size, trajectory_length)
+
+        _body_fn = lambda i, vv_state: vv_update(  # noqa: E731
+            step_size, inverse_mass_matrix, vv_state
+        )
+        vv_state_new = fori_loop(0, num_steps, _body_fn, vv_state)
+        energy_old = vv_state.potential_energy + kinetic_fn(
+            inverse_mass_matrix, vv_state.r
+        )
+        energy_new = vv_state_new.potential_energy + kinetic_fn(
+            inverse_mass_matrix, vv_state_new.r
+        )
+        delta_energy = energy_new - energy_old
+        delta_energy = jnp.where(jnp.isnan(delta_energy), jnp.inf, delta_energy)
+        accept_prob = jnp.clip(jnp.exp(-delta_energy), None, 1.0)
+        diverging = delta_energy > max_delta_energy
+        transition = random.bernoulli(rng_key, accept_prob)
+        vv_state, energy = cond(
+            transition,
+            (vv_state_new, energy_new),
+            identity,
+            (vv_state, energy_old),
+            identity,
+        )
+        return vv_state, energy, num_steps, accept_prob, diverging
+
+    def _nuts_next(
+        step_size,
+        inverse_mass_matrix,
+        vv_state,
+        model_args,
+        model_kwargs,
+        rng_key,
+        max_treedepth_current,
+    ):
+        if potential_fn_gen:
+            nonlocal vv_update, forward_mode_ad
+            pe_fn = potential_fn_gen(*model_args, **model_kwargs)
+            _, vv_update = velocity_verlet(pe_fn, kinetic_fn, forward_mode_ad)
+
+        binary_tree = build_tree(
+            vv_update,
+            kinetic_fn,
+            vv_state,
+            inverse_mass_matrix,
+            step_size,
+            rng_key,
+            max_delta_energy=max_delta_energy,
+            max_tree_depth=(max_treedepth_current, max(max_treedepth)),
+        )
+        accept_prob = binary_tree.sum_accept_probs / binary_tree.num_proposals
+        num_steps = binary_tree.num_proposals
+        accept_prob = jnp.where(
+            binary_tree.num_proposals == 0, 0.0, accept_prob
+        )
+        vv_state = IntegratorState(
+            z=binary_tree.z_proposal,
+            r=vv_state.r,
+            potential_energy=binary_tree.z_proposal_pe,
+            z_grad=binary_tree.z_proposal_grad,
+        )
+        return (
+            vv_state,
+            binary_tree.z_proposal_energy,
+            num_steps,
+            accept_prob,
+            binary_tree.diverging,
+        )
+
+    _next = _nuts_next if algo == "NUTS" else _hmc_next
+
+    def sample_kernel(hmc_state, model_args=(), model_kwargs=None):
+        """One MCMC step: fresh momentum → trajectory → MH/slice transition →
+        (during warmup) adaptation update (reference: hmc.py:459-530)."""
+        model_kwargs = {} if model_kwargs is None else model_kwargs
+        rng_key, rng_key_momentum, rng_key_transition = random.split(
+            hmc_state.rng_key, 3
+        )
+        r = (
+            momentum_generator(
+                hmc_state.z, hmc_state.adapt_state.mass_matrix_sqrt, rng_key_momentum
+            )
+            if hmc_state.r is None
+            else hmc_state.r
+        )
+        vv_state = IntegratorState(
+            hmc_state.z, r, hmc_state.potential_energy, hmc_state.z_grad
+        )
+        if algo == "HMC":
+            hmc_length_args = (hmc_state.trajectory_length,)
+        else:
+            hmc_length_args = (
+                jnp.where(
+                    hmc_state.i < wa_steps, max_treedepth[0], max_treedepth[1]
+                ),
+            )
+        vv_state, energy, num_steps, accept_prob, diverging = _next(
+            hmc_state.adapt_state.step_size,
+            hmc_state.adapt_state.inverse_mass_matrix,
+            vv_state,
+            model_args,
+            model_kwargs,
+            rng_key_transition,
+            *hmc_length_args,
+        )
+        # not update adapt_state after warmup phase
+        adapt_state = cond(
+            hmc_state.i < wa_steps,
+            (hmc_state.i, accept_prob, vv_state, hmc_state.adapt_state),
+            lambda args: wa_update(*args),
+            hmc_state.adapt_state,
+            identity,
+        )
+
+        itr = hmc_state.i + 1
+        n = jnp.where(hmc_state.i < wa_steps, itr, itr - wa_steps)
+        mean_accept_prob = (
+            hmc_state.mean_accept_prob + (accept_prob - hmc_state.mean_accept_prob) / n
+        )
+
+        r = vv_state.r if hmc_state.r is not None else None
+        return HMCState(
+            itr,
+            vv_state.z,
+            vv_state.z_grad,
+            vv_state.potential_energy,
+            energy,
+            r,
+            hmc_state.trajectory_length,
+            num_steps,
+            accept_prob,
+            mean_accept_prob,
+            diverging,
+            adapt_state,
+            rng_key,
+        )
+
+    # placeholder, only the generated docs use these
+    init_kernel.__doc__ = init_kernel.__doc__
+    return init_kernel, sample_kernel
+
+
+class HMC(MCMCKernel):
+    """Hamiltonian Monte Carlo with fixed trajectory length (reference class
+    surface: numpyro/infer/hmc.py:540-822).
+
+    Chain-massive: when given a batch of rng keys, ``init``/``sample`` vmap
+    the functional kernel over the leading chain axis — the driver's default
+    ``vectorized`` path."""
+
+    def __init__(
+        self,
+        model=None,
+        potential_fn=None,
+        kinetic_fn=None,
+        step_size=1.0,
+        inverse_mass_matrix=None,
+        adapt_step_size=True,
+        adapt_mass_matrix=True,
+        dense_mass=False,
+        target_accept_prob=0.8,
+        num_steps=None,
+        trajectory_length=2 * math.pi,
+        init_strategy=None,
+        find_heuristic_step_size=False,
+        forward_mode_differentiation=False,
+        regularize_mass_matrix=True,
+    ):
+        if not (model is None) ^ (potential_fn is None):
+            raise ValueError("Only one of `model` or `potential_fn` must be specified.")
+        from numpyro_tpu.infer.initialization import init_to_uniform
+
+        self._model = model
+        self._potential_fn = potential_fn
+        self._kinetic_fn = (
+            kinetic_fn if kinetic_fn is not None else euclidean_kinetic_energy
+        )
+        self._num_steps = num_steps
+        self._step_size = float(step_size) if isinstance(step_size, int) else step_size
+        self._inverse_mass_matrix = inverse_mass_matrix
+        self._adapt_step_size = adapt_step_size
+        self._adapt_mass_matrix = adapt_mass_matrix
+        self._dense_mass = dense_mass
+        self._target_accept_prob = target_accept_prob
+        self._trajectory_length = (
+            float(trajectory_length)
+            if isinstance(trajectory_length, int)
+            else trajectory_length
+        )
+        self._algo = "HMC"
+        self._max_tree_depth = 10
+        self._init_strategy = (
+            init_to_uniform if init_strategy is None else init_strategy
+        )
+        self._find_heuristic_step_size = find_heuristic_step_size
+        self._forward_mode_differentiation = forward_mode_differentiation
+        self._regularize_mass_matrix = regularize_mass_matrix
+
+        # Set on first call to init
+        self._init_fn = None
+        self._potential_fn_gen = None
+        self._postprocess_fn = None
+        self._sample_fn = None
+        self._sample_fn_base = None
+
+    def _init_state(self, rng_key, model_args, model_kwargs, init_params):
+        if self._model is not None:
+            init_params_, potential_fn, postprocess_fn, model_trace = initialize_model(
+                rng_key,
+                self._model,
+                dynamic_args=True,
+                init_strategy=self._init_strategy,
+                model_args=model_args,
+                model_kwargs=model_kwargs,
+                forward_mode_differentiation=self._forward_mode_differentiation,
+            )
+            if init_params is None:
+                init_params = init_params_
+            if self._init_fn is None:
+                self._init_fn, self._sample_fn = hmc(
+                    potential_fn_gen=potential_fn,
+                    kinetic_fn=self._kinetic_fn,
+                    algo=self._algo,
+                )
+            self._potential_fn_gen = potential_fn
+            if self._postprocess_fn is None:
+                self._postprocess_fn = postprocess_fn
+        else:
+            if self._init_fn is None:
+                self._init_fn, self._sample_fn = hmc(
+                    potential_fn=self._potential_fn,
+                    kinetic_fn=self._kinetic_fn,
+                    algo=self._algo,
+                )
+        return init_params
+
+    @property
+    def model(self):
+        return self._model
+
+    @property
+    def sample_field(self):
+        return "z"
+
+    @property
+    def default_fields(self):
+        return ("z", "diverging")
+
+    def get_diagnostics_str(self, state):
+        return "{} steps of size {:.2e}. acc. prob={:.2f}".format(
+            state.num_steps, state.adapt_state.step_size, state.mean_accept_prob
+        )
+
+    def init(
+        self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}
+    ):
+        # non-vectorized
+        if is_prng_key(rng_key):
+            rng_key, rng_key_init_model = random.split(rng_key)
+        # vectorized
+        else:
+            rng_key, rng_key_init_model = jnp.swapaxes(
+                vmap(random.split)(rng_key), 0, 1
+            )
+        init_params = self._init_state(
+            rng_key_init_model, model_args, model_kwargs, init_params
+        )
+        if self._potential_fn and init_params is None:
+            raise ValueError(
+                "Valid value of `init_params` must be provided with `potential_fn`."
+            )
+
+        # change dense_mass to a structural form
+        dense = self._dense_mass
+        inverse_mass_matrix = self._inverse_mass_matrix
+        if self._model is not None:
+            z = init_params[0] if isinstance(init_params, ParamInfo) else init_params
+            if isinstance(dense, bool):
+                # XXX: by default, the order variables are sorted by name(s)
+                dense = [tuple(sorted(z))] if dense else []
+            assert isinstance(dense, list)
+
+        hmc_init_fn = lambda init_params, rng_key: self._init_fn(  # noqa: E731
+            init_params,
+            num_warmup=num_warmup,
+            step_size=self._step_size,
+            num_steps=self._num_steps,
+            inverse_mass_matrix=inverse_mass_matrix,
+            adapt_step_size=self._adapt_step_size,
+            adapt_mass_matrix=self._adapt_mass_matrix,
+            dense_mass=dense,
+            target_accept_prob=self._target_accept_prob,
+            trajectory_length=self._trajectory_length,
+            max_tree_depth=self._max_tree_depth,
+            find_heuristic_step_size=self._find_heuristic_step_size,
+            forward_mode_differentiation=self._forward_mode_differentiation,
+            regularize_mass_matrix=self._regularize_mass_matrix,
+            model_args=model_args,
+            model_kwargs=model_kwargs,
+            rng_key=rng_key,
+        )
+        if self._sample_fn_base is None:
+            self._sample_fn_base = self._sample_fn
+        if is_prng_key(rng_key):
+            init_state = hmc_init_fn(init_params, rng_key)
+            self._sample_fn = self._sample_fn_base
+        else:
+            # vectorized chains: one fused program for init of all chains
+            init_state = vmap(hmc_init_fn)(init_params, rng_key)
+            self._sample_fn = vmap(self._sample_fn_base, in_axes=(0, None, None))
+        return init_state
+
+    def postprocess_fn(self, args, kwargs):
+        if self._postprocess_fn is None:
+            return identity
+        return self._postprocess_fn(*args, **kwargs)
+
+    def sample(self, state, model_args, model_kwargs):
+        return self._sample_fn(state, model_args, model_kwargs)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_sample_fn"] = None
+        state["_sample_fn_base"] = None
+        state["_init_fn"] = None
+        state["_postprocess_fn"] = None
+        state["_potential_fn_gen"] = None
+        return state
+
+
+class NUTS(HMC):
+    """No-U-Turn Sampler with iterative tree building (reference:
+    numpyro/infer/hmc.py:825-948)."""
+
+    def __init__(
+        self,
+        model=None,
+        potential_fn=None,
+        kinetic_fn=None,
+        step_size=1.0,
+        inverse_mass_matrix=None,
+        adapt_step_size=True,
+        adapt_mass_matrix=True,
+        dense_mass=False,
+        target_accept_prob=0.8,
+        trajectory_length=None,
+        max_tree_depth=10,
+        init_strategy=None,
+        find_heuristic_step_size=False,
+        forward_mode_differentiation=False,
+        regularize_mass_matrix=True,
+    ):
+        super().__init__(
+            potential_fn=potential_fn,
+            model=model,
+            kinetic_fn=kinetic_fn,
+            step_size=step_size,
+            inverse_mass_matrix=inverse_mass_matrix,
+            adapt_step_size=adapt_step_size,
+            adapt_mass_matrix=adapt_mass_matrix,
+            dense_mass=dense_mass,
+            target_accept_prob=target_accept_prob,
+            trajectory_length=trajectory_length,
+            init_strategy=init_strategy,
+            find_heuristic_step_size=find_heuristic_step_size,
+            forward_mode_differentiation=forward_mode_differentiation,
+            regularize_mass_matrix=regularize_mass_matrix,
+        )
+        self._max_tree_depth = max_tree_depth
+        self._algo = "NUTS"

@@ -1,0 +1,449 @@
+"""MCMC driver.
+
+Fresh TPU-first re-design of numpyro/infer/mcmc.py.  The architectural shift
+vs the reference (which is chain-sequential, one-chain-per-device pmap):
+
+- **vectorized is the default chain method**: all chains advance inside ONE
+  fused XLA program (kernel init/sample vmapped over the chain axis).
+- **parallel = vectorized + GSPMD sharding**: the batched chain state is
+  placed with a NamedSharding over the mesh axis ``"chains"`` and the same
+  jitted program runs SPMD across devices — XLA inserts the collectives;
+  no pmap, no per-device Python.
+- the whole (warmup + sampling) loop is a single compiled program
+  (fori_collect with donated buffers); the per-step-dispatch progress-bar
+  path exists for interactive use.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from functools import partial
+from operator import attrgetter
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import jit, lax, local_device_count, random, vmap
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from numpyro_tpu.diagnostics import print_summary
+from numpyro_tpu.util import (
+    cached_by,
+    fori_collect,
+    identity,
+    is_prng_key,
+    nested_attrgetter,
+)
+
+__all__ = ["MCMCKernel", "MCMC"]
+
+
+class MCMCKernel(ABC):
+    """Kernel interface (reference: numpyro/infer/mcmc.py:32-158)."""
+
+    _cache = {}
+
+    def postprocess_fn(self, model_args, model_kwargs):
+        return identity
+
+    @abstractmethod
+    def init(
+        self, rng_key, num_warmup, init_params, model_args, model_kwargs
+    ):
+        raise NotImplementedError
+
+    @abstractmethod
+    def sample(self, state, model_args, model_kwargs):
+        raise NotImplementedError
+
+    @property
+    def sample_field(self):
+        raise NotImplementedError
+
+    @property
+    def default_fields(self):
+        return (self.sample_field,)
+
+    def get_diagnostics_str(self, state):
+        return ""
+
+    @property
+    def is_ensemble_kernel(self):
+        return False
+
+
+def _get_value_from_state(state, field):
+    return nested_attrgetter(field)(state)
+
+
+def _collect_fn(collect_fields, remove_sites):
+    def collect(x):
+        if collect_fields:
+            fields = nested_attrgetter(*collect_fields)(x)
+            if remove_sites and isinstance(
+                fields[0] if isinstance(fields, tuple) else fields, dict
+            ):
+                if isinstance(fields, tuple):
+                    site_values = {
+                        k: v for k, v in fields[0].items() if k not in remove_sites
+                    }
+                    return (site_values,) + fields[1:]
+                return {k: v for k, v in fields.items() if k not in remove_sites}
+            return fields
+        return x
+
+    return collect
+
+
+class MCMC:
+    """MCMC driver (reference surface: numpyro/infer/mcmc.py:224-801).
+
+    :param chain_method: ``"vectorized"`` (default — all chains in one fused
+        program), ``"parallel"`` (vectorized + sharded over the device mesh
+        axis ``"chains"``), ``"sequential"``, or a callable JAX transform.
+    :param matmul_precision: matmul precision the sampler program is traced
+        under.  Defaults to ``"highest"`` because on TPU the MXU truncates
+        f32 matmul inputs to bf16 by default, which corrupts log-density
+        gradients enough to bias the posterior (observed: R-hat > 10 on a
+        logistic regression whose CPU run gives R-hat 1.0).  Set to
+        ``"default"`` to reclaim MXU throughput when the model's geometry
+        tolerates it.
+    """
+
+    def __init__(
+        self,
+        sampler,
+        *,
+        num_warmup,
+        num_samples,
+        num_chains=1,
+        thinning=1,
+        postprocess_fn=None,
+        chain_method="vectorized",
+        progress_bar=False,
+        jit_model_args=False,
+        matmul_precision="highest",
+    ):
+        self.sampler = sampler
+        self._sample_field = sampler.sample_field
+        self._default_fields = sampler.default_fields
+        self.num_warmup = num_warmup
+        self.num_samples = num_samples
+        self.num_chains = num_chains
+        if not isinstance(thinning, int) or thinning < 1:
+            raise ValueError("thinning must be a positive integer")
+        self.thinning = thinning
+        self.postprocess_fn = postprocess_fn
+        if chain_method not in ["parallel", "vectorized", "sequential"] and not callable(
+            chain_method
+        ):
+            raise ValueError(
+                "Only supporting the following methods to draw chains:"
+                ' "sequential", "parallel", "vectorized", or a callable'
+            )
+        self.chain_method = chain_method
+        self.progress_bar = progress_bar
+        self._jit_model_args = jit_model_args
+        self._matmul_precision = matmul_precision
+        self._states = None
+        self._states_flat = None
+        # HMCState returned by last run
+        self._last_state = None
+        # HMCState returned by last warmup
+        self._warmup_state = None
+        # HMCState = postprocessed values of the last run
+        self._cache = {}
+        self._collection_params = {}
+        self._set_collection_params()
+
+    def _get_cached_fns(self):
+        return None
+
+    def _set_collection_params(
+        self, lower=None, upper=None, phase=None
+    ):
+        self._collection_params["lower"] = (
+            self.num_warmup if lower is None else lower
+        )
+        self._collection_params["upper"] = (
+            self.num_warmup + self.num_samples if upper is None else upper
+        )
+        self._collection_params["phase"] = phase
+
+    @property
+    def post_warmup_state(self):
+        """Set this to ``.last_state`` to skip warmup on the next run."""
+        return self._warmup_state
+
+    @post_warmup_state.setter
+    def post_warmup_state(self, state):
+        self._warmup_state = state
+
+    @property
+    def last_state(self):
+        return self._last_state
+
+    def warmup(
+        self,
+        rng_key,
+        *args,
+        extra_fields=(),
+        collect_warmup=False,
+        init_params=None,
+        **kwargs,
+    ):
+        """Run warmup only; sets ``post_warmup_state``."""
+        self._warmup_state = None
+        if collect_warmup:
+            self._set_collection_params(0, self.num_warmup, phase="warmup")
+        else:
+            self._set_collection_params(
+                self.num_warmup, self.num_warmup, phase="warmup"
+            )
+        self.run(
+            rng_key, *args, extra_fields=extra_fields, init_params=init_params, **kwargs
+        )
+        self._warmup_state = self._last_state
+        self._set_collection_params()
+
+    def _single_chain_mcmc(
+        self, init, args, kwargs, collect_fields, remove_sites
+    ):
+        """Run one (possibly internally-batched) chain: init + fori_collect.
+
+        Traced under the configured matmul precision so every matmul in the
+        compiled sampler program (model likelihood, mass-matrix ops) uses it.
+        """
+        with jax.default_matmul_precision(self._matmul_precision):
+            return self._single_chain_mcmc_inner(
+                init, args, kwargs, collect_fields, remove_sites
+            )
+
+    def _single_chain_mcmc_inner(
+        self, init, args, kwargs, collect_fields, remove_sites
+    ):
+        rng_key, init_state, init_params = init
+        if init_state is None:
+            init_state = self.sampler.init(
+                rng_key,
+                self.num_warmup,
+                init_params,
+                model_args=args,
+                model_kwargs=kwargs,
+            )
+        sample_fn = partial(self.sampler.sample, model_args=args, model_kwargs=kwargs)
+        postprocess_fn = (
+            self.sampler.postprocess_fn(args, kwargs)
+            if self.postprocess_fn is None
+            else self.postprocess_fn
+        )
+
+        lower_idx = self._collection_params["lower"]
+        upper_idx = self._collection_params["upper"]
+        phase = self._collection_params["phase"]
+
+        collect_fn = _collect_fn(collect_fields, remove_sites)
+
+        collection, last_state = fori_collect(
+            lower_idx,
+            upper_idx,
+            sample_fn,
+            init_state,
+            transform=collect_fn,
+            progbar=self.progress_bar,
+            return_last_val=True,
+            thinning=self.thinning,
+            collection_size=None,
+            progbar_desc=lambda i: (
+                "warmup" if i < self.num_warmup else "sample"
+            ),
+            diagnostics_fn=(
+                self.sampler.get_diagnostics_str if self.progress_bar else None
+            ),
+        )
+        return collection, last_state, postprocess_fn
+
+    def run(self, rng_key, *args, extra_fields=(), init_params=None, **kwargs):
+        """Run warmup + sampling and collect fields (reference:
+        infer/mcmc.py:626-757)."""
+        init_state = self._warmup_state
+        if init_state is not None:
+            # resuming from a warmed-up state: no warmup steps to skip
+            self._set_collection_params(0, self.num_samples, phase="sample")
+        self._args = args
+        self._kwargs = kwargs
+
+        if is_prng_key(rng_key):
+            if self.num_chains > 1:
+                rng_key = random.split(rng_key, self.num_chains)
+        else:
+            assert rng_key.shape[0] == self.num_chains, (
+                "The batch dim of rng_key must equal num_chains"
+            )
+
+        # which fields to collect
+        collect_fields = tuple(
+            set(
+                (self._sample_field,)
+                + tuple(self._default_fields)
+                + tuple(extra_fields)
+            )
+        )
+        remove_sites = ()
+        # sort so sample_field is first
+        collect_fields = (self._sample_field,) + tuple(
+            sorted(f for f in collect_fields if f != self._sample_field)
+        )
+
+        if self.num_chains == 1:
+            states_flat, last_state, postprocess_fn = self._single_chain_mcmc(
+                (rng_key, init_state, init_params),
+                args,
+                kwargs,
+                collect_fields,
+                remove_sites,
+            )
+            states = jax.tree.map(lambda x: x[jnp.newaxis, ...], states_flat)
+        else:
+            if self.chain_method == "sequential":
+                chain_outputs = []
+                keys = rng_key
+                for i in range(self.num_chains):
+                    init_state_i = (
+                        jax.tree.map(lambda x: x[i], init_state)
+                        if init_state is not None
+                        else None
+                    )
+                    init_params_i = (
+                        jax.tree.map(lambda x: x[i], init_params)
+                        if init_params is not None
+                        else None
+                    )
+                    out = self._single_chain_mcmc(
+                        (keys[i], init_state_i, init_params_i),
+                        args,
+                        kwargs,
+                        collect_fields,
+                        remove_sites,
+                    )
+                    chain_outputs.append(out)
+                postprocess_fn = chain_outputs[0][2]
+                states = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[c[0] for c in chain_outputs]
+                )
+                last_state = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[c[1] for c in chain_outputs]
+                )
+                states_flat = jax.tree.map(
+                    lambda x: jnp.reshape(
+                        jnp.swapaxes(x, 0, 1), (-1,) + x.shape[2:]
+                    ),
+                    states,
+                )
+                self._last_state = last_state
+                self._states = states
+                self._states_flat = None
+                self._postprocess_states(states, postprocess_fn, collect_fields)
+                return
+            elif self.chain_method == "parallel":
+                # chain-massive SPMD: vectorized program + sharded chain axis.
+                # Keys are placed over the mesh axis "chains"; GSPMD then
+                # partitions every (C, ...) tensor in the program.
+                rng_key = self._shard_over_chains(rng_key)
+            elif callable(self.chain_method):
+                raise NotImplementedError(
+                    "custom chain_method callables: wrap sampler.sample yourself"
+                )
+            # vectorized (and parallel) path: batched keys through one program
+            states, last_state, postprocess_fn = self._single_chain_mcmc(
+                (rng_key, init_state, init_params),
+                args,
+                kwargs,
+                collect_fields,
+                remove_sites,
+            )
+            # collected shape: (num_samples_per_chain, num_chains, ...)
+            states = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), states)
+
+        self._last_state = last_state
+        self._states = states
+        self._states_flat = None
+        self._postprocess_states(states, postprocess_fn, collect_fields)
+
+    def _shard_over_chains(self, rng_key):
+        n_dev = local_device_count()
+        if n_dev <= 1:
+            return rng_key
+        if self.num_chains % n_dev != 0:
+            import warnings
+
+            warnings.warn(
+                f"num_chains={self.num_chains} is not divisible by device "
+                f"count {n_dev}; falling back to single-device vectorized.",
+                stacklevel=2,
+            )
+            return rng_key
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
+        sharding = NamedSharding(mesh, P("chains"))
+        return jax.device_put(rng_key, sharding)
+
+    def _postprocess_states(self, states, postprocess_fn, collect_fields):
+        """Constrain the sample field and recover deterministic sites —
+        vmapped over (chains, samples) in one program."""
+        # states: dict-like tuple aligned with collect_fields
+        if isinstance(states, tuple):
+            states_by_field = dict(zip(collect_fields, states))
+        else:
+            states_by_field = {collect_fields[0]: states}
+
+        site_values = states_by_field[self._sample_field]
+        if isinstance(site_values, dict) and postprocess_fn is not identity:
+            constrained = vmap(vmap(postprocess_fn))(site_values)
+            states_by_field[self._sample_field] = constrained
+
+        self._states = states_by_field
+        self._states_flat = jax.tree.map(
+            lambda x: jnp.reshape(x, (-1,) + jnp.shape(x)[2:]), states_by_field
+        )
+
+    def get_samples(self, group_by_chain=False):
+        """Posterior samples in constrained space."""
+        states = self._states if group_by_chain else self._states_flat
+        return states[self._sample_field]
+
+    def get_extra_fields(self, group_by_chain=False):
+        states = self._states if group_by_chain else self._states_flat
+        return {k: v for k, v in states.items() if k != self._sample_field}
+
+    def print_summary(self, prob=0.90, exclude_deterministic=True):
+        states = self._states[self._sample_field]
+        if isinstance(states, dict):
+            state_sample_field = states
+        else:
+            state_sample_field = {self._sample_field: states}
+        if isinstance(state_sample_field, dict):
+            samples = {
+                k: v
+                for k, v in state_sample_field.items()
+                if not k.startswith("_")
+            }
+        print_summary(samples, prob=prob)
+        extra_fields = self.get_extra_fields()
+        if "diverging" in extra_fields:
+            print(
+                "Number of divergences: {}".format(
+                    jnp.sum(extra_fields["diverging"])
+                )
+            )
+
+    def transfer_states_to_host(self):
+        """Move collected states to host memory (frees HBM)."""
+        self._states = jax.device_get(self._states)
+        self._states_flat = jax.device_get(self._states_flat)
+        self._last_state = jax.device_get(self._last_state)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_cache"] = {}
+        return state

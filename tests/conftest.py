@@ -1,0 +1,35 @@
+"""Test configuration — mirrors the reference strategy (test/conftest.py):
+force CPU with 8 virtual devices (so multi-device sharding paths are
+exercised without TPU hardware), fixed seeds per test.
+
+NB: pytest plugins (flax/chex) may import jax before this file runs, so the
+env vars alone are not enough — we also set the config keys, which work any
+time before first backend initialization.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from numpyro_tpu.util import set_rng_seed  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; got " + repr(jax.devices())
+)
+
+
+@pytest.fixture(autouse=True)
+def _seed_rngs():
+    set_rng_seed(0)
+    yield

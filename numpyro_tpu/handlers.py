@@ -53,7 +53,7 @@ class trace(Messenger):
         return self.trace
 
     def postprocess_message(self, msg):
-        if msg["type"] == "inspect":
+        if msg["type"] == "inspect" or msg.get("name") is None:
             return
         assert not (
             msg["type"] in ("sample", "deterministic") and msg["name"] in self.trace
@@ -80,8 +80,8 @@ class replay(Messenger):
             if msg["type"] == "sample":
                 if guide_msg["type"] != "sample":
                     raise RuntimeError(f"site {name} must be sample in trace")
+                # NB: intermediates belong to the guide's fn, not the model's
                 msg["value"] = guide_msg["value"]
-                msg["intermediates"] = guide_msg["intermediates"]
             else:
                 if guide_msg["type"] != "param":
                     raise RuntimeError(f"site {name} must be param in trace")
@@ -260,11 +260,12 @@ class reparam(Messenger):
                 msg["is_observed"] = True
             msg["value"] = value
         if new_fn is None:
-            # the reparameterizer consumed the site entirely
-            msg["stop"] = True
+            # the reparameterizer consumed the site entirely: it becomes a
+            # deterministic record of the recomposed value
             msg["type"] = "deterministic"
-            for key in ("fn", "intermediates", "is_observed"):
-                msg.pop(key, None)
+            for key in list(msg.keys()):
+                if key not in ("type", "name", "value", "cond_indep_stack"):
+                    del msg[key]
         else:
             msg["fn"] = new_fn
 

@@ -12,8 +12,16 @@ from numpyro_tpu.infer.initialization import (
     init_to_uniform,
     init_to_value,
 )
+from numpyro_tpu.infer import autoguide, reparam
+from numpyro_tpu.infer.elbo import (
+    ELBO,
+    RenyiELBO,
+    Trace_ELBO,
+    TraceMeanField_ELBO,
+)
 from numpyro_tpu.infer.hmc import HMC, NUTS
 from numpyro_tpu.infer.mcmc import MCMC, MCMCKernel
+from numpyro_tpu.infer.svi import SVI, SVIRunResult, SVIState
 from numpyro_tpu.infer.util import (
     Predictive,
     constrain_fn,
@@ -28,10 +36,19 @@ from numpyro_tpu.infer.util import (
 )
 
 __all__ = [
+    "autoguide",
+    "ELBO",
     "HMC",
     "MCMC",
     "MCMCKernel",
     "NUTS",
+    "RenyiELBO",
+    "reparam",
+    "SVI",
+    "SVIRunResult",
+    "SVIState",
+    "Trace_ELBO",
+    "TraceMeanField_ELBO",
     "Predictive",
     "constrain_fn",
     "find_valid_initial_params",

@@ -1,0 +1,801 @@
+"""Automatic guide generation for SVI/ADVI.
+
+Fresh implementation of the autoguide family of numpyro/infer/autoguide.py:
+AutoNormal, AutoDelta, AutoContinuous (packed-latent base), AutoDiagonalNormal,
+AutoMultivariateNormal, AutoLowRankMultivariateNormal, AutoLaplaceApproximation,
+AutoGuideList.
+
+Chain/particle-massive note: every guide's ``sample_posterior`` vmaps over a
+sample axis inside one program; the packed latent of AutoContinuous is a flat
+(D,) vector so ELBO particles batch as (P, D) matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import warnings
+from abc import ABC, abstractmethod
+from contextlib import ExitStack
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import grad, hessian, random, vmap
+from jax.flatten_util import ravel_pytree
+
+import numpyro_tpu
+import numpyro_tpu.distributions as dist
+from numpyro_tpu import handlers
+from numpyro_tpu.distributions import constraints
+from numpyro_tpu.distributions.transforms import (
+    AffineTransform,
+    ComposeTransform,
+    IndependentTransform,
+    LowerCholeskyAffine,
+    biject_to,
+)
+from numpyro_tpu.distributions.util import sum_rightmost
+from numpyro_tpu.infer.initialization import init_to_median, init_to_uniform
+from numpyro_tpu.infer import util as infer_util
+from numpyro_tpu.util import find_stack_level, not_jax_tracer
+
+__all__ = [
+    "AutoContinuous",
+    "AutoDelta",
+    "AutoDiagonalNormal",
+    "AutoGuide",
+    "AutoGuideList",
+    "AutoLaplaceApproximation",
+    "AutoLowRankMultivariateNormal",
+    "AutoMultivariateNormal",
+    "AutoNormal",
+]
+
+
+class AutoGuide(ABC):
+    """Base: traces the model once (prototype), recreates its plates, and
+    generates guide sample statements (reference: autoguide.py:73-223)."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        create_plates=None,
+    ):
+        self.model = model
+        self.prefix = prefix
+        self.init_loc_fn = init_loc_fn
+        self.create_plates = create_plates
+        self.prototype_trace = None
+        self._prototype_frames = {}
+        self._prototype_frame_full_sizes = {}
+
+    def _create_plates(self, *args, **kwargs):
+        if self.create_plates is None:
+            self.plates = {}
+        else:
+            plates = self.create_plates(*args, **kwargs)
+            if isinstance(plates, numpyro_tpu.plate):
+                plates = [plates]
+            assert all(
+                isinstance(p, numpyro_tpu.plate) for p in plates
+            ), "create_plates() returned a non-plate"
+            self.plates = {p.name: p for p in plates}
+        for name, frame in sorted(self._prototype_frames.items()):
+            if name not in self.plates:
+                full_size = self._prototype_frame_full_sizes[name]
+                self.plates[name] = numpyro_tpu.plate(
+                    name, full_size, dim=frame.dim,
+                    subsample_size=frame.subsample_size if frame.subsample_size != full_size else None,
+                )
+        return self.plates
+
+    @abstractmethod
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError
+
+    @abstractmethod
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        raise NotImplementedError
+
+    def _setup_prototype(self, *args, **kwargs):
+        rng_key = numpyro_tpu.prng_key()
+        if rng_key is None:
+            rng_key = random.PRNGKey(0)
+        with handlers.block():
+            (
+                init_params,
+                self._potential_fn,
+                postprocess_fn,
+                self.prototype_trace,
+            ) = infer_util.initialize_model(
+                rng_key,
+                self.model,
+                init_strategy=self.init_loc_fn,
+                dynamic_args=False,
+                model_args=args,
+                model_kwargs=kwargs,
+                validate_grad=False,
+            )
+        self._init_locs = init_params[0]
+
+        self._prototype_frames = {}
+        self._prototype_plate_sizes = {}
+        self._prototype_frame_full_sizes = {}
+        for name, site in self.prototype_trace.items():
+            if site["type"] == "sample":
+                if not site["is_observed"] and site["fn"].support.is_discrete:
+                    warnings.warn(
+                        f"Model has discrete latent site {name}; autoguides "
+                        "marginalize nothing — consider DiscreteHMCGibbs or "
+                        "TraceEnum-style inference.",
+                        stacklevel=2,
+                    )
+                for frame in site["cond_indep_stack"]:
+                    self._prototype_frames[frame.name] = frame
+                    self._prototype_frame_full_sizes[frame.name] = frame.size
+            elif site["type"] == "plate":
+                self._prototype_frame_full_sizes[name] = site["args"][0]
+
+    def median(self, params):
+        raise NotImplementedError
+
+    def quantiles(self, params, quantiles):
+        raise NotImplementedError
+
+
+class AutoGuideList(AutoGuide):
+    """Container composing several part-guides over disjoint site sets
+    (reference: autoguide.py:226)."""
+
+    def __init__(self, model, *, prefix="auto", create_plates=None):
+        self._guides = []
+        super().__init__(model, prefix=prefix, create_plates=create_plates)
+
+    def append(self, part):
+        self._guides.append(part)
+
+    def __call__(self, *args, **kwargs):
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+        result = {}
+        for part in self._guides:
+            result.update(part(*args, **kwargs))
+        return result
+
+    def __getitem__(self, key):
+        return self._guides[key]
+
+    def __len__(self):
+        return len(self._guides)
+
+    def __iter__(self):
+        yield from self._guides
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        result = {}
+        for part in self._guides:
+            rng_key, key = random.split(rng_key)
+            result.update(
+                part.sample_posterior(
+                    key, params, *args, sample_shape=sample_shape, **kwargs
+                )
+            )
+        return result
+
+    def median(self, params):
+        result = {}
+        for part in self._guides:
+            result.update(part.median(params))
+        return result
+
+    def quantiles(self, params, quantiles):
+        result = {}
+        for part in self._guides:
+            result.update(part.quantiles(params, quantiles))
+        return result
+
+
+class AutoNormal(AutoGuide):
+    """Per-site mean-field Normal in unconstrained space (reference:
+    autoguide.py:342)."""
+
+    scale_constraint = constraints.softplus_positive
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        create_plates=None,
+    ):
+        self._init_scale = init_scale
+        self._event_dims = {}
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        for name, site in self.prototype_trace.items():
+            if (
+                site["type"] != "sample"
+                or site["is_observed"]
+                or site["fn"].support.is_discrete
+            ):
+                continue
+            event_dim = (
+                site["fn"].event_dim
+                + jnp.ndim(self._init_locs[name])
+                - jnp.ndim(site["value"])
+            )
+            self._event_dims[name] = event_dim
+
+    def __call__(self, *args, **kwargs):
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+
+        plates = self._create_plates(*args, **kwargs)
+        result = {}
+        for name, site in self.prototype_trace.items():
+            if (
+                site["type"] != "sample"
+                or site["is_observed"]
+                or site["fn"].support.is_discrete
+            ):
+                continue
+            event_dim = self._event_dims[name]
+            init_loc = self._init_locs[name]
+            with ExitStack() as stack:
+                for frame in site["cond_indep_stack"]:
+                    stack.enter_context(plates[frame.name])
+
+                site_loc = numpyro_tpu.param(
+                    f"{self.prefix}_{name}_loc", init_loc, event_dim=event_dim
+                )
+                site_scale = numpyro_tpu.param(
+                    f"{self.prefix}_{name}_scale",
+                    jnp.full(jnp.shape(init_loc), self._init_scale),
+                    constraint=self.scale_constraint,
+                    event_dim=event_dim,
+                )
+
+                site_fn = dist.Normal(site_loc, site_scale).to_event(event_dim)
+                if site["fn"].support is constraints.real or (
+                    isinstance(site["fn"].support, constraints.independent)
+                    and isinstance(
+                        site["fn"].support.base_constraint, type(constraints.real)
+                    )
+                ):
+                    result[name] = numpyro_tpu.sample(name, site_fn)
+                else:
+                    with handlers.block():
+                        transform = biject_to(site["fn"].support)
+                    guide_dist = dist.TransformedDistribution(site_fn, transform)
+                    result[name] = numpyro_tpu.sample(name, guide_dist)
+        return result
+
+    def _constrain(self, latent_samples):
+        name = list(latent_samples)[0]
+        sample_shape = jnp.shape(latent_samples[name])[
+            : jnp.ndim(latent_samples[name]) - jnp.ndim(self._init_locs[name])
+        ]
+        if sample_shape:
+            flat = {
+                k: v.reshape((-1,) + jnp.shape(self._init_locs[k]))
+                for k, v in latent_samples.items()
+            }
+            contrained_samples = vmap(self._postprocess_fn)(flat)
+            return {
+                k: v.reshape(sample_shape + jnp.shape(v)[1:])
+                for k, v in contrained_samples.items()
+            }
+        return self._postprocess_fn(latent_samples)
+
+    def _postprocess_fn(self, latent):
+        def substitute_fn(site):
+            if site["name"] in latent:
+                with handlers.block():
+                    return biject_to(site["fn"].support)(latent[site["name"]])
+
+        # transform via site supports
+        out = {}
+        for name, value in latent.items():
+            site = self.prototype_trace[name]
+            with handlers.block():
+                out[name] = biject_to(site["fn"].support)(value)
+        return out
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        locs = {
+            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+        }
+        scales = {
+            name: params[f"{self.prefix}_{name}_scale"] for name in self._init_locs
+        }
+        with handlers.seed(rng_seed=rng_key):
+            latent_samples = {}
+            for name in locs:
+                latent_samples[name] = numpyro_tpu.sample(
+                    name + "_latent",
+                    dist.Normal(locs[name], scales[name]).to_event(
+                        self._event_dims[name]
+                    ),
+                    sample_shape=sample_shape,
+                )
+        return self._constrain(latent_samples)
+
+    def median(self, params):
+        locs = {
+            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+        }
+        return self._postprocess_fn(locs)
+
+    def quantiles(self, params, quantiles):
+        quantiles = jnp.array(quantiles)
+        out = {}
+        for name in self._init_locs:
+            loc = params[f"{self.prefix}_{name}_loc"]
+            scale = params[f"{self.prefix}_{name}_scale"]
+            latent = dist.Normal(loc, scale).icdf(
+                quantiles.reshape((-1,) + (1,) * jnp.ndim(loc))
+            )
+            site = self.prototype_trace[name]
+            with handlers.block():
+                out[name] = biject_to(site["fn"].support)(latent)
+        return out
+
+
+class AutoDelta(AutoGuide):
+    """MAP guide: Delta distributions at learned locations (reference:
+    autoguide.py:498)."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_median,
+        create_plates=None,
+    ):
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        with handlers.block():
+            self._init_locs = {
+                k: v
+                for k, v in self._postprocess_fn(self._init_locs).items()
+                if k in self._init_locs
+            }
+        self._event_dims = {}
+        for name, site in self.prototype_trace.items():
+            if (
+                site["type"] != "sample"
+                or site["is_observed"]
+                or site["fn"].support.is_discrete
+            ):
+                continue
+            self._event_dims[name] = site["fn"].event_dim
+
+    def _postprocess_fn(self, latent):
+        out = {}
+        for name, value in latent.items():
+            site = self.prototype_trace[name]
+            with handlers.block():
+                out[name] = biject_to(site["fn"].support)(value)
+        return out
+
+    def __call__(self, *args, **kwargs):
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+
+        plates = self._create_plates(*args, **kwargs)
+        result = {}
+        for name, site in self.prototype_trace.items():
+            if (
+                site["type"] != "sample"
+                or site["is_observed"]
+                or site["fn"].support.is_discrete
+            ):
+                continue
+            event_dim = self._event_dims[name]
+            init_loc = self._init_locs[name]
+            with ExitStack() as stack:
+                for frame in site["cond_indep_stack"]:
+                    stack.enter_context(plates[frame.name])
+                site_loc = numpyro_tpu.param(
+                    f"{self.prefix}_{name}_loc",
+                    init_loc,
+                    constraint=site["fn"].support,
+                    event_dim=event_dim,
+                )
+                result[name] = numpyro_tpu.sample(
+                    name, dist.Delta(site_loc, event_dim=event_dim)
+                )
+        return result
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        locs = {
+            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+        }
+        latent_samples = {
+            k: jnp.broadcast_to(v, sample_shape + jnp.shape(v))
+            for k, v in locs.items()
+        }
+        return latent_samples
+
+    def median(self, params):
+        return {
+            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+        }
+
+
+class AutoContinuous(AutoGuide):
+    """Base for guides over a single packed unconstrained latent vector
+    (reference: autoguide.py:642).  The packed layout is what makes ELBO
+    particles MXU-friendly: (P, D) batched matmuls against guide params."""
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        self._init_latent, unpack_latent = ravel_pytree(self._init_locs)
+        # this is to match the behavior of Pyro, where we can apply
+        # unpack_latent for a batch of samples
+        self._unpack_latent = UnpackTransform(unpack_latent)
+        self.latent_dim = jnp.size(self._init_latent)
+        if self.latent_dim == 0:
+            raise RuntimeError(
+                f"{type(self).__name__} found no latent variables; "
+                "Use an empty guide instead."
+            )
+
+    @abstractmethod
+    def _get_posterior(self):
+        raise NotImplementedError
+
+    def _sample_latent(self, *args, **kwargs):
+        sample_shape = kwargs.pop("sample_shape", ())
+        posterior = self._get_posterior()
+        return numpyro_tpu.sample(
+            "_auto_latent", posterior.mask(False), sample_shape=sample_shape
+        )
+
+    def __call__(self, *args, **kwargs):
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+
+        latent = self._sample_latent(*args, **kwargs)
+
+        # unpack into constrained sites, with explicit density correction
+        result = {}
+        for name, unconstrained_value in self._unpack_latent(latent).items():
+            site = self.prototype_trace[name]
+            with handlers.block():
+                transform = biject_to(site["fn"].support)
+            value = transform(unconstrained_value)
+            event_ndim = site["fn"].event_dim
+            if numpyro_tpu.get_mask() is False:
+                log_density = 0.0
+            else:
+                log_density = -transform.log_abs_det_jacobian(
+                    unconstrained_value, value
+                )
+                log_density = sum_rightmost(
+                    log_density, jnp.ndim(log_density) - jnp.ndim(value) + event_ndim
+                )
+            delta_dist = dist.Delta(
+                value, log_density=log_density, event_dim=event_ndim
+            )
+            result[name] = numpyro_tpu.sample(name, delta_dist)
+
+        return result
+
+    def _unpack_and_constrain(self, latent_sample, params):
+        def unpack_single_latent(latent):
+            unpacked_samples = self._unpack_latent(latent)
+            out = {}
+            for name, value in unpacked_samples.items():
+                site = self.prototype_trace[name]
+                with handlers.block():
+                    out[name] = biject_to(site["fn"].support)(value)
+            return out
+
+        sample_shape = jnp.shape(latent_sample)[:-1]
+        if sample_shape:
+            latent_sample = jnp.reshape(
+                latent_sample, (-1, jnp.shape(latent_sample)[-1])
+            )
+            unpacked_samples = vmap(unpack_single_latent)(latent_sample)
+            return {
+                k: jnp.reshape(v, sample_shape + jnp.shape(v)[1:])
+                for k, v in unpacked_samples.items()
+            }
+        return unpack_single_latent(latent_sample)
+
+    def get_base_dist(self):
+        """The (fixed) base distribution of the learned transport."""
+        raise NotImplementedError
+
+    def get_transform(self, params):
+        """Bijection from base to posterior (for NeuTra)."""
+        raise NotImplementedError
+
+    def get_posterior(self, params):
+        raise NotImplementedError
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        latent_sample = handlers.substitute(
+            handlers.seed(self._sample_latent, rng_key), params
+        )(sample_shape=sample_shape)
+        return self._unpack_and_constrain(latent_sample, params)
+
+    def median(self, params):
+        raise NotImplementedError
+
+    def quantiles(self, params, quantiles):
+        raise NotImplementedError
+
+
+class UnpackTransform:
+    """Callable wrapping a ravel_pytree unpack fn, usable under vmap."""
+
+    def __init__(self, unpack_fn):
+        self.unpack_fn = unpack_fn
+
+    def __call__(self, x):
+        batch_shape = x.shape[:-1]
+        if batch_shape:
+            unpacked = vmap(self.unpack_fn)(x.reshape((-1,) + x.shape[-1:]))
+            return jax.tree.map(
+                lambda y: jnp.reshape(y, batch_shape + y.shape[1:]), unpacked
+            )
+        return self.unpack_fn(x)
+
+
+class AutoDiagonalNormal(AutoContinuous):
+    """Diagonal Normal over the packed latent — classic ADVI (reference:
+    autoguide.py:1725)."""
+
+    scale_constraint = constraints.softplus_positive
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        create_plates=None,
+    ):
+        if init_scale <= 0:
+            raise ValueError("Expected init_scale > 0.")
+        self._init_scale = init_scale
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _get_posterior(self):
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        scale = numpyro_tpu.param(
+            f"{self.prefix}_scale",
+            jnp.full(self.latent_dim, self._init_scale),
+            constraint=self.scale_constraint,
+        )
+        return dist.Normal(loc, scale).to_event(1)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+
+    def get_transform(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        scale = params[f"{self.prefix}_scale"]
+        return IndependentTransform(AffineTransform(loc, scale), 1)
+
+    def get_posterior(self, params):
+        return dist.Normal(
+            params[f"{self.prefix}_loc"], params[f"{self.prefix}_scale"]
+        ).to_event(1)
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        return self._unpack_and_constrain(loc, params)
+
+    def quantiles(self, params, quantiles):
+        quantiles = jnp.array(quantiles)[..., None]
+        latent = self.get_posterior(params).base_dist.icdf(quantiles)
+        return self._unpack_and_constrain(latent, params)
+
+
+class AutoMultivariateNormal(AutoContinuous):
+    """Full-covariance MVN (reference: autoguide.py:1786)."""
+
+    scale_tril_constraint = constraints.scaled_unit_lower_cholesky
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        create_plates=None,
+    ):
+        if init_scale <= 0:
+            raise ValueError("Expected init_scale > 0.")
+        self._init_scale = init_scale
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _get_posterior(self):
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        scale_tril = numpyro_tpu.param(
+            f"{self.prefix}_scale_tril",
+            jnp.identity(self.latent_dim) * self._init_scale,
+            constraint=self.scale_tril_constraint,
+        )
+        return dist.MultivariateNormal(loc, scale_tril=scale_tril)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+
+    def get_transform(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        scale_tril = params[f"{self.prefix}_scale_tril"]
+        return LowerCholeskyAffine(loc, scale_tril)
+
+    def get_posterior(self, params):
+        return dist.MultivariateNormal(
+            params[f"{self.prefix}_loc"],
+            scale_tril=params[f"{self.prefix}_scale_tril"],
+        )
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        return self._unpack_and_constrain(loc, params)
+
+    def quantiles(self, params, quantiles):
+        quantiles = jnp.array(quantiles)[..., None]
+        loc = params[f"{self.prefix}_loc"]
+        scale = jnp.linalg.norm(params[f"{self.prefix}_scale_tril"], axis=-1)
+        latent = dist.Normal(loc, scale).icdf(quantiles)
+        return self._unpack_and_constrain(latent, params)
+
+
+class AutoLowRankMultivariateNormal(AutoContinuous):
+    """Low-rank-plus-diagonal MVN (reference: autoguide.py:1962)."""
+
+    scale_constraint = constraints.softplus_positive
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        rank=None,
+        create_plates=None,
+    ):
+        if init_scale <= 0:
+            raise ValueError("Expected init_scale > 0.")
+        self._init_scale = init_scale
+        self.rank = rank
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _get_posterior(self, *args, **kwargs):
+        rank = int(round(self.latent_dim**0.5)) if self.rank is None else self.rank
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        cov_factor = numpyro_tpu.param(
+            f"{self.prefix}_cov_factor", jnp.zeros((self.latent_dim, rank))
+        )
+        scale = numpyro_tpu.param(
+            f"{self.prefix}_scale",
+            jnp.full(self.latent_dim, self._init_scale),
+            constraint=self.scale_constraint,
+        )
+        cov_diag = scale * scale
+        cov_factor = cov_factor * scale[..., None]
+        return dist.LowRankMultivariateNormal(loc, cov_factor, cov_diag)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+
+    def get_posterior(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        cov_factor = params[f"{self.prefix}_cov_factor"]
+        scale = params[f"{self.prefix}_scale"]
+        return dist.LowRankMultivariateNormal(
+            loc, cov_factor * scale[..., None], scale * scale
+        )
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        return self._unpack_and_constrain(loc, params)
+
+    def quantiles(self, params, quantiles):
+        quantiles = jnp.array(quantiles)[..., None]
+        posterior = self.get_posterior(params)
+        latent = dist.Normal(
+            posterior.loc, jnp.sqrt(posterior.variance)
+        ).icdf(quantiles)
+        return self._unpack_and_constrain(latent, params)
+
+
+class AutoLaplaceApproximation(AutoContinuous):
+    """Delta-fit then Gaussian at the MAP with covariance from the Hessian
+    of the negative log joint (reference: autoguide.py:2099)."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        create_plates=None,
+        hessian_fn=None,
+    ):
+        self._hessian_fn = (
+            hessian_fn if hessian_fn is not None else (lambda f, x: hessian(f)(x))
+        )
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        self._args = args
+        self._kwargs = kwargs
+
+    def _get_posterior(self, *args, **kwargs):
+        # sample from Delta guide centered at the MAP estimate
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        return dist.Delta(loc, event_dim=1)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+
+    def _loss_fn(self, z):
+        params = self._unpack_latent(z)
+        return self._potential_fn(params)
+
+    def get_posterior(self, params):
+        """Gaussian posterior using the Hessian at the fitted loc."""
+        loc = params[f"{self.prefix}_loc"]
+        precision = self._hessian_fn(self._loss_fn, loc)
+        scale_tril = jnp.linalg.cholesky(jnp.linalg.inv(precision))
+        if not_jax_tracer(scale_tril):
+            if np.any(np.isnan(np.asarray(scale_tril))):
+                warnings.warn(
+                    "Hessian of log posterior at the MAP point is singular. "
+                    "Posterior samples from AutoLaplaceApproximation will be "
+                    "constant (equal to the MAP point).",
+                    stacklevel=find_stack_level(),
+                )
+        scale_tril = jnp.where(jnp.isnan(scale_tril), 0.0, scale_tril)
+        return dist.MultivariateNormal(loc, scale_tril=scale_tril)
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        latent_sample = self.get_posterior(params).sample(rng_key, sample_shape)
+        return self._unpack_and_constrain(latent_sample, params)
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"]
+        return self._unpack_and_constrain(loc, params)
+
+    def quantiles(self, params, quantiles):
+        quantiles = jnp.array(quantiles)[..., None]
+        posterior = self.get_posterior(params)
+        latent = dist.Normal(
+            posterior.loc, jnp.sqrt(posterior.variance)
+        ).icdf(quantiles)
+        return self._unpack_and_constrain(latent, params)

@@ -1,0 +1,17 @@
+"""numpyro_tpu.parallel — device-mesh utilities for chain-massive inference."""
+
+from numpyro_tpu.parallel.mesh import (
+    chain_data_mesh,
+    chain_mesh,
+    cross_chain_diagnostics,
+    shard_chain_state,
+    shard_data,
+)
+
+__all__ = [
+    "chain_data_mesh",
+    "chain_mesh",
+    "cross_chain_diagnostics",
+    "shard_chain_state",
+    "shard_data",
+]

@@ -15,7 +15,14 @@ from .discrete import BinomialProbs, MultinomialProbs, Poisson
 from .distribution import Distribution
 from .util import promote_shapes, validate_sample
 
-__all__ = ["BetaBinomial", "DirichletMultinomial", "GammaPoisson", "NegativeBinomialProbs"]
+__all__ = [
+    "BetaBinomial",
+    "DirichletMultinomial",
+    "GammaPoisson",
+    "NegativeBinomial",
+    "NegativeBinomialProbs",
+    "NegativeBinomialLogits",
+]
 
 
 class BetaBinomial(Distribution):
@@ -191,7 +198,61 @@ class GammaPoisson(Distribution):
         return sps.betainc(self.concentration, value + 1, p)
 
 
-def NegativeBinomialProbs(total_count, probs, *, validate_args=None):
-    return GammaPoisson(
-        total_count, (1 - probs) / probs, validate_args=validate_args
-    )
+class NegativeBinomialProbs(GammaPoisson):
+    """Negative binomial (success-probability parameterization) as a
+    Gamma-Poisson mixture (reference: numpyro/distributions/conjugate.py:240)."""
+
+    arg_constraints = {
+        "total_count": constraints.positive,
+        "probs": constraints.unit_interval,
+    }
+    support = constraints.nonnegative_integer
+
+    def __init__(self, total_count, probs, *, validate_args=None):
+        self.total_count, self.probs = promote_shapes(total_count, probs)
+        super().__init__(
+            total_count, 1.0 / probs - 1.0, validate_args=validate_args
+        )
+
+
+class NegativeBinomialLogits(GammaPoisson):
+    """Negative binomial (logits parameterization)
+    (reference: numpyro/distributions/conjugate.py:254)."""
+
+    arg_constraints = {
+        "total_count": constraints.positive,
+        "logits": constraints.real,
+    }
+    support = constraints.nonnegative_integer
+
+    def __init__(self, total_count, logits, *, validate_args=None):
+        self.total_count, self.logits = promote_shapes(total_count, logits)
+        super().__init__(
+            total_count, jnp.exp(-logits), validate_args=validate_args
+        )
+
+    @validate_sample
+    def log_prob(self, value):
+        from jax.nn import softplus
+
+        total_count = self.total_count
+        log_beta = (
+            gammaln(total_count)
+            + gammaln(value + 1.0)
+            - gammaln(total_count + value + 1.0)
+        )
+        return -(
+            total_count * softplus(self.logits)
+            + value * softplus(-self.logits)
+            + log_beta
+            + jnp.log(total_count + value)
+        )
+
+
+def NegativeBinomial(total_count, probs=None, logits=None, *, validate_args=None):
+    if probs is not None:
+        return NegativeBinomialProbs(total_count, probs, validate_args=validate_args)
+    elif logits is not None:
+        return NegativeBinomialLogits(total_count, logits, validate_args=validate_args)
+    else:
+        raise ValueError("One of `probs` or `logits` must be specified.")

@@ -545,12 +545,63 @@ class _ZeroSum(Constraint):
         return f"zero_sum({self._event_dim})"
 
 
+class dependent_property(property):
+    """Decorator marking an instance-level ``support`` whose constraint
+    depends on distribution parameters (reference:
+    numpyro/distributions/constraints.py dependent_property).  Usable bare
+    (``@dependent_property``) or parameterized
+    (``@dependent_property(is_discrete=..., event_dim=...)``)."""
+
+    def __init__(self, fn=None, *, is_discrete=False, event_dim=0):
+        super().__init__(fn)
+        self._is_discrete = is_discrete
+        self._event_dim = event_dim
+
+    def __call__(self, fn):
+        if not callable(fn):
+            raise ValueError("@dependent_property expects a callable")
+        return dependent_property(
+            fn, is_discrete=self._is_discrete, event_dim=self._event_dim
+        )
+
+
+class _Complex(Constraint):
+    """Unconstrained complex values (codomain of FFT transforms)."""
+
+    def __call__(self, x):
+        return (x == x) | jnp.iscomplexobj(x)
+
+    def feasible_like(self, prototype):
+        return jnp.zeros_like(prototype)
+
+    def __repr__(self):
+        return "complex"
+
+
+class _PositiveDefiniteCirculantVector(Constraint):
+    """First row of a positive-definite circulant matrix: its real FFT
+    (the matrix eigenvalues) must be strictly positive."""
+
+    event_dim = 1
+
+    def __call__(self, x):
+        rfft = jnp.fft.rfft(x).real
+        return (rfft > 0).all(-1)
+
+    def feasible_like(self, prototype):
+        return jnp.zeros_like(prototype).at[..., 0].set(1.0)
+
+    def __repr__(self):
+        return "positive_definite_circulant_vector"
+
+
 # ---------------------------------------------------------------------------
 # Public singletons / factories
 # ---------------------------------------------------------------------------
 
 boolean = _Boolean()
 circular = _Circular()
+complex = _Complex()
 corr_cholesky = _CorrCholesky()
 corr_matrix = _CorrMatrix()
 dependent = _Dependent()
@@ -572,6 +623,7 @@ open_interval = _OpenInterval
 ordered_vector = _OrderedVector()
 positive = _GreaterThan(0.0)
 positive_definite = _PositiveDefinite()
+positive_definite_circulant_vector = _PositiveDefiniteCirculantVector()
 positive_semidefinite = _PositiveSemiDefinite()
 positive_integer = _IntegerGreaterThan(1)
 positive_ordered_vector = _PositiveOrderedVector()

@@ -820,3 +820,106 @@ class ZeroInflatedPoisson(Distribution):
     @property
     def variance(self):
         return (1 - self.gate) * self.rate * (1 + self.rate * self.gate)
+
+
+class ZeroInflatedProbs(Distribution):
+    """Mix a point mass at zero (probability ``gate``) into any discrete
+    scalar-event base distribution
+    (reference: numpyro/distributions/discrete.py:758)."""
+
+    arg_constraints = {"gate": constraints.unit_interval}
+    pytree_data_fields = ("base_dist", "gate")
+
+    def __init__(self, base_dist, gate, *, validate_args=None):
+        batch_shape = lax.broadcast_shapes(jnp.shape(gate), base_dist.batch_shape)
+        (self.gate,) = promote_shapes(gate, shape=batch_shape)
+        assert base_dist.support.is_discrete
+        if base_dist.event_shape:
+            raise ValueError(
+                "ZeroInflatedProbs expected empty base_dist.event_shape "
+                f"but got {base_dist.event_shape}"
+            )
+        self.base_dist = base_dist.expand(batch_shape)
+        super().__init__(batch_shape, validate_args=validate_args)
+
+    def sample(self, key, sample_shape=()):
+        key_bern, key_base = random.split(key)
+        shape = sample_shape + self.batch_shape
+        mask = random.bernoulli(key_bern, self.gate, shape)
+        samples = self.base_dist.sample(key_base, sample_shape=sample_shape)
+        return jnp.where(mask, 0, samples)
+
+    @validate_sample
+    def log_prob(self, value):
+        log_prob = jnp.log1p(-self.gate) + self.base_dist.log_prob(value)
+        return jnp.where(
+            value == 0, jnp.log(self.gate + jnp.exp(log_prob)), log_prob
+        )
+
+    @constraints.dependent_property(is_discrete=True, event_dim=0)
+    def support(self):
+        return self.base_dist.support
+
+    @lazy_property
+    def mean(self):
+        return (1 - self.gate) * self.base_dist.mean
+
+    @lazy_property
+    def variance(self):
+        return (1 - self.gate) * (
+            self.base_dist.mean**2 + self.base_dist.variance
+        ) - self.mean**2
+
+    @property
+    def has_enumerate_support(self):
+        return self.base_dist.has_enumerate_support
+
+    def enumerate_support(self, expand=True):
+        return self.base_dist.enumerate_support(expand=expand)
+
+
+class ZeroInflatedLogits(ZeroInflatedProbs):
+    """ZeroInflatedProbs with the gate given as logits, evaluated stably in
+    log space (reference: numpyro/distributions/discrete.py:814)."""
+
+    arg_constraints = {"gate_logits": constraints.real}
+
+    def __init__(self, base_dist, gate_logits, *, validate_args=None):
+        gate = _to_probs_bernoulli(gate_logits)
+        batch_shape = lax.broadcast_shapes(
+            jnp.shape(gate), base_dist.batch_shape
+        )
+        (self.gate_logits,) = promote_shapes(gate_logits, shape=batch_shape)
+        super().__init__(base_dist, gate, validate_args=validate_args)
+
+    @validate_sample
+    def log_prob(self, value):
+        log_prob_minus_log_gate = -self.gate_logits + self.base_dist.log_prob(value)
+        log_gate = -softplus(-self.gate_logits)
+        log_prob = log_prob_minus_log_gate + log_gate
+        zero_log_prob = softplus(log_prob_minus_log_gate) + log_gate
+        return jnp.where(value == 0, zero_log_prob, log_prob)
+
+
+def ZeroInflatedDistribution(
+    base_dist, *, gate=None, gate_logits=None, validate_args=None
+):
+    """Generic zero-inflated wrapper
+    (reference: numpyro/distributions/discrete.py:832)."""
+    from .util import assert_one_of
+
+    assert_one_of(gate=gate, gate_logits=gate_logits)
+    if gate is not None:
+        return ZeroInflatedProbs(base_dist, gate, validate_args=validate_args)
+    return ZeroInflatedLogits(base_dist, gate_logits, validate_args=validate_args)
+
+
+def ZeroInflatedNegativeBinomial2(
+    mean, concentration, *, gate=None, gate_logits=None, validate_args=None
+):
+    return ZeroInflatedDistribution(
+        NegativeBinomial2(mean, concentration, validate_args=validate_args),
+        gate=gate,
+        gate_logits=gate_logits,
+        validate_args=validate_args,
+    )

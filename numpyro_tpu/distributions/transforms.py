@@ -28,6 +28,7 @@ __all__ = [
     "AbsTransform",
     "AffineTransform",
     "CholeskyTransform",
+    "ComplexTransform",
     "ComposeTransform",
     "CorrCholeskyTransform",
     "CorrMatrixCholeskyTransform",
@@ -38,8 +39,11 @@ __all__ = [
     "LowerCholeskyTransform",
     "LowerCholeskyAffine",
     "OrderedTransform",
+    "PackRealFastFourierCoefficientsTransform",
     "PermuteTransform",
     "PowerTransform",
+    "RealFastFourierTransform",
+    "RecursiveLinearTransform",
     "ReshapeTransform",
     "ScaledUnitLowerCholeskyTransform",
     "SigmoidTransform",
@@ -1166,3 +1170,194 @@ def _transform_to_l1_ball(constraint):
 @biject_to.register(constraints.zero_sum)
 def _transform_to_zero_sum(constraint):
     return ZeroSumTransform(constraint.event_dim)
+
+
+class ComplexTransform(Transform):
+    """Pair of reals <-> complex number
+    (reference: numpyro/distributions/transforms.py:1594)."""
+
+    domain = constraints.real_vector
+    codomain = constraints.complex
+
+    def __call__(self, x):
+        assert x.shape[-1] == 2, "Input must have a trailing dimension of size 2."
+        return jax.lax.complex(x[..., 0], x[..., 1])
+
+    def _inverse(self, y):
+        return jnp.stack([y.real, y.imag], axis=-1)
+
+    def log_abs_det_jacobian(self, x, y, intermediates=None):
+        return jnp.zeros_like(y, dtype=jnp.result_type(float))
+
+    def forward_shape(self, shape):
+        assert shape[-1] == 2, "Input must have a trailing dimension of size 2."
+        return shape[:-1]
+
+    def inverse_shape(self, shape):
+        return shape + (2,)
+
+
+def _normalize_rfft_shape(shape, transform_shape):
+    if transform_shape is None:
+        return shape
+    return shape[: len(shape) - len(transform_shape)] + tuple(transform_shape)
+
+
+class RealFastFourierTransform(Transform):
+    """N-dimensional real FFT over the trailing ``transform_ndims`` axes
+    (reference: numpyro/distributions/transforms.py:1269)."""
+
+    def __init__(self, transform_shape=None, transform_ndims=1):
+        if isinstance(transform_shape, int):
+            transform_shape = (transform_shape,)
+        if transform_shape is not None and len(transform_shape) != transform_ndims:
+            raise ValueError(
+                f"Length of transform shape ({transform_shape}) does not match "
+                f"number of dimensions to transform ({transform_ndims})."
+            )
+        self.transform_shape = transform_shape
+        self.transform_ndims = transform_ndims
+
+    def __call__(self, x):
+        axes = tuple(range(-self.transform_ndims, 0))
+        return jnp.fft.rfftn(x, self.transform_shape, axes)
+
+    def _inverse(self, y):
+        axes = tuple(range(-self.transform_ndims, 0))
+        return jnp.fft.irfftn(y, self.transform_shape, axes)
+
+    def forward_shape(self, shape):
+        shape = _normalize_rfft_shape(shape, self.transform_shape)
+        return shape[:-1] + (shape[-1] // 2 + 1,)
+
+    def inverse_shape(self, shape):
+        if self.transform_shape:
+            return _normalize_rfft_shape(shape, self.transform_shape)
+        size = 2 * (shape[-1] - 1)
+        return shape[:-1] + (size,)
+
+    def log_abs_det_jacobian(self, x, y, intermediates=None):
+        batch_shape = jnp.broadcast_shapes(
+            x.shape[: x.ndim - self.transform_ndims],
+            y.shape[: y.ndim - self.transform_ndims],
+        )
+        event_shape = x.shape[x.ndim - self.transform_ndims :]
+        size = math.prod(event_shape)
+        q = math.prod(2 - s % 2 for s in event_shape)
+        return jnp.broadcast_to(
+            (size * jnp.log(size) - jnp.log(2) * (size - q)) / 2, batch_shape
+        )
+
+    @property
+    def domain(self):
+        return constraints.independent(constraints.real, self.transform_ndims)
+
+    @property
+    def codomain(self):
+        return constraints.independent(constraints.complex, self.transform_ndims)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, RealFastFourierTransform)
+            and self.transform_ndims == other.transform_ndims
+            and self.transform_shape == other.transform_shape
+        )
+
+
+class PackRealFastFourierCoefficientsTransform(Transform):
+    """Real vector <-> packed complex rFFT coefficient vector
+    (reference: numpyro/distributions/transforms.py:1348)."""
+
+    domain = constraints.real_vector
+    codomain = constraints.independent(constraints.complex, 1)
+
+    def __init__(self, transform_shape=None):
+        assert transform_shape is None or len(transform_shape) == 1, (
+            "Packing Fourier coefficients is only implemented for vectors."
+        )
+        self.shape = transform_shape
+
+    def forward_shape(self, shape):
+        *batch_shape, n = shape
+        n_rfft = n // 2 + 1
+        return (*batch_shape, n_rfft)
+
+    def inverse_shape(self, shape):
+        *batch_shape, n_rfft = shape
+        assert self.shape is not None, (
+            "Shape must be specified in `__init__` for inverse transform."
+        )
+        (n,) = self.shape
+        assert n_rfft == n // 2 + 1
+        return (*batch_shape, n)
+
+    def log_abs_det_jacobian(self, x, y, intermediates=None):
+        shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+        return jnp.zeros(shape, dtype=jnp.result_type(float))
+
+    def __call__(self, x):
+        assert self.shape is None or self.shape == x.shape[-1:]
+        n = x.shape[-1]
+        n_real = n // 2 + 1
+        n_imag = n - n_real
+        complex_dtype = jnp.result_type(x.dtype, jnp.complex64)
+        return (
+            x[..., :n_real]
+            .astype(complex_dtype)
+            .at[..., 1 : 1 + n_imag]
+            .add(1j * x[..., n_real:])
+        )
+
+    def _inverse(self, y):
+        (n,) = self.shape
+        n_real = n // 2 + 1
+        n_imag = n - n_real
+        return jnp.concatenate([y.real, y.imag[..., 1 : n_imag + 1]], axis=-1)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, PackRealFastFourierCoefficientsTransform)
+            and self.shape == other.shape
+        )
+
+
+class RecursiveLinearTransform(Transform):
+    """y_t = A y_{t-1} + x_t over the second-to-last axis (volume preserving;
+    the scan is the only sequential axis — reference:
+    numpyro/distributions/transforms.py:1416)."""
+
+    domain = constraints.real_matrix
+    codomain = constraints.real_matrix
+
+    def __init__(self, transition_matrix):
+        self.transition_matrix = transition_matrix
+
+    def __call__(self, x):
+        x = jnp.moveaxis(x, -2, 0)
+
+        def f(y, x_t):
+            y = jnp.einsum("...ij,...j->...i", self.transition_matrix, y) + x_t
+            return y, y
+
+        _, y = jax.lax.scan(f, jnp.zeros_like(x, shape=x.shape[1:]), x)
+        return jnp.moveaxis(y, 0, -2)
+
+    def _inverse(self, y):
+        y = jnp.moveaxis(y, -2, 0)
+
+        def f(y_t, prev):
+            x = y_t - jnp.einsum("...ij,...j->...i", self.transition_matrix, prev)
+            return prev, x
+
+        _, x = jax.lax.scan(
+            f, y[-1], jnp.roll(y, 1, axis=0).at[0].set(0), reverse=True
+        )
+        return jnp.moveaxis(x, 0, -2)
+
+    def log_abs_det_jacobian(self, x, y, intermediates=None):
+        return jnp.zeros(x.shape[:-2], dtype=jnp.result_type(float))
+
+    def __eq__(self, other):
+        return isinstance(other, RecursiveLinearTransform) and jnp.array_equal(
+            self.transition_matrix, other.transition_matrix
+        )

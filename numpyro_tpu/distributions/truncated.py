@@ -269,3 +269,197 @@ def TruncatedCauchy(loc=0.0, scale=1.0, *, low=None, high=None, validate_args=No
     return TruncatedDistribution(
         Cauchy(loc, scale), low=low, high=high, validate_args=validate_args
     )
+
+
+class TruncatedPolyaGamma(Distribution):
+    """Polya-Gamma PG(1, 0) truncated to (0, 2.5], with a fixed-term series
+    log_prob — used for logistic-likelihood augmentation schemes
+    (reference: numpyro/distributions/truncated.py:341)."""
+
+    truncation_point = 2.5
+    num_log_prob_terms = 7
+    num_gamma_variates = 8
+
+    arg_constraints = {}
+    support = constraints.interval(0.0, truncation_point)
+
+    def __init__(self, batch_shape=(), *, validate_args=None):
+        super().__init__(batch_shape, validate_args=validate_args)
+
+    def sample(self, key, sample_shape=()):
+        assert is_prng_key(key)
+        denom = jnp.square(jnp.arange(0.5, self.num_gamma_variates))
+        x = random.gamma(
+            key,
+            jnp.ones(
+                self.batch_shape + tuple(sample_shape) + (self.num_gamma_variates,)
+            ),
+        )
+        x = jnp.sum(x / denom, axis=-1)
+        return jnp.clip(x * (0.5 / jnp.pi**2), None, self.truncation_point)
+
+    @validate_sample
+    def log_prob(self, value):
+        from jax.scipy.special import logsumexp
+
+        value = value[..., None]
+        all_indices = jnp.arange(0, self.num_log_prob_terms)
+        two_n_plus_one = 2.0 * all_indices + 1.0
+        log_terms = (
+            jnp.log(two_n_plus_one)
+            - 1.5 * jnp.log(value)
+            - 0.125 * jnp.square(two_n_plus_one) / value
+        )
+        even_terms = jnp.take(log_terms, all_indices[::2], axis=-1)
+        odd_terms = jnp.take(log_terms, all_indices[1::2], axis=-1)
+        sum_even = jnp.exp(logsumexp(even_terms, axis=-1))
+        sum_odd = jnp.exp(logsumexp(odd_terms, axis=-1))
+        return jnp.log(sum_even - sum_odd) - 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+class LowerTruncatedPowerLaw(Distribution):
+    """Power law x^alpha on [low, inf), alpha < -1
+    (reference: numpyro/distributions/truncated.py:837)."""
+
+    arg_constraints = {
+        "alpha": constraints.less_than(-1.0),
+        "low": constraints.greater_than(0.0),
+    }
+    reparametrized_params = ["alpha", "low"]
+    pytree_aux_fields = ("_support",)
+
+    def __init__(self, alpha, low, *, validate_args=None):
+        self.alpha, self.low = promote_shapes(alpha, low)
+        batch_shape = lax.broadcast_shapes(jnp.shape(alpha), jnp.shape(low))
+        self._support = constraints.greater_than(low)
+        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+
+    @constraints.dependent_property(is_discrete=False, event_dim=0)
+    def support(self):
+        return self._support
+
+    @validate_sample
+    def log_prob(self, value):
+        one_more_alpha = 1.0 + self.alpha
+        return (
+            self.alpha * jnp.log(value)
+            + jnp.log(-one_more_alpha)
+            - one_more_alpha * jnp.log(self.low)
+        )
+
+    def cdf(self, value):
+        return jnp.where(
+            value <= self.low,
+            jnp.zeros_like(value),
+            1.0 - jnp.power(value / self.low, 1.0 + self.alpha),
+        )
+
+    def icdf(self, q):
+        nan_mask = jnp.isnan(q) | (q < 0.0) | (q > 1.0)
+        return jnp.where(
+            nan_mask,
+            jnp.nan,
+            self.low * jnp.power(1.0 - q, jnp.reciprocal(1.0 + self.alpha)),
+        )
+
+    def sample(self, key, sample_shape=()):
+        assert is_prng_key(key)
+        u = random.uniform(key, sample_shape + self.batch_shape)
+        return self.icdf(u)
+
+    @property
+    def mean(self):
+        k = 1.0
+        neg_one_more_alpha = -(1.0 + self.alpha)
+        return jnp.where(
+            k < neg_one_more_alpha,
+            neg_one_more_alpha / (neg_one_more_alpha - k) * self.low,
+            jnp.inf,
+        )
+
+    @property
+    def variance(self):
+        neg_one_more_alpha = -(1.0 + self.alpha)
+        m1 = neg_one_more_alpha / (neg_one_more_alpha - 1.0) * self.low
+        m2 = neg_one_more_alpha / (neg_one_more_alpha - 2.0) * self.low**2
+        return jnp.where(2.0 < neg_one_more_alpha, m2 - m1**2, jnp.inf)
+
+
+class DoublyTruncatedPowerLaw(Distribution):
+    """Power law x^alpha on [low, high].  The alpha == -1 singularity is
+    handled by the masked-branch ("double where") pattern so both branches
+    stay NaN-free under jit and grad — the TPU-friendly alternative to the
+    reference's hand-written custom_jvp pair
+    (reference: numpyro/distributions/truncated.py:381)."""
+
+    arg_constraints = {
+        "alpha": constraints.real,
+        "low": constraints.greater_than_eq(0),
+        "high": constraints.greater_than(0),
+    }
+    reparametrized_params = ["alpha", "low", "high"]
+    pytree_aux_fields = ("_support",)
+    pytree_data_fields = ("alpha", "low", "high")
+
+    def __init__(self, alpha, low, high, *, validate_args=None):
+        self.alpha, self.low, self.high = promote_shapes(alpha, low, high)
+        self._support = constraints.interval(low, high)
+        batch_shape = lax.broadcast_shapes(
+            jnp.shape(alpha), jnp.shape(low), jnp.shape(high)
+        )
+        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+
+    @constraints.dependent_property(is_discrete=False, event_dim=0)
+    def support(self):
+        return self._support
+
+    def _branches(self):
+        """(mask, safe_alpha) where safe_alpha replaces -1 by 0 so the
+        generic branch never divides by zero."""
+        mask = jnp.not_equal(self.alpha, -1.0)
+        return mask, jnp.where(mask, self.alpha, 0.0)
+
+    @validate_sample
+    def log_prob(self, value):
+        mask, safe_alpha = self._branches()
+        one_more_alpha = 1.0 + safe_alpha
+
+        def generic():
+            z = (
+                jnp.power(self.high, one_more_alpha)
+                - jnp.power(self.low, one_more_alpha)
+            ) / one_more_alpha
+            return safe_alpha * jnp.log(value) - jnp.log(z)
+
+        def log_branch():
+            return -jnp.log(value) - jnp.log(
+                jnp.log(self.high) - jnp.log(self.low)
+            )
+
+        return jnp.where(mask, generic(), log_branch())
+
+    def cdf(self, value):
+        mask, safe_alpha = self._branches()
+        one_more_alpha = 1.0 + safe_alpha
+        low_pow = jnp.power(self.low, one_more_alpha)
+        generic = (jnp.power(value, one_more_alpha) - low_pow) / (
+            jnp.power(self.high, one_more_alpha) - low_pow
+        )
+        log_branch = jnp.log(value / self.low) / jnp.log(self.high / self.low)
+        return jnp.clip(jnp.where(mask, generic, log_branch), 0.0, 1.0)
+
+    def icdf(self, q):
+        mask, safe_alpha = self._branches()
+        one_more_alpha = 1.0 + safe_alpha
+        low_pow = jnp.power(self.low, one_more_alpha)
+        high_pow = jnp.power(self.high, one_more_alpha)
+        generic = jnp.power(
+            low_pow + q * (high_pow - low_pow), jnp.reciprocal(one_more_alpha)
+        )
+        log_branch = jnp.power(self.high / self.low, q) * self.low
+        return jnp.where(mask, generic, log_branch)
+
+    def sample(self, key, sample_shape=()):
+        assert is_prng_key(key)
+        u = random.uniform(key, sample_shape + self.batch_shape)
+        return self.icdf(u)

@@ -74,6 +74,9 @@ class replay(Messenger):
         super().__init__(fn)
 
     def process_message(self, msg):
+        if msg["type"] == "control_flow":
+            msg["kwargs"]["substitute_stack"].append(("replay", self.trace))
+            return
         if msg["type"] in ("sample", "param") and msg["name"] in self.trace:
             name = msg["name"]
             guide_msg = self.trace[name]

@@ -30,8 +30,9 @@ from numpyro_tpu.util import (
     set_host_device_count,
     set_platform,
 )
-from numpyro_tpu import diagnostics, handlers, infer, optim
+from numpyro_tpu import diagnostics, handlers, infer, ops, optim
 from numpyro_tpu.diagnostics import print_summary
+from numpyro_tpu.infer.inspect import get_dependencies, render_model
 
 __version__ = "0.1.0"
 
@@ -53,6 +54,9 @@ __all__ = [
     "plate",
     "plate_stack",
     "print_summary",
+    "render_model",
+    "get_dependencies",
+    "ops",
     "prng_key",
     "sample",
     "set_host_device_count",

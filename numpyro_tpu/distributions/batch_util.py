@@ -1,0 +1,112 @@
+"""Batch-shape utilities for distributions crossing vmap/scan boundaries.
+
+``promote_batch_shape(d)`` recomputes a distribution's ``batch_shape`` from
+its parameters' actual array shapes.  After ``lax.scan`` stacks a recorded
+trace, each parameter leaf gains a leading time dim while the static
+``_batch_shape`` aux data is stale — this fixes the bookkeeping so
+``log_prob``/``shape()`` see the stacked batch (reference:
+numpyro/distributions/batch_util.py:501-560).
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import singledispatch
+
+import jax
+import jax.numpy as jnp
+
+from .distribution import (
+    Distribution,
+    ExpandedDistribution,
+    Independent,
+    MaskedDistribution,
+    TransformedDistribution,
+)
+
+__all__ = ["promote_batch_shape"]
+
+
+@singledispatch
+def promote_batch_shape(d: Distribution):
+    raise NotImplementedError(f"cannot promote batch shape of {type(d)}")
+
+
+@promote_batch_shape.register
+def _default_promote_batch_shape(d: Distribution):
+    attr_batch_shapes = [d.batch_shape]
+    for attr_name, constraint in d.arg_constraints.items():
+        try:
+            attr_event_dim = constraint.event_dim
+        except NotImplementedError:
+            continue
+        attr = getattr(d, attr_name, None)
+        if attr is None:
+            continue
+        attr_batch_ndim = max(0, jnp.ndim(attr) - attr_event_dim)
+        attr_batch_shapes.append(jnp.shape(attr)[:attr_batch_ndim])
+    resolved = jnp.broadcast_shapes(*attr_batch_shapes)
+    new_self = copy.copy(d)
+    new_self._batch_shape = resolved
+    return new_self
+
+
+@promote_batch_shape.register
+def _promote_batch_shape_expanded(d: ExpandedDistribution):
+    orig_delta = d.batch_shape[: len(d.batch_shape) - len(d.base_dist.batch_shape)]
+    new_self = copy.copy(d)
+    promoted_base = promote_batch_shape(d.base_dist)
+    new_elems = promoted_base.batch_shape[
+        : len(promoted_base.batch_shape) - len(d.base_dist.batch_shape)
+    ]
+    new_self._batch_shape = (*new_elems, *d.batch_shape)
+    # keep params broadcastable: insert singleton axes for the dims that the
+    # expansion added between the new (scan) dims and the old base dims
+    base = copy.copy(promoted_base)
+    base._batch_shape = (
+        *new_elems,
+        *tuple(1 for _ in orig_delta),
+        *d.base_dist.batch_shape,
+    )
+    new_axes = tuple(range(len(new_elems), len(new_elems) + len(orig_delta)))
+    if new_axes:
+        base = jax.tree.map(lambda x: jnp.expand_dims(x, axis=new_axes), base)
+        base._batch_shape = (
+            *new_elems,
+            *tuple(1 for _ in orig_delta),
+            *d.base_dist.batch_shape,
+        )
+    new_self.base_dist = base
+    return new_self
+
+
+@promote_batch_shape.register
+def _promote_batch_shape_independent(d: Independent):
+    new_self = copy.copy(d)
+    promoted_base = promote_batch_shape(d.base_dist)
+    new_self.base_dist = promoted_base
+    new_self._batch_shape = promoted_base.batch_shape[
+        : len(promoted_base.batch_shape) - d.reinterpreted_batch_ndims
+    ]
+    return new_self
+
+
+@promote_batch_shape.register
+def _promote_batch_shape_masked(d: MaskedDistribution):
+    new_self = copy.copy(d)
+    promoted_base = promote_batch_shape(d.base_dist)
+    new_self.base_dist = promoted_base
+    new_self._batch_shape = promoted_base.batch_shape
+    return new_self
+
+
+@promote_batch_shape.register
+def _promote_batch_shape_transformed(d: TransformedDistribution):
+    new_self = copy.copy(d)
+    promoted_base = promote_batch_shape(d.base_dist)
+    new_elems = promoted_base.batch_shape[
+        : len(promoted_base.batch_shape) - len(d.base_dist.batch_shape)
+    ]
+    new_self.base_dist = promoted_base
+    new_self._batch_shape = (*new_elems, *d.batch_shape)
+    return new_self

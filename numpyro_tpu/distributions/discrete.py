@@ -87,6 +87,7 @@ class BernoulliProbs(Distribution):
 
     @validate_sample
     def log_prob(self, value):
+        value = value * 1.0  # float0-safe under enumeration + grad
         return xlogy(value, self.probs) + xlog1py(1 - value, -self.probs)
 
     @lazy_property
@@ -192,8 +193,8 @@ class BinomialProbs(Distribution):
             log_factorial_n
             - log_factorial_k
             - log_factorial_nmk
-            + xlogy(value, self.probs)
-            + xlog1py(self.total_count - value, -self.probs)
+            + xlogy(value * 1.0, self.probs)
+            + xlog1py(self.total_count - value * 1.0, -self.probs)
         )
 
     @lazy_property
@@ -505,7 +506,7 @@ class MultinomialProbs(Distribution):
     @validate_sample
     def log_prob(self, value):
         return gammaln(jnp.asarray(self.total_count) + 1) + jnp.sum(
-            xlogy(value, self.probs) - gammaln(value + 1), axis=-1
+            xlogy(value * 1.0, self.probs) - gammaln(value + 1), axis=-1
         )
 
     @lazy_property
@@ -621,6 +622,7 @@ class Poisson(Distribution):
             # host-side sparse path: compute log-factorial only at nonzeros
             value = jnp.asarray(value)
         value = jnp.asarray(value, dtype=jnp.result_type(float))
+        value = value * 1.0  # float0-safe under enumeration + grad
         return xlogy(value, self.rate) - gammaln(value + 1) - self.rate
 
     @property
@@ -806,7 +808,7 @@ class ZeroInflatedPoisson(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        log_prob = xlogy(value, self.rate) - gammaln(value + 1.0) - self.rate
+        log_prob = xlogy(value * 1.0, self.rate) - gammaln(value + 1.0) - self.rate
         log_prob = jnp.log1p(-self.gate) + log_prob
         zero_prob = jnp.logaddexp(
             jnp.log(self.gate), jnp.log1p(-self.gate) - self.rate

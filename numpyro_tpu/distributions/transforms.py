@@ -69,9 +69,50 @@ def sum_rightmost(x, dim):
 
 
 class Transform:
+    """Base transform.  Every subclass is auto-registered as a JAX pytree so
+    transforms (and distributions containing them) can cross jit/vmap/scan
+    boundaries: declare traced attributes in ``pytree_data_fields`` and
+    static attributes in ``pytree_aux_fields`` (mirrors the Distribution
+    flatten protocol; reference registers transforms as pytrees too,
+    numpyro/distributions/transforms.py:64)."""
+
     domain = constraints.real
     codomain = constraints.real
     _inv = None
+    pytree_data_fields: tuple = ()
+    pytree_aux_fields: tuple = ()
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_node(
+            cls, cls._pytree_flatten, cls._pytree_unflatten
+        )
+
+    @classmethod
+    def _gather_fields(cls, attr):
+        fields = []
+        for base in cls.__mro__:
+            for f in base.__dict__.get(attr, ()):
+                if f not in fields:
+                    fields.append(f)
+        return tuple(fields)
+
+    def _pytree_flatten(self):
+        data_fields = type(self)._gather_fields("pytree_data_fields")
+        aux_fields = type(self)._gather_fields("pytree_aux_fields")
+        data = tuple(getattr(self, f, None) for f in data_fields)
+        aux = tuple(getattr(self, f, None) for f in aux_fields)
+        return data, (data_fields, aux_fields, aux)
+
+    @classmethod
+    def _pytree_unflatten(cls, aux_data, params):
+        data_fields, aux_fields, aux = aux_data
+        self = cls.__new__(cls)
+        for f, v in zip(data_fields, params):
+            setattr(self, f, v)
+        for f, v in zip(aux_fields, aux):
+            setattr(self, f, v)
+        return self
 
     @property
     def inv(self):
@@ -110,6 +151,7 @@ class Transform:
 
 
 class _InverseTransform(Transform):
+    pytree_data_fields = ("_transform",)
     def __init__(self, transform):
         super().__init__()
         self._transform = transform
@@ -170,6 +212,8 @@ class AbsTransform(Transform):
 class AffineTransform(Transform):
     """y = loc + scale * x"""
 
+    pytree_data_fields = ("loc", "scale")
+    pytree_aux_fields = ("domain",)
     def __init__(self, loc, scale, domain=constraints.real):
         self.loc = loc
         self.scale = scale
@@ -223,6 +267,7 @@ class AffineTransform(Transform):
 
 
 class ExpTransform(Transform):
+    pytree_aux_fields = ("domain",)
     domain = constraints.real
     codomain = constraints.positive
 
@@ -283,6 +328,7 @@ class SoftplusTransform(Transform):
 
 
 class PowerTransform(Transform):
+    pytree_data_fields = ("exponent",)
     domain = constraints.positive
     codomain = constraints.positive
 
@@ -312,6 +358,7 @@ class PowerTransform(Transform):
 
 
 class ComposeTransform(Transform):
+    pytree_data_fields = ("parts",)
     def __init__(self, parts):
         self.parts = list(parts)
 
@@ -402,6 +449,8 @@ class ComposeTransform(Transform):
 
 
 class IndependentTransform(Transform):
+    pytree_data_fields = ("base_transform",)
+    pytree_aux_fields = ("reinterpreted_batch_ndims",)
     """Reinterpret rightmost batch dims of a transform as event dims."""
 
     def __init__(self, base_transform, reinterpreted_batch_ndims):
@@ -530,6 +579,7 @@ class OrderedTransform(Transform):
 
 
 class SimplexToOrderedTransform(Transform):
+    pytree_data_fields = ("anchor_point",)
     """Simplex -> ordered cutpoints via logit of the CDF (anchor point)."""
 
     domain = constraints.simplex
@@ -832,6 +882,7 @@ class L1BallTransform(Transform):
 
 
 class PermuteTransform(Transform):
+    pytree_data_fields = ("permutation",)
     domain = constraints.real_vector
     codomain = constraints.real_vector
 
@@ -862,6 +913,7 @@ class PermuteTransform(Transform):
 
 
 class ReshapeTransform(Transform):
+    pytree_aux_fields = ("_forward_shape", "_inverse_shape")
     def __init__(self, forward_shape, inverse_shape):
         forward_size = math.prod(forward_shape)
         inverse_size = math.prod(inverse_shape)
@@ -909,6 +961,7 @@ class ReshapeTransform(Transform):
 
 
 class LowerCholeskyAffine(Transform):
+    pytree_data_fields = ("loc", "scale_tril")
     """y = loc + L @ x with L lower-triangular (MVN whitening transform)."""
 
     domain = constraints.real_vector
@@ -958,6 +1011,7 @@ class LowerCholeskyAffine(Transform):
 
 
 class ZeroSumTransform(Transform):
+    pytree_aux_fields = ("transform_ndims",)
     """R^{n-1} per axis -> zero-sum vectors via the Householder-style map
     used for ZeroSumNormal."""
 
@@ -1204,6 +1258,7 @@ def _normalize_rfft_shape(shape, transform_shape):
 
 
 class RealFastFourierTransform(Transform):
+    pytree_aux_fields = ("transform_shape", "transform_ndims")
     """N-dimensional real FFT over the trailing ``transform_ndims`` axes
     (reference: numpyro/distributions/transforms.py:1269)."""
 
@@ -1265,6 +1320,7 @@ class RealFastFourierTransform(Transform):
 
 
 class PackRealFastFourierCoefficientsTransform(Transform):
+    pytree_aux_fields = ("shape",)
     """Real vector <-> packed complex rFFT coefficient vector
     (reference: numpyro/distributions/transforms.py:1348)."""
 
@@ -1322,6 +1378,7 @@ class PackRealFastFourierCoefficientsTransform(Transform):
 
 
 class RecursiveLinearTransform(Transform):
+    pytree_data_fields = ("transition_matrix",)
     """y_t = A y_{t-1} + x_t over the second-to-last axis (volume preserving;
     the scan is the only sequential axis — reference:
     numpyro/distributions/transforms.py:1416)."""

@@ -451,3 +451,40 @@ def safe_normalize(x, *, p=2):
     mask = (norm == 0)
     dim = x.shape[-1]
     return jnp.where(mask, jnp.full_like(x, dim ** (-1 / p)), x)
+
+
+def cholesky_update(L, x, coef=1):
+    """Cholesky factor of ``L @ L.T + coef * outer(x, x)`` via the classic
+    rank-one LDL update (Gill–Golub–Murray–Saunders), scanned over columns —
+    O(n^2) with the column loop as the only sequential axis
+    (reference behavior: numpyro/distributions/util.py:365)."""
+    batch_shape = lax.broadcast_shapes(L.shape[:-2], x.shape[:-1])
+    L = jnp.broadcast_to(L, batch_shape + L.shape[-2:])
+    x = jnp.broadcast_to(x, batch_shape + x.shape[-1:])
+    n = x.shape[-1]
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    Lu = L / diag[..., None, :]  # unit-diagonal lower triangular
+    D = jnp.square(diag)
+
+    # scan inputs: per-column (d_j, column of Lu, one-hot row selector)
+    D_cols = jnp.moveaxis(D, -1, 0)  # (n,) + batch
+    Lu_cols = jnp.moveaxis(Lu, -1, 0)  # (n,) + batch + (n,)
+    eye = jnp.eye(n, dtype=L.dtype)  # (n, n)
+
+    def body(carry, inputs):
+        a, w = carry  # a: batch, w: batch + (n,)
+        d_j, L_col, e = inputs
+        p = (w * e).sum(-1)  # w[j]
+        gamma = d_j + a * jnp.square(p)
+        beta = p * a / gamma
+        a_new = a * d_j / gamma
+        w_new = w - p[..., None] * L_col
+        below = (jnp.cumsum(e) > 0) & (e == 0)  # rows strictly below j
+        L_col_new = L_col + beta[..., None] * w_new * below
+        return (a_new, w_new), (gamma, L_col_new)
+
+    a0 = jnp.full(batch_shape, coef, dtype=x.dtype)
+    (_, _), (D_new, Lu_new_cols) = lax.scan(body, (a0, x), (D_cols, Lu_cols, eye))
+    D_new = jnp.moveaxis(D_new, 0, -1)
+    Lu_new = jnp.moveaxis(Lu_new_cols, 0, -1)
+    return Lu_new * jnp.sqrt(D_new)[..., None, :]

@@ -3,7 +3,8 @@
 API parity target: numpyro/infer/__init__.py:33-62.
 """
 
-from numpyro_tpu.infer import initialization
+from numpyro_tpu.infer import initialization, inspect
+from numpyro_tpu.infer.inspect import get_dependencies, get_model_relations, render_model
 from numpyro_tpu.infer.initialization import (
     init_to_feasible,
     init_to_mean,
@@ -17,10 +18,21 @@ from numpyro_tpu.infer.elbo import (
     ELBO,
     RenyiELBO,
     Trace_ELBO,
+    TraceEnum_ELBO,
+    TraceGraph_ELBO,
     TraceMeanField_ELBO,
 )
+from numpyro_tpu.infer.barker import BarkerMH
+from numpyro_tpu.infer.ensemble import AIES, ESS, EnsembleSampler
 from numpyro_tpu.infer.hmc import HMC, NUTS
+from numpyro_tpu.infer.hmc_gibbs import (
+    DiscreteHMCGibbs,
+    HMCECS,
+    HMCGibbs,
+)
 from numpyro_tpu.infer.mcmc import MCMC, MCMCKernel
+from numpyro_tpu.infer.mixed_hmc import MixedHMC
+from numpyro_tpu.infer.sa import SA
 from numpyro_tpu.infer.svi import SVI, SVIRunResult, SVIState
 from numpyro_tpu.infer.util import (
     Predictive,
@@ -36,11 +48,20 @@ from numpyro_tpu.infer.util import (
 )
 
 __all__ = [
+    "AIES",
     "autoguide",
+    "BarkerMH",
     "ELBO",
+    "EnsembleSampler",
+    "ESS",
+    "SA",
+    "DiscreteHMCGibbs",
     "HMC",
+    "HMCECS",
+    "HMCGibbs",
     "MCMC",
     "MCMCKernel",
+    "MixedHMC",
     "NUTS",
     "RenyiELBO",
     "reparam",
@@ -48,6 +69,8 @@ __all__ = [
     "SVIRunResult",
     "SVIState",
     "Trace_ELBO",
+    "TraceEnum_ELBO",
+    "TraceGraph_ELBO",
     "TraceMeanField_ELBO",
     "Predictive",
     "constrain_fn",
@@ -60,6 +83,10 @@ __all__ = [
     "init_to_uniform",
     "init_to_value",
     "initialization",
+    "inspect",
+    "get_dependencies",
+    "get_model_relations",
+    "render_model",
     "initialize_model",
     "log_density",
     "log_likelihood",

@@ -159,10 +159,15 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
             adapt_mass_matrix=adapt_mass_matrix,
             dense_mass=dense_mass,
             target_accept_prob=target_accept_prob,
+            # only wire the heuristic search when explicitly requested: with a
+            # potential_fn_gen the closure here is built from init-time model
+            # kwargs, so a window-end re-find inside Gibbs-style kernels would
+            # compare energies across different conditioning and drive the
+            # step size to zero (reference wires it the same way, hmc.py:319)
             find_reasonable_step_size=partial(
                 find_reasonable_step_size, pe_fn, kinetic_fn, momentum_generator
             )
-            if find_heuristic_step_size or adapt_step_size
+            if find_heuristic_step_size
             else None,
         )
         wa_update = wa_update_

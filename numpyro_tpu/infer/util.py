@@ -216,6 +216,13 @@ def _unconstrain_reparam(params, site):
             t = biject_to(support)
         if t is None:
             return p
+        # inside scan we substitute one step's slice of the whole series
+        i = site["infer"].get("_scan_current_index", None) if "infer" in site else None
+        if i is not None:
+            event_dim_shift = t.codomain.event_dim - t.domain.event_dim
+            expected_unconstrained_dim = len(site["fn"].shape()) - event_dim_shift
+            if jnp.ndim(p) > expected_unconstrained_dim:
+                p = p[i]
         if isinstance(support, constraints._IndependentConstraint):
             base = support.base_constraint
         else:
@@ -276,6 +283,15 @@ def find_valid_initial_params(
     init_strategy = (
         init_strategy if isinstance(init_strategy, partial) else init_strategy()
     )
+    # init_to_uniform draws directly in unconstrained space — no model trace
+    # per rejection iteration, and per-chain keys apply even when the model
+    # closure carries its own inner seed (reference: infer/util.py:377-431)
+    from numpyro_tpu.infer.initialization import init_to_uniform as _itu
+
+    if getattr(init_strategy, "func", None) is _itu:
+        radius = init_strategy.keywords.get("radius", 2.0)
+    else:
+        radius = None
 
     def cond_fn(state):
         i, _, _, is_valid = state
@@ -285,29 +301,38 @@ def find_valid_initial_params(
         i, key, _, _ = state
         key, subkey = random.split(key)
 
-        # trace the model with the init strategy to get initial constrained
-        # values, then unconstrain
-        seeded_model = handlers.substitute(
-            handlers.seed(model, subkey), substitute_fn=init_strategy
-        )
-        model_trace = handlers.trace(seeded_model).get_trace(
-            *model_args, **model_kwargs
-        )
-        constrained_values, inv_transforms = {}, {}
-        for k, v in model_trace.items():
-            if (
-                v["type"] == "sample"
-                and not v["is_observed"]
-                and not v["fn"].support.is_discrete
-            ):
-                constrained_values[k] = v["value"]
-                with handlers.block():
-                    inv_transforms[k] = biject_to(v["fn"].support)
-        params = transform_fn(
-            inv_transforms,
-            {k: v for k, v in constrained_values.items()},
-            invert=True,
-        )
+        if radius is not None and prototype_params is not None:
+            # draw uniformly in unconstrained space, shaped like the prototype
+            params = {}
+            for k, v in prototype_params.items():
+                params[k] = random.uniform(
+                    subkey, jnp.shape(v), minval=-radius, maxval=radius
+                )
+                key, subkey = random.split(key)
+        else:
+            # trace the model with the init strategy to get initial
+            # constrained values, then unconstrain
+            seeded_model = handlers.substitute(
+                handlers.seed(model, subkey), substitute_fn=init_strategy
+            )
+            model_trace = handlers.trace(seeded_model).get_trace(
+                *model_args, **model_kwargs
+            )
+            constrained_values, inv_transforms = {}, {}
+            for k, v in model_trace.items():
+                if (
+                    v["type"] == "sample"
+                    and not v["is_observed"]
+                    and not v["fn"].support.is_discrete
+                ):
+                    constrained_values[k] = v["value"]
+                    with handlers.block():
+                        inv_transforms[k] = biject_to(v["fn"].support)
+            params = transform_fn(
+                inv_transforms,
+                {k: v for k, v in constrained_values.items()},
+                invert=True,
+            )
         potential_fn = partial(
             potential_energy, model, model_args, model_kwargs, enum=enum
         )

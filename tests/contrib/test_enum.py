@@ -1,0 +1,130 @@
+"""Enumeration engine tests: marginal log-density vs manual sums, NUTS over
+enumerated models, infer_discrete MAP/sampling, TraceEnum_ELBO
+(pattern: reference test/contrib/test_enum_elbo.py + test_infer_discrete)."""
+
+import numpy as np
+import scipy.stats as st
+
+import jax.numpy as jnp
+from jax import random
+
+import numpyro_tpu
+import numpyro_tpu.distributions as dist
+from numpyro_tpu import handlers
+from numpyro_tpu.contrib.enum import config_enumerate, enum, infer_discrete, log_density
+from numpyro_tpu.infer import MCMC, NUTS, SVI, TraceEnum_ELBO
+from numpyro_tpu.infer.autoguide import AutoNormal
+from numpyro_tpu.optim import Adam
+
+
+def mixture_model(x):
+    w = numpyro_tpu.sample("w", dist.Beta(2.0, 2.0))
+    with numpyro_tpu.plate("N", x.shape[0]):
+        c = numpyro_tpu.sample(
+            "c", dist.Bernoulli(w), infer={"enumerate": "parallel"}
+        )
+        locs = jnp.array([-1.0, 2.0])
+        numpyro_tpu.sample("x", dist.Normal(locs[c], 1.0), obs=x)
+
+
+def test_enum_log_density_mixture():
+    x = jnp.array([-1.2, 2.3, 0.1, 1.8])
+    wrapped = enum(config_enumerate(mixture_model), first_available_dim=-2)
+    sub = handlers.substitute(wrapped, data={"w": jnp.array(0.3)})
+    ld, _ = log_density(sub, (x,), {}, {})
+    w = 0.3
+    manual = st.beta(2, 2).logpdf(w) + np.log(
+        (1 - w) * st.norm(-1, 1).pdf(np.asarray(x))
+        + w * st.norm(2, 1).pdf(np.asarray(x))
+    ).sum()
+    np.testing.assert_allclose(float(ld), manual, rtol=1e-5)
+
+
+def test_enum_log_density_chain():
+    def chain_model(y):
+        p0 = jnp.array([0.6, 0.4])
+        T = jnp.array([[0.8, 0.2], [0.3, 0.7]])
+        locs = jnp.array([-1.0, 1.0])
+        z1 = numpyro_tpu.sample(
+            "z1", dist.Categorical(p0), infer={"enumerate": "parallel"}
+        )
+        z2 = numpyro_tpu.sample(
+            "z2", dist.Categorical(T[z1]), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample("y", dist.Normal(locs[z2], 1.0), obs=y)
+
+    wrapped = enum(config_enumerate(chain_model), first_available_dim=-1)
+    ld, _ = log_density(wrapped, (jnp.array(0.5),), {}, {})
+    p0 = np.array([0.6, 0.4])
+    T = np.array([[0.8, 0.2], [0.3, 0.7]])
+    locs = np.array([-1.0, 1.0])
+    pz2 = p0 @ T
+    manual = np.log(sum(pz2[k] * st.norm(locs[k], 1).pdf(0.5) for k in range(2)))
+    np.testing.assert_allclose(float(ld), manual, rtol=1e-5)
+
+
+def test_nuts_marginalizes_discrete():
+    data = jnp.concatenate(
+        [
+            -1.0 + random.normal(random.PRNGKey(1), (300,)),
+            2.0 + random.normal(random.PRNGKey(2), (700,)),
+        ]
+    )
+    m = MCMC(NUTS(mixture_model), num_warmup=500, num_samples=500, progress_bar=False)
+    m.run(random.PRNGKey(0), data)
+    w = m.get_samples()["w"]
+    assert abs(float(w.mean()) - 0.7) < 0.06
+
+
+def test_infer_discrete_map():
+    def model(x):
+        with numpyro_tpu.plate("N", x.shape[0]):
+            c = numpyro_tpu.sample(
+                "c", dist.Bernoulli(0.5), infer={"enumerate": "parallel"}
+            )
+            locs = jnp.array([-2.0, 2.0])
+            numpyro_tpu.sample("x", dist.Normal(locs[c], 1.0), obs=x)
+
+    x = jnp.array([-2.5, 2.5, -1.9, 2.2])
+    f = infer_discrete(
+        model, first_available_dim=-2, temperature=0, rng_key=random.PRNGKey(0)
+    )
+    tr = handlers.trace(handlers.seed(f, 1)).get_trace(x)
+    np.testing.assert_array_equal(np.asarray(tr["c"]["value"]), [0, 1, 0, 1])
+
+
+def test_infer_discrete_sampling_frequency():
+    def model(x):
+        c = numpyro_tpu.sample(
+            "c", dist.Bernoulli(0.3), infer={"enumerate": "parallel"}
+        )
+        locs = jnp.array([-1.0, 1.0])
+        numpyro_tpu.sample("x", dist.Normal(locs[c], 1.0), obs=x)
+
+    xval = 0.3
+    p1 = 0.3 * st.norm(1, 1).pdf(xval)
+    p0 = 0.7 * st.norm(-1, 1).pdf(xval)
+    ptrue = p1 / (p0 + p1)
+    cs = []
+    for i in range(300):
+        f = infer_discrete(
+            model, first_available_dim=-1, temperature=1, rng_key=random.PRNGKey(i)
+        )
+        tr = handlers.trace(handlers.seed(f, i)).get_trace(jnp.array(xval))
+        cs.append(int(tr["c"]["value"]))
+    assert abs(np.mean(cs) - ptrue) < 0.09
+
+
+def test_trace_enum_elbo_mixture():
+    data = jnp.concatenate(
+        [
+            -1.0 + random.normal(random.PRNGKey(1), (300,)),
+            2.0 + random.normal(random.PRNGKey(2), (700,)),
+        ]
+    )
+    guide = AutoNormal(mixture_model)
+    svi = SVI(mixture_model, guide, Adam(0.05), TraceEnum_ELBO())
+    res = svi.run(random.PRNGKey(0), 600, data, progress_bar=False)
+    w_est = guide.median(res.params)["w"]
+    assert abs(float(w_est) - 0.7) < 0.05
+    assert np.isfinite(np.asarray(res.losses)).all()

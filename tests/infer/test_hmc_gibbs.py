@@ -1,0 +1,65 @@
+"""HMCGibbs / DiscreteHMCGibbs / HMCECS correctness
+(pattern: reference test/infer/test_hmc_gibbs.py + class doctests)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax import random
+
+import numpyro_tpu
+import numpyro_tpu.distributions as dist
+from numpyro_tpu.infer import MCMC, NUTS, DiscreteHMCGibbs, HMCECS, HMCGibbs
+
+
+def test_hmc_gibbs_linear_gaussian():
+    def model():
+        x = numpyro_tpu.sample("x", dist.Normal(0.0, 2.0))
+        y = numpyro_tpu.sample("y", dist.Normal(0.0, 2.0))
+        numpyro_tpu.sample("obs", dist.Normal(x + y, 1.0), obs=jnp.array([1.0]))
+
+    def gibbs_fn(rng_key, gibbs_sites, hmc_sites):
+        y = hmc_sites["y"]
+        new_x = dist.Normal(0.8 * (1 - y), jnp.sqrt(0.8)).sample(rng_key)
+        return {"x": new_x}
+
+    kernel = HMCGibbs(NUTS(model), gibbs_fn=gibbs_fn, gibbs_sites=["x"])
+    m = MCMC(kernel, num_warmup=500, num_samples=2000, progress_bar=False)
+    m.run(random.PRNGKey(0))
+    s = m.get_samples()
+    # exact posterior mean of each of x, y is 4/9
+    assert abs(float(s["x"].mean()) - 4 / 9) < 0.1
+    assert abs(float(s["y"].mean()) - 4 / 9) < 0.1
+
+
+@pytest.mark.parametrize("modified", [False, True])
+def test_discrete_hmc_gibbs_mixture(modified):
+    def model(probs, locs):
+        c = numpyro_tpu.sample("c", dist.Categorical(probs))
+        numpyro_tpu.sample("x", dist.Normal(locs[c], 0.5))
+
+    probs = jnp.array([0.15, 0.3, 0.3, 0.25])
+    locs = jnp.array([-2, 0, 2, 4])
+    kernel = DiscreteHMCGibbs(NUTS(model), modified=modified)
+    m = MCMC(kernel, num_warmup=1000, num_samples=15000, progress_bar=False)
+    m.run(random.PRNGKey(0), probs, locs)
+    x = m.get_samples()["x"]
+    assert abs(float(jnp.mean(x)) - 1.3) < 0.15
+    assert abs(float(jnp.var(x)) - 4.36) < 0.6
+
+
+@pytest.mark.parametrize("use_proxy", [False, True])
+def test_hmcecs_subsampled_gaussian(use_proxy):
+    def model(data):
+        x = numpyro_tpu.sample("x", dist.Normal(0, 1))
+        with numpyro_tpu.plate("N", data.shape[0], subsample_size=100):
+            batch = numpyro_tpu.subsample(data, event_dim=0)
+            numpyro_tpu.sample("obs", dist.Normal(x, 1), obs=batch)
+
+    data = random.normal(random.PRNGKey(0), (10000,)) + 1
+    proxy = HMCECS.taylor_proxy({"x": jnp.array(1.0)}) if use_proxy else None
+    kernel = HMCECS(NUTS(model), num_blocks=10, proxy=proxy)
+    m = MCMC(kernel, num_warmup=500, num_samples=500, progress_bar=False)
+    m.run(random.PRNGKey(0), data)
+    s = m.get_samples()["x"]
+    assert abs(float(jnp.mean(s)) - 1.0) < 0.1

@@ -488,3 +488,13 @@ def cholesky_update(L, x, coef=1):
     D_new = jnp.moveaxis(D_new, 0, -1)
     Lu_new = jnp.moveaxis(Lu_new_cols, 0, -1)
     return Lu_new * jnp.sqrt(D_new)[..., None, :]
+
+
+def logmatmulexp(x, y):
+    """Numerically-stable log(exp(x) @ exp(y)) — a matmul in log space
+    (used by BNAF's blockwise Jacobian accumulation and the parallel-scan
+    HMM machinery)."""
+    x_shift = lax.stop_gradient(jnp.amax(x, -1, keepdims=True))
+    y_shift = lax.stop_gradient(jnp.amax(y, -2, keepdims=True))
+    xy = jnp.log(jnp.matmul(jnp.exp(x - x_shift), jnp.exp(y - y_shift)))
+    return xy + x_shift + y_shift

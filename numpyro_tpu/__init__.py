@@ -30,7 +30,7 @@ from numpyro_tpu.util import (
     set_host_device_count,
     set_platform,
 )
-from numpyro_tpu import diagnostics, handlers, infer, ops, optim
+from numpyro_tpu import checkpoint, diagnostics, handlers, infer, ops, optim
 from numpyro_tpu.diagnostics import print_summary
 from numpyro_tpu.infer.inspect import get_dependencies, render_model
 
@@ -54,6 +54,7 @@ __all__ = [
     "plate",
     "plate_stack",
     "print_summary",
+    "checkpoint",
     "render_model",
     "get_dependencies",
     "ops",

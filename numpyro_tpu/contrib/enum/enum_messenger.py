@@ -22,8 +22,13 @@ from numpyro_tpu.primitives import Messenger
 
 # marker key recording the allocated enum dim in a site's infer dict
 ENUM_DIM_KEY = "_enum_dim"
+# serial number distinguishing successive variables that recycle one dim
+ENUM_SERIAL_KEY = "_enum_serial"
 # total enum-dim budget (reference caps at 25, enum_messenger.py:84)
 MAX_ENUM_DIMS = 25
+
+# active markov frames: list of dicts {"period": int, "slot": int, "base": ...}
+_MARKOV_STACK = []
 
 
 class enum(Messenger):
@@ -40,6 +45,7 @@ class enum(Messenger):
 
     def __enter__(self):
         self._next_dim = self.first_available_dim
+        self._serial = 0
         return super().__enter__()
 
     def process_message(self, msg):
@@ -55,20 +61,32 @@ class enum(Messenger):
         if ENUM_DIM_KEY in msg["infer"]:
             return
 
-        dim = self._next_dim
-        self._next_dim -= 1
+        if _MARKOV_STACK:
+            # inside a markov context: dims are recycled from a small pool of
+            # `history + 1` slots so chain length never grows the dim budget
+            frame = _MARKOV_STACK[-1]
+            if frame.get("base") is None:
+                frame["base"] = self._next_dim
+                self._next_dim -= frame["period"]
+            dim = frame["base"] - (frame["slot"] % frame["period"])
+        else:
+            dim = self._next_dim
+            self._next_dim -= 1
         if self.first_available_dim - dim >= MAX_ENUM_DIMS:
             raise RuntimeError(
                 f"Exceeded the enumeration dim budget of {MAX_ENUM_DIMS}."
             )
         support = fn.enumerate_support(expand=False)
-        # support: (K,) + (1,)*len(batch_shape); place K at batch dim `dim`
+        # place the support axis K exactly at batch dim `dim` (counting from
+        # the right edge of the batch region); broadcasting against wider
+        # fn.batch_shape happens naturally in log_prob
         size = support.shape[0]
-        batch_ndim = max(len(fn.batch_shape), -dim)
-        shape = (size,) + (1,) * (batch_ndim - 1)
+        shape = (size,) + (1,) * (-dim - 1)
         value = support.reshape(shape + fn.event_shape)
         msg["value"] = value
         msg["infer"][ENUM_DIM_KEY] = dim
+        msg["infer"][ENUM_SERIAL_KEY] = self._serial
+        self._serial += 1
         msg["infer"]["_enum_size"] = size
         # the site is enumerated, not sampled: no rng needed
         msg["kwargs"]["rng_key"] = None
@@ -98,10 +116,47 @@ def config_enumerate(fn=None, default="parallel"):
     return infer_config(fn, config_fn=config_fn)
 
 
-@contextmanager
-def markov(history=1):
-    """History-limited dependency context.  The direct-dim engine reuses no
-    dims across markov steps yet (scan-based HMMs handle time via the
-    parallel-scan path); this context is currently a no-op marker kept for
-    API parity (reference: contrib/funsor/enum_messenger.py:630)."""
-    yield
+def markov(iterable=None, history=1):
+    """History-limited dependency marker (reference:
+    contrib/funsor/enum_messenger.py:630).  Enumerated sites visited in
+    successive markov iterations recycle ``history + 1`` dims, so a length-T
+    chain enumerates with bounded array rank; the density engine eliminates
+    each recycled variable in site order (the forward algorithm).
+
+    Usage (generator form)::
+
+        for t in markov(range(T), history=1):
+            z = sample(f"z_{t}", ..., infer={"enumerate": "parallel"})
+    """
+    if iterable is None:
+        return _MarkovFrame(history)
+    if isinstance(iterable, int):
+        iterable = range(iterable)
+
+    def _gen():
+        frame = {"period": history + 1, "slot": 0, "base": None}
+        _MARKOV_STACK.append(frame)
+        try:
+            for i, item in enumerate(iterable):
+                frame["slot"] = i
+                yield item
+        finally:
+            _MARKOV_STACK.remove(frame)
+
+    return _gen()
+
+
+class _MarkovFrame:
+    """`with markov():` context form — each entry advances the slot."""
+
+    def __init__(self, history):
+        self.frame = {"period": history + 1, "slot": -1, "base": None}
+
+    def __enter__(self):
+        if self.frame not in _MARKOV_STACK:
+            _MARKOV_STACK.append(self.frame)
+        self.frame["slot"] += 1
+        return self
+
+    def __exit__(self, *args):
+        return False

@@ -2,9 +2,12 @@
 
 Replaces the reference's funsor ``log_density``
 (numpyro/contrib/funsor/infer_util.py:301) with direct variable elimination
-on arrays: every sample-site log-prob is a factor whose axes left of the
-plate region are enum dims; dims are eliminated innermost-first with
-logsumexp after broadcast-summing the factors that mention them.  The whole
+on arrays.  Factors are collected in trace order; an enumerated variable is
+retired (logsumexp) either when its dim is recycled by a markov frame — so
+chain length never grows array rank — or at the end.  When retiring a dim,
+each contributing factor is first summed over the plate axes the owning
+site does *not* live in (a global discrete must see the plate-summed
+likelihood; a plate-local discrete is eliminated per element).  The whole
 contraction is pure jnp — XLA fuses it into the potential-energy program.
 """
 
@@ -16,7 +19,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from numpyro_tpu import handlers
-from numpyro_tpu.contrib.enum.enum_messenger import ENUM_DIM_KEY
+from numpyro_tpu.contrib.enum.enum_messenger import ENUM_DIM_KEY, ENUM_SERIAL_KEY
 from numpyro_tpu.distributions.util import scale_and_mask
 
 
@@ -43,32 +46,41 @@ def _factor_enum_dims(log_prob, plate_ndim):
     return dims
 
 
-def _eliminate(log_factors, factor_dims, plate_ndim, sum_plates=True):
-    """Variable elimination over enum dims; returns the scalar (or
-    plate-shaped) marginal log density contribution.
+class _Factor:
+    __slots__ = ("lp", "enum_dims", "plate_axes")
 
-    :param log_factors: list of arrays.
-    :param factor_dims: list of lists of (negative) enum dims per factor.
-    """
-    # eliminate innermost-allocated (most negative) dims first: those belong
-    # to the deepest sites, which keeps intermediate factors small on chains
-    all_dims = sorted({d for dims in factor_dims for d in dims})
-    factors = list(zip(log_factors, factor_dims))
-    for d in all_dims:
-        touching = [(f, dims) for f, dims in factors if d in dims]
-        rest = [(f, dims) for f, dims in factors if d not in dims]
-        if not touching:
-            continue
-        combined = reduce(lambda a, b: a + b, [f for f, _ in touching])
-        reduced = logsumexp(combined, axis=combined.ndim + d)
-        new_dims = sorted({dd for _, dims in touching for dd in dims if dd != d})
-        # removing axis d shifts every dim left of it right by one
-        shifted = [dd + 1 if dd < d else dd for dd in new_dims]
-        factors = rest + [(reduced, shifted)]
-    total = 0.0
-    for f, _ in factors:
-        total = total + (jnp.sum(f) if sum_plates else f)
-    return total
+    def __init__(self, lp, enum_dims, plate_axes):
+        self.lp = lp
+        self.enum_dims = set(enum_dims)
+        self.plate_axes = set(plate_axes)
+
+
+def _sum_plate_axes(lp, axes_to_sum):
+    """Sum (linear space of log-factors: plain add) over given negative
+    plate axes, keepdims so global dim coordinates stay put."""
+    for ax in axes_to_sum:
+        if lp.ndim >= -ax and lp.shape[lp.ndim + ax] > 1:
+            lp = lp.sum(axis=lp.ndim + ax, keepdims=True)
+    return lp
+
+
+def _eliminate(pending, d, owner_plate_axes):
+    """Retire enum dim d from the pending factor list."""
+    touching = [f for f in pending if d in f.enum_dims]
+    rest = [f for f in pending if d not in f.enum_dims]
+    if not touching:
+        return pending
+    summed = []
+    plate_axes = set()
+    for f in touching:
+        foreign = f.plate_axes - owner_plate_axes
+        summed.append(_sum_plate_axes(f.lp, sorted(foreign)))
+        plate_axes |= f.plate_axes & owner_plate_axes
+    combined = reduce(lambda a, b: a + b, summed)
+    reduced = logsumexp(combined, axis=combined.ndim + d, keepdims=True)
+    enum_dims = set().union(*(f.enum_dims for f in touching)) - {d}
+    rest.append(_Factor(reduced, enum_dims, plate_axes))
+    return rest
 
 
 def log_density(model, model_args, model_kwargs, params):
@@ -84,11 +96,26 @@ def log_density(model, model_args, model_kwargs, params):
         model(*model_args, **model_kwargs)
     plate_ndim = _max_plate_nesting(model_trace)
 
-    log_factors = []
-    factor_dims = []
+    pending = []
+    active_serial = {}  # dim -> serial currently living on it
+    dim_owner_axes = {}  # dim -> plate axes of the owning enumerated site
+
     for site in model_trace.values():
         if site["type"] != "sample":
             continue
+        infer = site.get("infer", {})
+        d = infer.get(ENUM_DIM_KEY)
+        serial = infer.get(ENUM_SERIAL_KEY)
+        if d is not None and d in active_serial and active_serial[d] != serial:
+            # markov recycling: retire the previous variable on this dim
+            pending = _eliminate(pending, d, dim_owner_axes.get(d, set()))
+            del active_serial[d]
+        if d is not None:
+            active_serial[d] = serial
+            dim_owner_axes[d] = {
+                frame.dim for frame in site["cond_indep_stack"]
+            }
+
         value = site["value"]
         intermediates = site.get("intermediates")
         scale = site.get("scale")
@@ -97,8 +124,16 @@ def log_density(model, model_args, model_kwargs, params):
         else:
             log_prob = site["fn"].log_prob(value)
         log_prob = scale_and_mask(log_prob, scale)
-        log_factors.append(log_prob)
-        factor_dims.append(_factor_enum_dims(log_prob, plate_ndim))
+        enum_dims = _factor_enum_dims(log_prob, plate_ndim)
+        plate_axes = {frame.dim for frame in site["cond_indep_stack"]}
+        pending.append(_Factor(log_prob, enum_dims, plate_axes))
 
-    log_joint = _eliminate(log_factors, factor_dims, plate_ndim)
-    return log_joint, model_trace
+    # retire remaining enum dims, most-negative (deepest) first
+    remaining = sorted({d for f in pending for d in f.enum_dims})
+    for d in remaining:
+        pending = _eliminate(pending, d, dim_owner_axes.get(d, set()))
+
+    total = 0.0
+    for f in pending:
+        total = total + jnp.sum(f.lp)
+    return total, model_trace

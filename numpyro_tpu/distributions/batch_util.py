@@ -110,3 +110,36 @@ def _promote_batch_shape_transformed(d: TransformedDistribution):
     new_self.base_dist = promoted_base
     new_self._batch_shape = (*new_elems, *d.batch_shape)
     return new_self
+
+
+def vmap_over(d, **axes):
+    """Build an ``in_axes`` specification pytree for ``jax.vmap`` matching a
+    distribution's pytree structure: named parameters get the given axis,
+    everything else ``None``.
+
+    Example::
+
+        in_axes = vmap_over(dist.Normal(locs, scale), loc=0)
+        lps = jax.vmap(lambda d: d.log_prob(x), in_axes=(in_axes,))(batched_d)
+
+    Generic replacement for the reference's per-distribution dispatch table
+    (numpyro/distributions/batch_util.py:1-500): the declarative
+    ``pytree_data_fields`` protocol makes one rule cover every distribution;
+    nested combinator fields accept nested specs (e.g.
+    ``vmap_over(ind, base_dist=vmap_over(ind.base_dist, loc=0))``).
+    """
+    data_fields = type(d).gather_pytree_data_fields()
+    data, aux = d.tree_flatten()
+
+    replaced = []
+    for name, value in zip(aux[0], data):
+        if name in axes:
+            spec = axes[name]
+        else:
+            spec = None
+        if isinstance(value, Distribution) and not isinstance(spec, Distribution):
+            # nested distribution: spec may itself be a vmap_over result or None
+            if spec is None:
+                spec = jax.tree.map(lambda _: None, value)
+        replaced.append(spec)
+    return type(d).tree_unflatten(aux, tuple(replaced))

@@ -11,8 +11,10 @@ from jax.scipy.special import betaln, digamma, gammaln
 
 from .continuous import (
     Beta,
+    CirculantNormal,
     Dirichlet,
     Gamma,
+    Kumaraswamy,
     MultivariateNormal,
     Normal,
     Weibull,
@@ -217,3 +219,54 @@ def _kl_weibull_gamma(p, q):
     t3 = q.rate * b * jnp.exp(gammaln(1 + 1 / a))
     t4 = -(q.concentration - 1) * (jnp.log(b) - euler / a)
     return t1 + t2 + t3 + t4
+
+
+@register_kl(Delta, ExpandedDistribution)
+def _kl_delta_expanded(p, q):
+    return -q.log_prob(p.v) + p.log_density
+
+
+@register_kl(Independent, CirculantNormal)
+def _kl_indnormal_circulant(p, q):
+    """KL(N(mu, diag) || CirculantNormal) in O(n log n) via rFFT
+    (reference: distributions/kl.py:187)."""
+    if not isinstance(p.base_dist, Normal) or p.reinterpreted_batch_ndims != 1:
+        raise NotImplementedError
+    residual = q.mean - p.mean
+    n = residual.shape[-1]
+    log_cov_rfft = jnp.log(q.covariance_rfft)
+    quad = jnp.sum(
+        residual
+        * jnp.fft.irfft(jnp.fft.rfft(residual) / q.covariance_rfft, n),
+        axis=-1,
+    )
+    return (
+        quad
+        + jnp.fft.irfft(1 / q.covariance_rfft, n)[..., 0]
+        * jnp.sum(p.variance, axis=-1)
+        + log_cov_rfft.sum(axis=-1)
+        + log_cov_rfft[..., 1 : (n + 1) // 2].sum(axis=-1)
+        - jnp.log(p.variance).sum(axis=-1)
+        - n
+    ) / 2
+
+
+@register_kl(Kumaraswamy, Beta)
+def _kl_kumaraswamy_beta(p, q):
+    """Kumaraswamy -> Beta KL via the truncated Taylor series of
+    arXiv:1605.06197 Eq. (12)."""
+    from jax.scipy.special import betaln, digamma
+
+    taylor_order = getattr(p, "KL_KUMARASWAMY_BETA_TAYLOR_ORDER", 10)
+    a, b = p.concentration1, p.concentration0
+    alpha, beta = q.concentration1, q.concentration0
+    b_reciprocal = jnp.reciprocal(b)
+    a_b = a * b
+    t1 = (alpha / a - 1) * (jnp.euler_gamma + digamma(b) + b_reciprocal)
+    t2 = jnp.log(a_b) + betaln(alpha, beta) + (b_reciprocal - 1)
+    a_ = jnp.expand_dims(a, -1)
+    b_ = jnp.expand_dims(b, -1)
+    a_b_ = jnp.expand_dims(a_b, -1)
+    m = jnp.arange(1, taylor_order + 1)
+    t3 = (beta - 1) * b * (jnp.exp(betaln(m / a_, b_)) / (m + a_b_)).sum(-1)
+    return t1 + t2 + t3

@@ -33,6 +33,7 @@ from numpyro_tpu.infer.hmc_gibbs import (
 from numpyro_tpu.infer.mcmc import MCMC, MCMCKernel
 from numpyro_tpu.infer.mixed_hmc import MixedHMC
 from numpyro_tpu.infer.sa import SA
+from numpyro_tpu.infer.smc import SMC, SMCResult
 from numpyro_tpu.infer.svi import SVI, SVIRunResult, SVIState
 from numpyro_tpu.infer.util import (
     Predictive,
@@ -55,6 +56,8 @@ __all__ = [
     "EnsembleSampler",
     "ESS",
     "SA",
+    "SMC",
+    "SMCResult",
     "DiscreteHMCGibbs",
     "HMC",
     "HMCECS",

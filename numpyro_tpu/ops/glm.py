@@ -99,7 +99,15 @@ def _pallas_fused(w_pad, data):
 
     b_pad, d_pad = w_pad.shape
     n_pad = data.x_t.shape[1]
-    num_tiles = n_pad // _TILE
+    # adaptive tile: keep the (B, T) logits block within a VMEM budget as
+    # the chain count grows
+    # measured envelope on TPU v5: (512, 4096) f32 logits blocks are the
+    # sweet spot; beyond 512 chains shrink tiles hard to stay inside VMEM
+    budget = 8 * 1024 * 1024 if b_pad <= 512 else 2 * 1024 * 1024
+    tile = _TILE
+    while b_pad * tile * 4 > budget and tile > 512:
+        tile //= 2
+    num_tiles = n_pad // tile
     x_dtype = data.x_t.dtype
 
     def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, acc_pe, acc_g):
@@ -147,8 +155,8 @@ def _pallas_fused(w_pad, data):
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((b_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -128,3 +128,79 @@ def test_trace_enum_elbo_mixture():
     w_est = guide.median(res.params)["w"]
     assert abs(float(w_est) - 0.7) < 0.05
     assert np.isfinite(np.asarray(res.losses)).all()
+
+
+def test_markov_chain_matches_forward_algorithm():
+    import numpy as onp
+
+    from numpyro_tpu.contrib.enum import markov
+
+    T, K = 60, 3
+    p0 = jnp.array([0.5, 0.3, 0.2])
+    Tr = jnp.array([[0.8, 0.1, 0.1], [0.2, 0.6, 0.2], [0.1, 0.3, 0.6]])
+    locs = jnp.array([-2.0, 0.0, 2.0])
+    rng = onp.random.RandomState(0)
+    zs = [rng.choice(3, p=onp.asarray(p0))]
+    for _ in range(1, T):
+        zs.append(rng.choice(3, p=onp.asarray(Tr)[zs[-1]]))
+    ys = jnp.asarray(onp.asarray(locs)[zs] + 0.3 * rng.randn(T))
+
+    def hmm(ys):
+        z = numpyro_tpu.sample(
+            "z_0", dist.Categorical(p0), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample("y_0", dist.Normal(locs[z], 0.5), obs=ys[0])
+        for t in markov(range(1, T), history=1):
+            z = numpyro_tpu.sample(
+                f"z_{t}", dist.Categorical(Tr[z]), infer={"enumerate": "parallel"}
+            )
+            numpyro_tpu.sample(f"y_{t}", dist.Normal(locs[z], 0.5), obs=ys[t])
+
+    wrapped = enum(config_enumerate(hmm), first_available_dim=-1)
+    ld, _ = log_density(wrapped, (ys,), {}, {})
+
+    ysn = onp.asarray(ys)
+    alpha = onp.asarray(p0) * st.norm(onp.asarray(locs), 0.5).pdf(ysn[0])
+    logz = 0.0
+    for t in range(1, T):
+        s = alpha.sum()
+        logz += onp.log(s)
+        alpha = alpha / s
+        alpha = (alpha @ onp.asarray(Tr)) * st.norm(onp.asarray(locs), 0.5).pdf(
+            ysn[t]
+        )
+    logz += onp.log(alpha.sum())
+    np.testing.assert_allclose(float(ld), logz, rtol=1e-5)
+
+
+def test_nuts_over_markov_hmm():
+    import numpy as onp
+
+    from numpyro_tpu.contrib.enum import markov
+
+    T = 40
+    p0 = jnp.array([0.5, 0.5])
+    Tr = jnp.array([[0.9, 0.1], [0.2, 0.8]])
+    locs = jnp.array([-1.5, 1.5])
+    rng = onp.random.RandomState(1)
+    zs = [rng.choice(2, p=onp.asarray(p0))]
+    for _ in range(1, T):
+        zs.append(rng.choice(2, p=onp.asarray(Tr)[zs[-1]]))
+    ys = jnp.asarray(onp.asarray(locs)[zs] + 0.3 * rng.randn(T))
+
+    def model(ys):
+        sigma = numpyro_tpu.sample("sigma", dist.HalfNormal(1.0))
+        z = numpyro_tpu.sample(
+            "z_0", dist.Categorical(p0), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample("y_0", dist.Normal(locs[z], sigma), obs=ys[0])
+        for t in markov(range(1, T), history=1):
+            z = numpyro_tpu.sample(
+                f"z_{t}", dist.Categorical(Tr[z]), infer={"enumerate": "parallel"}
+            )
+            numpyro_tpu.sample(f"y_{t}", dist.Normal(locs[z], sigma), obs=ys[t])
+
+    m = MCMC(NUTS(model), num_warmup=300, num_samples=300, progress_bar=False)
+    m.run(random.PRNGKey(1), ys)
+    sig = float(m.get_samples()["sigma"].mean())
+    assert abs(sig - 0.3) < 0.12

@@ -237,3 +237,32 @@ def test_new_transforms_roundtrip():
     c = ComplexTransform()
     x = random.normal(random.PRNGKey(16), (4, 2))
     np.testing.assert_allclose(c._inverse(c(x)), x, atol=1e-7)
+
+
+def test_vmap_over_axes_spec():
+    import jax
+    from numpyro_tpu.distributions.batch_util import vmap_over
+    import numpyro_tpu.distributions as dist
+
+    locs = jnp.arange(3.0)
+    d = dist.Normal(locs, 1.0)
+    in_axes = vmap_over(d, loc=0)
+    lp = jax.vmap(lambda dd: dd.log_prob(0.0), in_axes=(in_axes,))(d)
+    np.testing.assert_allclose(
+        np.asarray(lp).reshape(-1), dist.Normal(locs, 1.0).log_prob(0.0), rtol=1e-6
+    )
+
+
+def test_promote_batch_shape():
+    from numpyro_tpu.distributions.batch_util import promote_batch_shape
+    import numpyro_tpu.distributions as dist
+
+    d = dist.Normal(jnp.zeros(3), 1.0)
+    # simulate a scan-stacked distribution: leaves gained a leading dim
+    stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (5,) + jnp.shape(x)), d)
+    promoted = promote_batch_shape(stacked)
+    assert promoted.batch_shape == (5, 3)
+    ind = dist.Normal(jnp.zeros(3), 1.0).to_event(1)
+    stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (5,) + jnp.shape(x)), ind)
+    promoted = promote_batch_shape(stacked)
+    assert promoted.batch_shape == (5,) and promoted.event_shape == (3,)

@@ -588,18 +588,33 @@ def _predictive(
     exclude_deterministic=True,
 ):
     masked_model = handlers.mask(model, mask=False)
-    if infer_discrete:
-        raise NotImplementedError(
-            "infer_discrete in Predictive requires the enumeration engine; "
-            "coming with the enum stage"
-        )
 
     def single_prediction(val):
         rng_key, samples = val
-        substituted_model = handlers.substitute(masked_model, samples)
-        model_trace = handlers.trace(
-            handlers.seed(substituted_model, rng_key)
-        ).get_trace(*model_args, **model_kwargs)
+        if infer_discrete:
+            # sample enumerated discrete sites from their conditional
+            # posterior given the continuous draw (contrib.enum VE engine)
+            from numpyro_tpu.contrib.enum import infer_discrete as _infer_discrete
+
+            rng_key, discrete_key = random.split(rng_key)
+            conditioned = handlers.substitute(model, samples)
+            first_available_dim = -1 - _guess_max_plate_nesting_from_model(
+                conditioned, model_args, model_kwargs, rng_key
+            )
+            sampled_model = _infer_discrete(
+                conditioned,
+                first_available_dim=first_available_dim,
+                temperature=1,
+                rng_key=discrete_key,
+            )
+            model_trace = handlers.trace(
+                handlers.seed(handlers.mask(sampled_model, mask=False), rng_key)
+            ).get_trace(*model_args, **model_kwargs)
+        else:
+            substituted_model = handlers.substitute(masked_model, samples)
+            model_trace = handlers.trace(
+                handlers.seed(substituted_model, rng_key)
+            ).get_trace(*model_args, **model_kwargs)
         if return_sites is not None:
             if return_sites == "":
                 sites = {
@@ -805,3 +820,12 @@ def log_likelihood(
     batch_size = int(np.prod(batch_shape))
     chunk_size = batch_size if parallel else 1
     return soft_vmap(single_loglik, posterior_samples, len(batch_shape), chunk_size)
+
+
+def _guess_max_plate_nesting_from_model(model, model_args, model_kwargs, rng_key):
+    """Trace once (seeded) to find the deepest plate dim."""
+    with handlers.block():
+        tr = handlers.trace(handlers.seed(model, rng_key)).get_trace(
+            *model_args, **model_kwargs
+        )
+    return _guess_max_plate_nesting(tr)

@@ -4,6 +4,8 @@ from numpyro_tpu.parallel.mesh import (
     chain_data_mesh,
     chain_mesh,
     cross_chain_diagnostics,
+    initialize_distributed,
+    pooled_step_size,
     shard_chain_state,
     shard_data,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "chain_data_mesh",
     "chain_mesh",
     "cross_chain_diagnostics",
+    "initialize_distributed",
+    "pooled_step_size",
     "shard_chain_state",
     "shard_data",
 ]

@@ -85,3 +85,43 @@ def cross_chain_diagnostics(samples_by_chain):
         lambda x: (split_gelman_rubin(x), effective_sample_size(x)),
         samples_by_chain,
     )
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None, **kwargs):
+    """Initialize multi-host JAX (one process per host on a pod slice).
+
+    The reference never addresses multi-host (SURVEY §2.8); here it is one
+    call before building meshes — afterwards ``jax.devices()`` spans the
+    slice and every mesh helper above shards across ICI/DCN transparently.
+    On single-host setups (or when already initialized) this is a no-op.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    env_has_coordinator = (
+        coordinator_address is not None or "COORDINATOR_ADDRESS" in os.environ
+    )
+    in_tpu_pod = "TPU_WORKER_HOSTNAMES" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    if not (env_has_coordinator or in_tpu_pod):
+        return  # single host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        # Backend already up (single-host tunnel plugins pre-initialize it).
+        import warnings
+
+        warnings.warn(f"initialize_distributed skipped: {e}", stacklevel=2)
+
+
+def pooled_step_size(adapt_state, mesh=None):
+    """Cross-chain pooled step size: the harmonic mean over the (sharded)
+    chain axis — a device-side psum-style reduction usable inside warmup for
+    pooled adaptation experiments."""
+    ss = getattr(adapt_state, "step_size", adapt_state)
+    return 1.0 / jnp.mean(1.0 / ss)

@@ -204,3 +204,34 @@ def test_nuts_over_markov_hmm():
     m.run(random.PRNGKey(1), ys)
     sig = float(m.get_samples()["sigma"].mean())
     assert abs(sig - 0.3) < 0.12
+
+
+def test_predictive_infer_discrete():
+    """Predictive(infer_discrete=True) recovers per-datum mixture assignments.
+
+    Parity: reference numpyro/infer/util.py Predictive(infer_discrete=...).
+    """
+    from numpyro_tpu.infer import MCMC, NUTS, Predictive
+
+    def model(x):
+        w = numpyro_tpu.sample("w", dist.Beta(2.0, 2.0))
+        with numpyro_tpu.plate("N", x.shape[0]):
+            c = numpyro_tpu.sample(
+                "c", dist.Bernoulli(w), infer={"enumerate": "parallel"}
+            )
+            locs = jnp.array([-2.0, 2.0])
+            numpyro_tpu.sample("x", dist.Normal(locs[c], 0.7), obs=x)
+
+    x = jnp.concatenate(
+        [
+            -2.0 + 0.5 * random.normal(random.PRNGKey(1), (30,)),
+            2.0 + 0.5 * random.normal(random.PRNGKey(2), (40,)),
+        ]
+    )
+    m = MCMC(NUTS(model), num_warmup=150, num_samples=80, progress_bar=False)
+    m.run(random.PRNGKey(0), x)
+    pred = Predictive(model, m.get_samples(), infer_discrete=True)
+    out = pred(random.PRNGKey(3), x)
+    assert out["c"].shape == (80, 70)
+    acc = ((np.asarray(out["c"]).mean(0) > 0.5) == (np.asarray(x) > 0)).mean()
+    assert acc > 0.9

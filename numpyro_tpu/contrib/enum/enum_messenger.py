@@ -49,6 +49,15 @@ class enum(Messenger):
         return super().__enter__()
 
     def process_message(self, msg):
+        if msg["type"] == "control_flow" and "history" in msg["kwargs"]:
+            # an effectful `scan` below us: hand it the enum protocol —
+            # its wrapper enumerates carried discretes on recycled dims and
+            # eliminates the whole time block with a parallel logmatmulexp
+            # chain, emitting one factor back into this enumeration scope
+            msg["kwargs"]["enum"] = True
+            msg["kwargs"]["first_available_dim"] = self._next_dim
+            msg["kwargs"]["enum_boundary"] = self.first_available_dim
+            return
         if msg["type"] != "sample":
             return
         if msg["is_observed"] or msg["value"] is not None:

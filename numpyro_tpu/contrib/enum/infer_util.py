@@ -103,19 +103,6 @@ def log_density(model, model_args, model_kwargs, params):
     for site in model_trace.values():
         if site["type"] != "sample":
             continue
-        infer = site.get("infer", {})
-        d = infer.get(ENUM_DIM_KEY)
-        serial = infer.get(ENUM_SERIAL_KEY)
-        if d is not None and d in active_serial and active_serial[d] != serial:
-            # markov recycling: retire the previous variable on this dim
-            pending = _eliminate(pending, d, dim_owner_axes.get(d, set()))
-            del active_serial[d]
-        if d is not None:
-            active_serial[d] = serial
-            dim_owner_axes[d] = {
-                frame.dim for frame in site["cond_indep_stack"]
-            }
-
         value = site["value"]
         intermediates = site.get("intermediates")
         scale = site.get("scale")
@@ -125,7 +112,30 @@ def log_density(model, model_args, model_kwargs, params):
             log_prob = site["fn"].log_prob(value)
         log_prob = scale_and_mask(log_prob, scale)
         enum_dims = _factor_enum_dims(log_prob, plate_ndim)
-        plate_axes = {frame.dim for frame in site["cond_indep_stack"]}
+        # plate axes: declared frames plus any broadcast (size > 1) axis in
+        # the plate region — synthetic factors (e.g. an enumerated scan's
+        # collapsed chain) carry real plate axes without frame records
+        plate_axes = {
+            frame.dim
+            for frame in site["cond_indep_stack"]
+            if frame.dim is not None
+        }
+        nd = jnp.ndim(log_prob)
+        for ax in range(max(0, nd - plate_ndim), nd):
+            if log_prob.shape[ax] > 1:
+                plate_axes.add(ax - nd)
+
+        infer = site.get("infer", {})
+        d = infer.get(ENUM_DIM_KEY)
+        serial = infer.get(ENUM_SERIAL_KEY)
+        if d is not None and d in active_serial and active_serial[d] != serial:
+            # markov recycling: retire the previous variable on this dim
+            pending = _eliminate(pending, d, dim_owner_axes.get(d, set()))
+            del active_serial[d]
+        if d is not None:
+            active_serial[d] = serial
+            dim_owner_axes[d] = plate_axes
+
         pending.append(_Factor(log_prob, enum_dims, plate_axes))
 
     # retire remaining enum dims, most-negative (deepest) first

@@ -5,13 +5,16 @@ enumerated models, infer_discrete MAP/sampling, TraceEnum_ELBO
 import numpy as np
 import scipy.stats as st
 
+import jax
 import jax.numpy as jnp
 from jax import random
+from jax.scipy.special import logsumexp
 
 import numpyro_tpu
 import numpyro_tpu.distributions as dist
 from numpyro_tpu import handlers
 from numpyro_tpu.contrib.enum import config_enumerate, enum, infer_discrete, log_density
+from numpyro_tpu.contrib.enum import log_density as enum_log_density
 from numpyro_tpu.infer import MCMC, NUTS, SVI, TraceEnum_ELBO
 from numpyro_tpu.infer.autoguide import AutoNormal
 from numpyro_tpu.optim import Adam
@@ -235,3 +238,227 @@ def test_predictive_infer_discrete():
     assert out["c"].shape == (80, 70)
     acc = ((np.asarray(out["c"]).mean(0) > 0.5) == (np.asarray(x) > 0)).mean()
     assert acc > 0.9
+
+
+# ---------------------------------------------------------------------------
+# enumeration inside effectful scan (reference scan_enum,
+# numpyro/contrib/control_flow/scan.py:122) — funsor-free parallel chain
+# ---------------------------------------------------------------------------
+
+
+def _forward_algorithm(log_init_trans, log_trans, emissions):
+    """Reference forward algorithm: emissions (T, K)."""
+    alpha = log_init_trans + emissions[0]
+    for t in range(1, emissions.shape[0]):
+        alpha = logsumexp(alpha[:, None] + log_trans + emissions[t], axis=0)
+    return logsumexp(alpha)
+
+
+def test_scan_enum_hmm_exact():
+    from numpyro_tpu.contrib.control_flow import scan
+
+    T, K = 12, 3
+    probs_x = jax.nn.softmax(random.normal(random.PRNGKey(0), (K, K)), -1)
+    locs = jnp.array([-2.0, 0.0, 2.0])
+    ys = random.normal(random.PRNGKey(1), (T,))
+
+    def model(ys):
+        def transition(x_prev, y):
+            x = numpyro_tpu.sample(
+                "x", dist.Categorical(probs_x[x_prev]),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample("y", dist.Normal(locs[x], 1.0), obs=y)
+            return x, None
+
+        scan(transition, 0, ys)
+
+    lj, _ = enum_log_density(
+        enum(config_enumerate(model), first_available_dim=-1), (ys,), {}, {}
+    )
+    em = dist.Normal(locs, 1.0).log_prob(ys[:, None])
+    expected = _forward_algorithm(jnp.log(probs_x[0]), jnp.log(probs_x), em)
+    assert jnp.allclose(lj, expected, rtol=1e-5)
+
+
+def test_scan_enum_mixture_of_hmms():
+    """Global enumerated discrete outside the scan selects the transition
+    matrix — its dim must survive the time collapse and be eliminated
+    globally."""
+    from numpyro_tpu.contrib.control_flow import scan
+    from numpyro_tpu.ops.indexing import Vindex
+
+    T = 8
+    trans = jnp.stack(
+        [jnp.array([[0.9, 0.1], [0.1, 0.9]]),
+         jnp.array([[0.5, 0.5], [0.5, 0.5]])]
+    )
+    locs = jnp.array([-1.0, 1.0])
+    ys = random.normal(random.PRNGKey(3), (T,))
+
+    def model(ys):
+        m = numpyro_tpu.sample(
+            "m", dist.Bernoulli(0.3), infer={"enumerate": "parallel"}
+        )
+        P = trans[m]
+
+        def transition(x_prev, y):
+            x = numpyro_tpu.sample(
+                "x", dist.Categorical(Vindex(P)[..., x_prev, :]),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample("y", dist.Normal(locs[x], 1.0), obs=y)
+            return x, None
+
+        scan(transition, 0, ys)
+
+    lj, _ = enum_log_density(
+        enum(config_enumerate(model), first_available_dim=-1), (ys,), {}, {}
+    )
+    em = dist.Normal(locs, 1.0).log_prob(ys[:, None])
+    f0 = _forward_algorithm(jnp.log(trans[0][0]), jnp.log(trans[0]), em)
+    f1 = _forward_algorithm(jnp.log(trans[1][0]), jnp.log(trans[1]), em)
+    expected = logsumexp(jnp.array([f0 + jnp.log(0.7), f1 + jnp.log(0.3)]))
+    assert jnp.allclose(lj, expected, rtol=1e-5)
+
+
+def test_scan_enum_plate_inside():
+    """iid emissions in a plate inside the step: foreign plate axes are
+    summed per step before the chain reduction."""
+    from numpyro_tpu.contrib.control_flow import scan
+
+    T, N = 8, 5
+    P = jnp.array([[0.8, 0.2], [0.3, 0.7]])
+    locs = jnp.array([-1.0, 1.0])
+    ys = random.normal(random.PRNGKey(4), (T, N))
+
+    def model(ys):
+        def transition(x_prev, y):
+            x = numpyro_tpu.sample(
+                "x", dist.Categorical(P[x_prev]),
+                infer={"enumerate": "parallel"},
+            )
+            with numpyro_tpu.plate("N", N):
+                numpyro_tpu.sample("y", dist.Normal(locs[x], 1.0), obs=y)
+            return x, None
+
+        scan(transition, 0, ys)
+
+    lj, _ = enum_log_density(
+        enum(config_enumerate(model), first_available_dim=-2), (ys,), {}, {}
+    )
+    em = dist.Normal(locs, 1.0).log_prob(ys[:, :, None]).sum(1)
+    expected = _forward_algorithm(jnp.log(P[0]), jnp.log(P), em)
+    assert jnp.allclose(lj, expected, rtol=1e-5)
+
+
+def test_scan_enum_batched_chains():
+    """Per-sequence chains: the carried discrete lives inside a plate, so
+    the chain reduction runs batched over the plate axis."""
+    from numpyro_tpu.contrib.control_flow import scan
+    from numpyro_tpu.ops.indexing import Vindex
+
+    T, N = 6, 3
+    P = jnp.array([[0.8, 0.2], [0.3, 0.7]])
+    locs = jnp.array([-1.0, 1.0])
+    ys = random.normal(random.PRNGKey(0), (T, N))
+
+    def model(ys):
+        def transition(x_prev, y):
+            with numpyro_tpu.plate("N", N):
+                x = numpyro_tpu.sample(
+                    "x", dist.Categorical(Vindex(P)[x_prev, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                numpyro_tpu.sample("y", dist.Normal(locs[x], 1.0), obs=y)
+            return x, None
+
+        scan(transition, jnp.zeros(N, jnp.int32), ys)
+
+    lj, _ = enum_log_density(
+        enum(config_enumerate(model), first_available_dim=-2), (ys,), {}, {}
+    )
+    em = dist.Normal(locs, 1.0).log_prob(ys[..., None])  # (T, N, K)
+    expected = sum(
+        _forward_algorithm(jnp.log(P[0]), jnp.log(P), em[:, n]) for n in range(N)
+    )
+    assert jnp.allclose(lj, expected, rtol=1e-5)
+
+
+def test_scan_enum_history_zero_and_length_one():
+    from numpyro_tpu.contrib.control_flow import scan
+
+    T = 6
+    locs = jnp.array([-1.0, 1.0])
+    ys = random.normal(random.PRNGKey(1), (T,))
+    P = jnp.array([[0.8, 0.2], [0.3, 0.7]])
+
+    def indep_model(ys):
+        def transition(carry, y):
+            c = numpyro_tpu.sample(
+                "c", dist.Bernoulli(0.4), infer={"enumerate": "parallel"}
+            )
+            numpyro_tpu.sample("y", dist.Normal(locs[c], 1.0), obs=y)
+            return carry, None
+
+        scan(transition, 0.0, ys, history=0)
+
+    lj0, _ = enum_log_density(
+        enum(config_enumerate(indep_model), first_available_dim=-1),
+        (ys,), {}, {},
+    )
+    em = dist.Normal(locs, 1.0).log_prob(ys[:, None])
+    expected0 = logsumexp(em + jnp.log(jnp.array([0.6, 0.4])), axis=-1).sum()
+    assert jnp.allclose(lj0, expected0, rtol=1e-5)
+
+    def hmm(ys):
+        def transition(x_prev, y):
+            x = numpyro_tpu.sample(
+                "x", dist.Categorical(P[x_prev]),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample("y", dist.Normal(locs[x], 1.0), obs=y)
+            return x, None
+
+        scan(transition, 0, ys)
+
+    lj1, _ = enum_log_density(
+        enum(config_enumerate(hmm), first_available_dim=-1), (ys[:1],), {}, {}
+    )
+    expected1 = logsumexp(jnp.log(P[0]) + em[0])
+    assert jnp.allclose(lj1, expected1, rtol=1e-5)
+
+
+def test_scan_enum_nuts_recovers_emissions():
+    """NUTS over HMM emission means with the discrete state enumerated
+    inside scan — the full pipeline (initialize_model -> enum potential)."""
+    from numpyro_tpu.contrib.control_flow import scan
+    from numpyro_tpu.infer import MCMC, NUTS
+
+    true_locs = jnp.array([-2.0, 2.0])
+    Ptrue = jnp.array([[0.9, 0.1], [0.2, 0.8]])
+    ks = random.split(random.PRNGKey(7), 120)
+    x, out = 0, []
+    for t in range(60):
+        x = int(dist.Categorical(Ptrue[x]).sample(ks[2 * t]))
+        out.append(float(true_locs[x] + 0.5 * random.normal(ks[2 * t + 1])))
+    data = jnp.array(out)
+
+    def hmm(ys):
+        mu = numpyro_tpu.sample("mu", dist.Normal(jnp.zeros(2), 3.0).to_event(1))
+        mu_ord = jnp.sort(mu)
+
+        def transition(x_prev, y):
+            x = numpyro_tpu.sample(
+                "x", dist.Categorical(Ptrue[x_prev]),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample("y", dist.Normal(mu_ord[x], 0.5), obs=y)
+            return x, None
+
+        scan(transition, 0, ys)
+
+    m = MCMC(NUTS(hmm), num_warmup=300, num_samples=200, progress_bar=False)
+    m.run(random.PRNGKey(8), data)
+    mu_hat = np.sort(np.asarray(m.get_samples()["mu"]), axis=-1).mean(0)
+    assert abs(mu_hat[0] + 2.0) < 0.4 and abs(mu_hat[1] - 2.0) < 0.4

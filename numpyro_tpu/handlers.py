@@ -108,24 +108,150 @@ class block(Messenger):
         super().__init__(fn)
 
     def process_message(self, msg):
-        if self.hide_fn(msg):
-            msg["stop"] = True
+        # prng_key messages always propagate so hidden sites can still draw
+        # keys from an outer seed (reference: handlers.py:313-328)
+        if not self.hide_fn(msg) or msg["type"] == "prng_key":
+            return
+        msg["stop"] = True
+        if (
+            msg["type"] in ("sample", "plate", "control_flow")
+            and msg.get("value") is None
+            and msg.get("kwargs", {}).get("rng_key") is None
+        ):
+            import numpyro_tpu
+
+            msg["kwargs"]["rng_key"] = numpyro_tpu.prng_key()
 
 
-class collapse(trace):
-    """Collapse conjugate sample sites into a compound site.
+class collapse(Messenger):
+    """Analytically collapse conjugate prior/likelihood pairs
+    (reference: handlers.py:331 — there funsor-lazy; here direct conjugacy
+    rules, so the collapsed density is plain XLA with no extra dependency).
 
-    Not yet implemented — use the explicit conjugate distributions
-    (BetaBinomial, GammaPoisson, DirichletMultinomial) instead; the funsor
-    dependency of the reference is deliberately replaced by direct
-    conjugacy in this engine.
+    The prior site inside the context is removed; it yields a lazy
+    placeholder which must be consumed *unchanged* as the parameter of
+    exactly one downstream likelihood site, which is rewritten to the
+    compound marginal:
+
+    - ``Beta`` + ``Bernoulli/Binomial(probs)`` → ``BetaBinomial``
+    - ``Gamma`` + ``Poisson(rate)`` → ``GammaPoisson``
+    - ``Dirichlet`` + ``Multinomial/Categorical(probs)`` →
+      ``DirichletMultinomial``
+    - ``Normal`` + ``Normal(loc)`` → marginal ``Normal``
+
+    Each prior instance may serve one likelihood draw (elementwise batching
+    is fine; sharing one prior across a plate of draws needs the joint
+    compound — use the explicit conjugate distributions for that).
     """
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "collapse is not implemented yet; use explicit conjugate "
-            "distributions (BetaBinomial, GammaPoisson) instead"
-        )
+    def __enter__(self):
+        self._lazy = {}  # id(placeholder) -> {"name", "fn", "used"}
+        return super().__enter__()
+
+    def __exit__(self, exc_type, exc_value, tb):
+        if exc_type is None:
+            unused = [
+                rec["name"] for rec in self._lazy.values() if not rec["used"]
+            ]
+            if unused:
+                raise RuntimeError(
+                    f"collapse: sites {unused} were collapsed but never "
+                    "consumed by a downstream conjugate likelihood"
+                )
+        return super().__exit__(exc_type, exc_value, tb)
+
+    _COLLAPSIBLE_PRIORS = ("Beta", "Gamma", "Dirichlet", "Normal")
+
+    def _find_placeholder(self, value):
+        return self._lazy.get(id(value))
+
+    def process_message(self, msg):
+        import numpyro_tpu.distributions as dist
+
+        if msg["type"] != "sample":
+            return
+        fn = msg["fn"]
+        base = fn
+        # unwrap ExpandedDistribution/Independent for rule matching
+        while isinstance(base, (dist.ExpandedDistribution, dist.Independent)):
+            base = base.base_dist
+
+        if not msg["is_observed"] and msg["value"] is None:
+            if type(base).__name__ in self._COLLAPSIBLE_PRIORS:
+                placeholder = jnp.full(fn.shape(), jnp.nan)
+                self._lazy[id(placeholder)] = {
+                    "name": msg["name"],
+                    "fn": base,
+                    "used": False,
+                }
+                msg["value"] = placeholder
+                msg["stop"] = True
+                msg["type"] = "collapsed"
+                return
+            return
+
+        # likelihood site: does a distribution parameter match a placeholder?
+        rewritten = self._rewrite(base)
+        if rewritten is not None:
+            msg["fn"] = rewritten
+
+    def _rewrite(self, base):
+        import numpyro_tpu.distributions as dist
+
+        name = type(base).__name__
+        if name in ("Bernoulli", "BernoulliProbs", "Binomial", "BinomialProbs"):
+            rec = self._find_placeholder(getattr(base, "probs", None))
+            if rec is None:
+                return None
+            self._check_prior(rec, "Beta")
+            rec["used"] = True
+            total = getattr(base, "total_count", 1)
+            return dist.BetaBinomial(
+                rec["fn"].concentration1, rec["fn"].concentration0, total
+            )
+        if name in ("Poisson",):
+            rec = self._find_placeholder(base.rate)
+            if rec is None:
+                return None
+            self._check_prior(rec, "Gamma")
+            rec["used"] = True
+            return dist.GammaPoisson(rec["fn"].concentration, rec["fn"].rate)
+        if name in ("Multinomial", "MultinomialProbs", "Categorical", "CategoricalProbs"):
+            rec = self._find_placeholder(getattr(base, "probs", None))
+            if rec is None:
+                return None
+            self._check_prior(rec, "Dirichlet")
+            rec["used"] = True
+            conc = rec["fn"].concentration
+            if name in ("Categorical", "CategoricalProbs"):
+                return dist.Categorical(probs=conc / conc.sum(-1, keepdims=True))
+            return dist.DirichletMultinomial(conc, base.total_count)
+        if name == "Normal":
+            rec = self._find_placeholder(base.loc)
+            if rec is None:
+                return None
+            self._check_prior(rec, "Normal")
+            rec["used"] = True
+            prior = rec["fn"]
+            return dist.Normal(
+                prior.loc, jnp.sqrt(prior.scale**2 + base.scale**2)
+            )
+        return None
+
+    @staticmethod
+    def _check_prior(rec, expected):
+        if type(rec["fn"]).__name__ != expected:
+            raise NotImplementedError(
+                f"collapse: no conjugacy rule for prior "
+                f"{type(rec['fn']).__name__} at site {rec['name']}"
+            )
+        if rec["used"]:
+            raise NotImplementedError(
+                f"collapse: site {rec['name']} consumed by more than one "
+                "likelihood draw; a shared collapsed prior needs the joint "
+                "compound — use BetaBinomial/GammaPoisson/"
+                "DirichletMultinomial explicitly"
+            )
 
 
 class condition(Messenger):

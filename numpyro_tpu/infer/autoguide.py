@@ -55,6 +55,7 @@ __all__ = [
     "AutoLowRankMultivariateNormal",
     "AutoMultivariateNormal",
     "AutoNormal",
+    "AutoSemiDAIS",
     "AutoSurrogateLikelihoodDAIS",
 ]
 
@@ -1288,3 +1289,414 @@ class AutoBatchedLowRankMultivariateNormal(AutoBatchedMixin, AutoContinuous):
     def median(self, params):
         loc = params[f"{self.prefix}_loc"].reshape((self.latent_dim,))
         return self._unpack_and_constrain(loc, params)
+
+
+def _flatten_local_dict(values):
+    """Concatenate a dict of arrays (sorted by name) into one flat vector,
+    returning (flat, shape_dict)."""
+    names = sorted(values)
+    flat = jnp.concatenate([jnp.reshape(values[n], (-1,)) for n in names])
+    shapes = {n: jnp.shape(values[n]) for n in names}
+    return flat, shapes
+
+
+def _unflatten_local_dict(flat, shapes):
+    out, pos = {}, 0
+    for n in sorted(shapes):
+        size = int(np.prod(shapes[n])) if shapes[n] else 1
+        out[n] = jnp.reshape(flat[pos : pos + size], shapes[n])
+        pos += size
+    return out
+
+
+def _subsample_model(model, *args, **kwargs):
+    """Pin plate subsample indices via the ``_subsample_idx`` kwarg
+    (reference: autoguide.py:1229)."""
+    data = kwargs.pop("_subsample_idx", {})
+    with handlers.substitute(data=data):
+        return model(*args, **kwargs)
+
+
+class AutoSemiDAIS(AutoGuide):
+    """Semi-parametric DAIS (Jankowiak & Phan): a parametric guide over the
+    global latents combined with Differentiable Annealed Importance Sampling
+    over the *local* latents inside a subsample plate — the subsample-capable
+    sibling of :class:`AutoDAIS` (reference: autoguide.py:1235).
+
+    TPU shape note: the K annealed uncorrected-HMC steps run in one
+    ``lax.scan`` over a ``(subsample, D)`` local-latent matrix, so all
+    per-datum dynamics are batched elementwise programs with no host loop.
+
+    :param callable model: full model (globals + locals).
+    :param callable local_model: the local portion; called with the return
+        value of the global model.
+    :param global_guide: autoguide for the global latents (or None).
+    :param local_guide: optional guide whose samples serve as the DAIS base
+        distribution for the locals.
+    """
+
+    def __init__(
+        self,
+        model,
+        local_model,
+        global_guide=None,
+        local_guide=None,
+        *,
+        prefix="auto",
+        K=4,
+        eta_init=0.01,
+        eta_max=0.1,
+        gamma_init=0.9,
+        init_scale=0.1,
+        subsample_plate=None,
+        use_global_dais_params=False,
+    ):
+        super().__init__(model, prefix=prefix, init_loc_fn=init_to_uniform)
+        if K < 1:
+            raise ValueError(f"K must satisfy K >= 1 (got K = {K})")
+        if eta_init <= 0.0 or eta_init >= eta_max:
+            raise ValueError("eta_init must be positive with eta_init < eta_max.")
+        if eta_max <= 0.0:
+            raise ValueError("eta_max must be positive.")
+        if gamma_init <= 0.0 or gamma_init >= 1.0:
+            raise ValueError("gamma_init must be in the open interval (0, 1).")
+        if init_scale <= 0.0:
+            raise ValueError("init_scale must be positive.")
+        self.local_model = local_model
+        self.global_guide = global_guide
+        self.local_guide = local_guide
+        self.K = K
+        self.eta_init = eta_init
+        self.eta_max = eta_max
+        self.gamma_init = gamma_init
+        self._init_scale = init_scale
+        self.subsample_plate = subsample_plate
+        self.use_global_dais_params = use_global_dais_params
+
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        subsample_plates = {
+            name: site
+            for name, site in self.prototype_trace.items()
+            if site["type"] == "plate"
+            and isinstance(site["args"][1], int)
+            and site["args"][0] > site["args"][1]
+        }
+        if self.subsample_plate is not None:
+            subsample_plates[self.subsample_plate] = self.prototype_trace[
+                self.subsample_plate
+            ]
+        elif not subsample_plates:
+            subsample_plates = {
+                name: site
+                for name, site in self.prototype_trace.items()
+                if site["type"] == "plate"
+            }
+        if len(subsample_plates) != 1:
+            raise ValueError(
+                "AutoSemiDAIS expects exactly one data (subsample) plate, "
+                f"found {len(subsample_plates)}"
+            )
+        plate_name = next(iter(subsample_plates))
+        N, subsample_size = subsample_plates[plate_name]["args"]
+        if subsample_size is None:
+            subsample_size = N
+
+        # identify local latents (inside the plate) and the axis the plate
+        # occupies in each one
+        self._local_axes = {}
+        plate_dim = None
+        for name, site in self.prototype_trace.items():
+            if site["type"] == "sample" and not site["is_observed"]:
+                for frame in site["cond_indep_stack"]:
+                    if frame.name == plate_name:
+                        if plate_dim is None:
+                            plate_dim = frame.dim
+                        self._local_axes[name] = plate_dim - site["fn"].event_dim
+                        break
+        if not self._local_axes:
+            raise RuntimeError(
+                f"No local latent variables found in plate `{plate_name}`; "
+                "AutoSemiDAIS requires local variables."
+            )
+
+        local_init = {
+            n: v for n, v in self._init_locs.items() if n in self._local_axes
+        }
+        one = {
+            n: jnp.take(v, 0, axis=self._local_axes[n])
+            for n, v in local_init.items()
+        }
+        _, self._local_shapes = _flatten_local_dict(one)
+        self._pack_local = vmap(
+            lambda x: _flatten_local_dict(x)[0], in_axes=(self._local_axes,)
+        )
+        unpack_one = partial(_unflatten_local_dict, shapes=self._local_shapes)
+        self._unpack_local = vmap(unpack_one, out_axes=self._local_axes)
+        local_flat = self._pack_local(local_init)
+        self._local_latent_dim = jnp.size(local_flat) // subsample_size
+        self._local_plate = (plate_name, N, subsample_size)
+
+        if self.global_guide is not None:
+            with handlers.block():
+                local_args = (self.global_guide.model(*args, **kwargs),)
+                local_kwargs = {}
+        else:
+            local_args = args
+            local_kwargs = kwargs.copy()
+        if self.local_guide is not None:
+            with handlers.block(), handlers.trace() as tr:
+                self.local_guide(*local_args, **local_kwargs)
+            self._proto_local_guide_trace = tr
+        with handlers.block(), handlers.trace() as tr:
+            self.local_model(*local_args, **local_kwargs)
+        self._proto_local_model_trace = tr
+
+    def _get_posterior(self):
+        raise NotImplementedError
+
+    def __call__(self, *args, **kwargs):
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+        global_latents, local_flat = self._sample_latent(*args, **kwargs)
+
+        result = dict(global_latents)
+        _, N, subsample_size = self._local_plate
+        for name, unconstrained in self._unpack_local(local_flat).items():
+            site = self.prototype_trace[name]
+            transform = biject_to(site["fn"].support)
+            value = transform(unconstrained)
+            event_ndim = site["fn"].event_dim
+            if numpyro_tpu.get_mask() is False:
+                log_density = 0.0
+            else:
+                log_density = -transform.log_abs_det_jacobian(unconstrained, value)
+                log_density = (N / subsample_size) * sum_rightmost(
+                    log_density,
+                    jnp.ndim(log_density) - jnp.ndim(value) + event_ndim,
+                )
+            result[name] = numpyro_tpu.sample(
+                name, dist.Delta(value, log_density=log_density, event_dim=event_ndim)
+            )
+        return result
+
+    def _sample_latent(self, *args, **kwargs):
+        kwargs.pop("sample_shape", ())
+        if self.global_guide is not None:
+            global_latents = self.global_guide(*args, **kwargs)
+            with handlers.block(), handlers.substitute(data=global_latents):
+                global_outputs = self.global_guide.model(*args, **kwargs)
+            local_args = (global_outputs,)
+            local_kwargs = {}
+        else:
+            global_latents = {}
+            local_args = args
+            local_kwargs = kwargs.copy()
+
+        local_guide_params = {}
+        if self.local_guide is not None:
+            for name, site in self._proto_local_guide_trace.items():
+                if site["type"] == "param":
+                    local_guide_params[name] = numpyro_tpu.param(
+                        name, site["value"], **site["kwargs"]
+                    )
+        local_model_params = {}
+        for name, site in self._proto_local_model_trace.items():
+            if site["type"] == "param":
+                local_model_params[name] = numpyro_tpu.param(
+                    name, site["value"], **site["kwargs"]
+                )
+
+        def local_log_density(x):
+            latent = self._unpack_local(x)
+            with handlers.block():
+                return -infer_util.potential_energy(
+                    partial(_subsample_model, self.local_model),
+                    local_args,
+                    local_kwargs,
+                    {**latent, **local_model_params},
+                )
+
+        plate_name, N, subsample_size = self._local_plate
+        D, K = self._local_latent_dim, self.K
+        pfx = self.prefix
+
+        with numpyro_tpu.plate(plate_name, N, subsample_size=subsample_size) as idx:
+            if self.use_global_dais_params:
+                eta0 = numpyro_tpu.param(
+                    f"{pfx}_eta0",
+                    self.eta_init,
+                    constraint=constraints.interval(0, self.eta_max),
+                )
+                eta0 = jnp.broadcast_to(eta0, idx.shape)
+                eta_coeff = jnp.broadcast_to(
+                    numpyro_tpu.param(f"{pfx}_eta_coeff", 0.0), idx.shape
+                )
+                gamma = jnp.broadcast_to(
+                    numpyro_tpu.param(
+                        f"{pfx}_gamma",
+                        self.gamma_init,
+                        constraint=constraints.interval(0, 1),
+                    ),
+                    idx.shape,
+                )
+                betas = jnp.broadcast_to(
+                    numpyro_tpu.param(
+                        f"{pfx}_beta_increments",
+                        jnp.ones(K),
+                        constraint=constraints.positive,
+                    ),
+                    idx.shape + (K,),
+                )
+                mass_matrix = jnp.broadcast_to(
+                    numpyro_tpu.param(
+                        f"{pfx}_mass_matrix",
+                        jnp.ones(D),
+                        constraint=constraints.positive,
+                    ),
+                    idx.shape + (D,),
+                )
+            else:
+                eta0 = numpyro_tpu.param(
+                    f"{pfx}_eta0",
+                    jnp.full(N, self.eta_init),
+                    constraint=constraints.interval(0, self.eta_max),
+                    event_dim=0,
+                )
+                eta_coeff = numpyro_tpu.param(
+                    f"{pfx}_eta_coeff", jnp.zeros(N), event_dim=0
+                )
+                gamma = numpyro_tpu.param(
+                    f"{pfx}_gamma",
+                    jnp.full(N, self.gamma_init),
+                    constraint=constraints.interval(0, 1),
+                    event_dim=0,
+                )
+                betas = numpyro_tpu.param(
+                    f"{pfx}_beta_increments",
+                    jnp.ones((N, K)),
+                    constraint=constraints.positive,
+                    event_dim=1,
+                )
+                mass_matrix = numpyro_tpu.param(
+                    f"{pfx}_mass_matrix",
+                    jnp.ones((N, D)),
+                    constraint=constraints.positive,
+                    event_dim=1,
+                )
+
+            betas = jnp.cumsum(betas, axis=-1)
+            betas = betas / betas[..., -1:]
+            inv_mass_matrix = 0.5 / mass_matrix
+
+            local_kwargs["_subsample_idx"] = {plate_name: idx}
+            if self.local_guide is not None:
+                subsample_guide = partial(_subsample_model, self.local_guide)
+                with handlers.block(), handlers.trace() as tr, handlers.substitute(
+                    data=local_guide_params
+                ):
+                    subsample_guide(*local_args, **local_kwargs)
+                latent = {
+                    name: biject_to(site["fn"].support).inv(site["value"])
+                    for name, site in tr.items()
+                    if site["type"] == "sample"
+                    and not site.get("is_observed", False)
+                }
+                z_0 = self._pack_local(latent)
+
+                def base_log_prob(z):
+                    latent = self._unpack_local(z)
+                    with handlers.block():
+                        scale = N / subsample_size
+                        return (
+                            -infer_util.potential_energy(
+                                subsample_guide,
+                                local_args,
+                                local_kwargs,
+                                {**local_guide_params, **latent},
+                            )
+                            / scale
+                        )
+
+                # emitted under the plate: broadcast over subsample_size, so
+                # pre-divide to keep the total contribution exact
+                numpyro_tpu.factor(
+                    f"{pfx}_z_0_factor", base_log_prob(z_0) / subsample_size
+                )
+            else:
+                z_0_loc = numpyro_tpu.param(
+                    f"{pfx}_z_0_loc", jnp.zeros((N, D)), event_dim=1
+                )
+                z_0_scale = numpyro_tpu.param(
+                    f"{pfx}_z_0_scale",
+                    jnp.full((N, D), self._init_scale),
+                    constraint=constraints.positive,
+                    event_dim=1,
+                )
+                base_z_dist = dist.Normal(z_0_loc, z_0_scale).to_event(1)
+                z_0 = numpyro_tpu.sample(
+                    f"{pfx}_z_0", base_z_dist, infer={"is_auxiliary": True}
+                )
+
+                def base_log_prob(x):
+                    return base_z_dist.log_prob(x).sum()
+
+            momentum_dist = dist.Normal(0, mass_matrix).to_event(1)
+            eps = numpyro_tpu.sample(
+                f"{pfx}_momentum",
+                dist.Normal(0, mass_matrix[..., None])
+                .expand([subsample_size, D, K])
+                .to_event(2)
+                .mask(False),
+                infer={"is_auxiliary": True},
+            )
+
+            def scan_body(carry, eps_beta):
+                eps_k, beta = eps_beta
+                eta = jnp.clip(eta0 + eta_coeff * beta, 0.0, self.eta_max)
+                z_prev, v_prev, log_factor = carry
+                z_half = z_prev + v_prev * eta[:, None] * inv_mass_matrix
+                q_grad = (1.0 - beta[:, None]) * grad(base_log_prob)(z_half)
+                p_grad = (
+                    beta[:, None]
+                    * (subsample_size / N)
+                    * grad(local_log_density)(z_half)
+                )
+                v_hat = v_prev + eta[:, None] * (q_grad + p_grad)
+                z = z_half + v_hat * eta[:, None] * inv_mass_matrix
+                v = gamma[:, None] * v_hat + jnp.sqrt(
+                    1 - gamma[:, None] ** 2
+                ) * eps_k
+                log_factor = (
+                    log_factor
+                    + momentum_dist.log_prob(v_prev)
+                    - momentum_dist.log_prob(v_hat)
+                )
+                return (z, v, log_factor), None
+
+            v_0 = eps[:, :, -1]  # the scan result does not depend on this slot
+            eps_T = jnp.moveaxis(eps, -1, 0)
+            (z, _, log_factor), _ = jax.lax.scan(
+                scan_body, (z_0, v_0, jnp.zeros(subsample_size)), (eps_T, betas.T)
+            )
+            numpyro_tpu.factor(f"{pfx}_local_dais_factor", log_factor)
+            return global_latents, z
+
+    def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
+        def _single(_key):
+            global_latents, local_flat = handlers.substitute(
+                handlers.seed(self._sample_latent, _key), params
+            )(*args, **kwargs)
+            out = dict(global_latents)
+            for name, unconstrained in self._unpack_local(local_flat).items():
+                site = self.prototype_trace[name]
+                out[name] = biject_to(site["fn"].support)(unconstrained)
+            return out
+
+        if sample_shape:
+            keys = random.split(rng_key, int(np.prod(sample_shape)))
+            samples = jax.lax.map(_single, keys)
+            return jax.tree.map(
+                lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), samples
+            )
+        return _single(rng_key)

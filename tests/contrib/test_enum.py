@@ -462,3 +462,63 @@ def test_scan_enum_nuts_recovers_emissions():
     m.run(random.PRNGKey(8), data)
     mu_hat = np.sort(np.asarray(m.get_samples()["mu"]), axis=-1).mean(0)
     assert abs(mu_hat[0] + 2.0) < 0.4 and abs(mu_hat[1] - 2.0) < 0.4
+
+
+def test_infer_discrete_markov_chain():
+    """Markov-recycled dims: infer_discrete matches brute-force posterior
+    marginals and the exact Viterbi path on a small HMM."""
+    import itertools
+
+    from numpyro_tpu.contrib.enum import markov
+
+    T, K = 5, 2
+    P = jnp.array([[0.8, 0.2], [0.3, 0.7]])
+    locs = jnp.array([-1.0, 1.0])
+    ys = jnp.array([-0.9, 1.2, 0.8, -1.1, 0.2])
+
+    def hmm():
+        x = 0
+        for t in markov(range(T), history=1):
+            x = numpyro_tpu.sample(
+                f"x_{t}", dist.Categorical(P[x]),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample(f"y_{t}", dist.Normal(locs[x], 1.0), obs=ys[t])
+
+    em = np.asarray(dist.Normal(locs, 1.0).log_prob(ys[:, None]))
+    logP = np.log(np.asarray(P))
+    paths = []
+    for path in itertools.product(range(K), repeat=T):
+        lp = logP[0, path[0]] + em[0, path[0]]
+        for t in range(1, T):
+            lp += logP[path[t - 1], path[t]] + em[t, path[t]]
+        paths.append((path, lp))
+    logZ = logsumexp(jnp.array([lp for _, lp in paths]))
+    post = np.zeros((T, K))
+    for path, lp in paths:
+        w = np.exp(lp - logZ)
+        for t in range(T):
+            post[t, path[t]] += w
+
+    S = 2000
+    keys = random.split(random.PRNGKey(0), S)
+
+    def draw(key):
+        sampled = infer_discrete(
+            hmm, first_available_dim=-1, temperature=1, rng_key=key
+        )
+        with handlers.block(), handlers.trace() as tr, handlers.seed(rng_seed=0):
+            sampled()
+        return jnp.stack([tr[f"x_{t}"]["value"] for t in range(T)])
+
+    draws = jax.vmap(draw)(keys)
+    emp = np.asarray((draws == 1).mean(0))
+    assert np.allclose(emp, post[:, 1], atol=0.05)
+
+    mapped = infer_discrete(
+        hmm, first_available_dim=-1, temperature=0, rng_key=random.PRNGKey(5)
+    )
+    with handlers.block(), handlers.trace() as tr, handlers.seed(rng_seed=0):
+        mapped()
+    map_path = tuple(int(tr[f"x_{t}"]["value"]) for t in range(T))
+    assert map_path == max(paths, key=lambda pl: pl[1])[0]

@@ -7,9 +7,11 @@ from jax import random
 
 import numpyro_tpu
 import numpyro_tpu.distributions as dist
+from numpyro_tpu import handlers
 from numpyro_tpu.infer import SVI, Trace_ELBO
 from numpyro_tpu.infer.autoguide import (
     AutoBatchedLowRankMultivariateNormal,
+    AutoNormal,
     AutoBatchedMultivariateNormal,
     AutoBNAFNormal,
     AutoDAIS,
@@ -95,3 +97,38 @@ def test_bnaf_logdet_exact():
     J = jax.vmap(jax.jacfwd(t))(x)
     _, logdet = np.linalg.slogdet(np.asarray(J))
     np.testing.assert_allclose(t.log_abs_det_jacobian(x, y), logdet, atol=1e-4)
+
+
+def test_auto_semi_dais():
+    """AutoSemiDAIS: parametric global guide + local DAIS under a subsample
+    plate (reference: autoguide.py:1235)."""
+    from numpyro_tpu.infer.autoguide import AutoSemiDAIS
+
+    N = 16
+    data = 1.5 + 0.5 * random.normal(random.PRNGKey(0), (N,))
+
+    def global_model():
+        return numpyro_tpu.sample("theta", dist.Normal(0, 3))
+
+    def local_model(theta):
+        with numpyro_tpu.plate("data", N, subsample_size=8):
+            tau = numpyro_tpu.sample("tau", dist.Gamma(5.0, 5.0))
+            batch = numpyro_tpu.subsample(data, event_dim=0)
+            numpyro_tpu.sample(
+                "obs", dist.Normal(theta, 1 / jnp.sqrt(tau)), obs=batch
+            )
+
+    def model():
+        return local_model(global_model())
+
+    guide = AutoSemiDAIS(model, local_model, AutoNormal(global_model), K=3)
+    svi = SVI(model, guide, Adam(5e-3), Trace_ELBO())
+    res = svi.run(random.PRNGKey(1), 700, progress_bar=False)
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses[-50:]).all()
+    assert losses[-50:].mean() < losses[:3].mean()
+
+    with handlers.substitute(data={"data": jnp.arange(8)}):
+        s = guide.sample_posterior(random.PRNGKey(2), res.params)
+    assert s["tau"].shape == (8,)
+    assert np.isfinite(float(s["theta"]))

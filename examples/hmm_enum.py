@@ -10,6 +10,7 @@ from jax import random
 
 import numpyro_tpu
 import numpyro_tpu.distributions as dist
+from numpyro_tpu.contrib.control_flow import scan
 from numpyro_tpu.contrib.enum import markov
 from numpyro_tpu.infer import MCMC, NUTS
 
@@ -45,10 +46,31 @@ def model(ys):
         numpyro_tpu.sample(f"y_{t}", dist.Normal(locs[z], sigma), obs=ys[t])
 
 
+def scan_model(ys):
+    """Same HMM through the effectful ``scan``: the python loop becomes one
+    compiled lax.scan and the enumerated time axis collapses via an
+    associative logmatmulexp chain (O(log T) depth on the MXU) — the form
+    that scales to long sequences."""
+    probs = numpyro_tpu.sample(
+        "trans", dist.Dirichlet(jnp.ones((2, 2))).to_event(1)
+    )
+    locs = jnp.array([-1.0, 1.0])
+    sigma = numpyro_tpu.sample("sigma", dist.HalfNormal(1.0))
+
+    def transition(z_prev, y):
+        z = numpyro_tpu.sample(
+            "z", dist.Categorical(probs[z_prev]), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample("y", dist.Normal(locs[z], sigma), obs=y)
+        return z, None
+
+    scan(transition, 0, ys)
+
+
 def main(args):
     ys = make_data(args.num_steps)
     mcmc = MCMC(
-        NUTS(model),
+        NUTS(scan_model if args.use_scan else model),
         num_warmup=args.num_warmup,
         num_samples=args.num_samples,
         progress_bar=False,
@@ -62,4 +84,6 @@ if __name__ == "__main__":
     p.add_argument("--num-warmup", type=int, default=300)
     p.add_argument("--num-samples", type=int, default=300)
     p.add_argument("--num-steps", type=int, default=50)
+    p.add_argument("--use-scan", action="store_true",
+                   help="use the scan/parallel-chain form of the model")
     main(p.parse_args())

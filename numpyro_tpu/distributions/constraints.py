@@ -636,3 +636,32 @@ softplus_positive = _SoftplusPositive()
 sphere = _Sphere()
 unit_interval = _UnitInterval()
 zero_sum = _ZeroSum
+
+
+# ---------------------------------------------------------------------------
+# Singleton identity across pickling.  Code throughout the library (and user
+# code) compares against module-level singletons with `is` (e.g.
+# `domain is real`); pickle would otherwise rebuild fresh instances and
+# silently break those checks, so singletons round-trip by name.
+# ---------------------------------------------------------------------------
+
+
+def _get_singleton(name):
+    return globals()[name]
+
+
+_SINGLETON_NAMES = {
+    id(_val): _name
+    for _name, _val in list(globals().items())
+    if isinstance(_val, Constraint)
+}
+
+
+def _constraint_reduce(self):
+    name = _SINGLETON_NAMES.get(id(self))
+    if name is not None:
+        return (_get_singleton, (name,))
+    return object.__reduce_ex__(self, 2)
+
+
+Constraint.__reduce__ = _constraint_reduce

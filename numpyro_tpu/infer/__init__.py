@@ -23,6 +23,7 @@ from numpyro_tpu.infer.elbo import (
     TraceMeanField_ELBO,
 )
 from numpyro_tpu.infer.barker import BarkerMH
+from numpyro_tpu.infer.chees import CheesHMC
 from numpyro_tpu.infer.ensemble import AIES, ESS, EnsembleSampler
 from numpyro_tpu.infer.hmc import HMC, NUTS
 from numpyro_tpu.infer.hmc_gibbs import (
@@ -52,6 +53,7 @@ __all__ = [
     "AIES",
     "autoguide",
     "BarkerMH",
+    "CheesHMC",
     "ELBO",
     "EnsembleSampler",
     "ESS",

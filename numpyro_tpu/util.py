@@ -275,7 +275,9 @@ def fori_collect(
         # clamp idx so the scatter is always in-bounds; mask selects whether
         # the write survives (branchless — fuses into one program)
         write_idx = jnp.clip(idx, 0, collection_size - 1)
-        do_write = (idx >= 0) & ((i - start_idx) % thinning == 0)
+        # keep the LAST draw of each stride (reference semantics: every
+        # iteration overwrites its slot, so the stride's final value wins)
+        do_write = (idx >= 0) & ((i - start_idx) % thinning == thinning - 1)
         collection = jax.tree.map(
             lambda buf, v: buf.at[write_idx].set(
                 jnp.where(do_write, v, buf[write_idx])

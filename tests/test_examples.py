@@ -30,6 +30,15 @@ CASES = [
     "annotation.py --num-warmup 30 --num-samples 30 --num-items 20",
     "neutra.py --num-iters 300 --num-warmup 50 --num-samples 80",
     "hmm_enum.py --num-warmup 30 --num-samples 30 --num-steps 15 --use-scan",
+    "stein_bnn.py --num-iters 100 --num-data 30 --num-particles 4",
+    "dais_demo.py --num-iters 300 --num-data 50",
+    "holt_winters.py --num-warmup 50 --num-samples 50 --num-steps 40",
+    "capture_recapture.py --num-warmup 50 --num-samples 50 --num-steps 6 "
+    "--num-animals 20",
+    "toy_mixture_model_discrete_enumeration.py --num-iters 300 --num-data 200",
+    "proportion_test.py --num-warmup 50 --num-samples 60 --num-data 400",
+    "ucbadmit.py --num-warmup 60 --num-samples 60",
+    "var2.py --num-warmup 50 --num-samples 50 --num-steps 60",
 ]
 
 

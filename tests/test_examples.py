@@ -39,6 +39,9 @@ CASES = [
     "proportion_test.py --num-warmup 50 --num-samples 60 --num-data 400",
     "ucbadmit.py --num-warmup 60 --num-samples 60",
     "var2.py --num-warmup 50 --num-samples 50 --num-steps 60",
+    "vae.py --num-iters 50 --batch-size 32",
+    "hsgp_example.py --num-warmup 40 --num-samples 40 --num-data 40",
+    "minipyro.py --num-iters 150",
 ]
 
 

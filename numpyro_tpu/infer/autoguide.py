@@ -81,24 +81,28 @@ class AutoGuide(ABC):
         self._prototype_frame_full_sizes = {}
 
     def _create_plates(self, *args, **kwargs):
+        # NB: returned fresh each call and NOT stored on self — plate
+        # objects hold their subsample indices, and retaining them would
+        # leak tracers out of a surrounding jit/scan trace (e.g. SVI.run's
+        # fused update loop under JAX_CHECK_TRACER_LEAKS)
         if self.create_plates is None:
-            self.plates = {}
+            plates = {}
         else:
-            plates = self.create_plates(*args, **kwargs)
-            if isinstance(plates, numpyro_tpu.plate):
-                plates = [plates]
+            created = self.create_plates(*args, **kwargs)
+            if isinstance(created, numpyro_tpu.plate):
+                created = [created]
             assert all(
-                isinstance(p, numpyro_tpu.plate) for p in plates
+                isinstance(p, numpyro_tpu.plate) for p in created
             ), "create_plates() returned a non-plate"
-            self.plates = {p.name: p for p in plates}
+            plates = {p.name: p for p in created}
         for name, frame in sorted(self._prototype_frames.items()):
-            if name not in self.plates:
+            if name not in plates:
                 full_size = self._prototype_frame_full_sizes[name]
-                self.plates[name] = numpyro_tpu.plate(
+                plates[name] = numpyro_tpu.plate(
                     name, full_size, dim=frame.dim,
                     subsample_size=frame.subsample_size if frame.subsample_size != full_size else None,
                 )
-        return self.plates
+        return plates
 
     @abstractmethod
     def __call__(self, *args, **kwargs):

@@ -75,3 +75,32 @@ def test_chees_requires_chain_batch():
         CheesHMC(potential_fn=pot).init(
             random.PRNGKey(0), 10, init_params={"x": jnp.zeros(2)}
         )
+
+
+def test_chees_sharded_parallel_chains():
+    """chain_method='parallel': the chain axis is GSPMD-sharded over the
+    device mesh, so pooled accept/ChEES/Welford statistics lower to
+    cross-device collectives."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+
+    D = 4
+
+    def pot(z):
+        return 0.5 * jnp.sum((z["x"] - jnp.arange(D)) ** 2)
+
+    C = 64
+    m = MCMC(
+        CheesHMC(potential_fn=pot),
+        num_warmup=300,
+        num_samples=300,
+        num_chains=C,
+        chain_method="parallel",
+        progress_bar=False,
+    )
+    m.run(random.PRNGKey(0), init_params={"x": jnp.zeros((C, D))})
+    xs = np.asarray(m.get_samples()["x"]).reshape(-1, D)
+    assert np.allclose(xs.mean(0), np.arange(D), atol=0.1)
+    assert np.allclose(xs.std(0), 1.0, atol=0.15)

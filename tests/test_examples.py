@@ -42,6 +42,9 @@ CASES = [
     "vae.py --num-iters 50 --batch-size 32",
     "hsgp_example.py --num-warmup 40 --num-samples 40 --num-data 40",
     "minipyro.py --num-iters 150",
+    "mortality.py --num-warmup 50 --num-samples 50 --num-ages 6 --num-times 4",
+    "ssbvm_mixture.py --num-warmup 40 --num-samples 40 --num-data 80",
+    "thompson_sampling.py --num-rounds 2",
 ]
 
 

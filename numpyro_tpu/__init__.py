@@ -37,6 +37,7 @@ from numpyro_tpu.infer.inspect import get_dependencies, render_model
 __version__ = "0.1.0"
 
 __all__ = [
+    "compat",
     "__version__",
     "deterministic",
     "diagnostics",

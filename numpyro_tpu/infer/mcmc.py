@@ -155,6 +155,9 @@ class MCMC:
         # HMCState = postprocessed values of the last run
         self._cache = {}
         self._collection_params = {}
+        # wall-clock per phase ({"warmup_s": ..., "sample_s": ...}), the
+        # per-phase timers promised in SURVEY §5
+        self.last_run_stats = {}
         self._set_collection_params()
 
     def _get_cached_fns(self):
@@ -266,7 +269,11 @@ class MCMC:
 
     def run(self, rng_key, *args, extra_fields=(), init_params=None, **kwargs):
         """Run warmup + sampling and collect fields (reference:
-        infer/mcmc.py:626-757)."""
+        infer/mcmc.py:626-757).  Wall time of the phase (including device
+        sync) lands in ``self.last_run_stats``."""
+        import time as _time
+
+        _t0 = _time.time()
         init_state = self._warmup_state
         if init_state is not None:
             # resuming from a warmed-up state: no warmup steps to skip
@@ -345,6 +352,15 @@ class MCMC:
                 self._states = states
                 self._states_flat = None
                 self._postprocess_states(states, postprocess_fn, collect_fields)
+                jax.block_until_ready(
+                    _get_value_from_state(last_state, self._sample_field)
+                )
+                phase = (
+                    "warmup"
+                    if self._collection_params.get("phase") == "warmup"
+                    else "sample"
+                )
+                self.last_run_stats[f"{phase}_s"] = _time.time() - _t0
                 return
             elif self.chain_method == "parallel":
                 # chain-massive SPMD: vectorized program + sharded chain axis.
@@ -370,6 +386,11 @@ class MCMC:
         self._states = states
         self._states_flat = None
         self._postprocess_states(states, postprocess_fn, collect_fields)
+        jax.block_until_ready(
+            _get_value_from_state(last_state, self._sample_field)
+        )
+        phase = "warmup" if self._collection_params.get("phase") == "warmup" else "sample"
+        self.last_run_stats[f"{phase}_s"] = _time.time() - _t0
 
     def _shard_over_chains(self, rng_key):
         n_dev = local_device_count()

@@ -551,3 +551,19 @@ def is_prng_key(key):
     from numpyro_tpu.distributions.util import is_prng_key as _impl
 
     return _impl(key)
+
+
+@contextmanager
+def profiler_trace(log_dir, **kwargs):
+    """Capture a ``jax.profiler`` trace (TensorBoard/Perfetto-viewable)
+    around a block — the profiling hook promised in SURVEY §5 (the reference
+    only points users at jax.profiler in docs)::
+
+        with numpyro_tpu.util.profiler_trace("/tmp/trace"):
+            mcmc.run(key, data)
+    """
+    jax.profiler.start_trace(log_dir, **kwargs)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

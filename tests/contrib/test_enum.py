@@ -13,7 +13,7 @@ from jax.scipy.special import logsumexp
 import numpyro_tpu
 import numpyro_tpu.distributions as dist
 from numpyro_tpu import handlers
-from numpyro_tpu.contrib.enum import config_enumerate, enum, infer_discrete, log_density
+from numpyro_tpu.contrib.enum import config_enumerate, enum, infer_discrete, log_density, markov
 from numpyro_tpu.contrib.enum import log_density as enum_log_density
 from numpyro_tpu.infer import MCMC, NUTS, SVI, TraceEnum_ELBO
 from numpyro_tpu.infer.autoguide import AutoNormal
@@ -522,3 +522,43 @@ def test_infer_discrete_markov_chain():
         mapped()
     map_path = tuple(int(tr[f"x_{t}"]["value"]) for t in range(T))
     assert map_path == max(paths, key=lambda pl: pl[1])[0]
+
+
+def test_markov_history_two_exact():
+    """Second-order chain: markov(history=2) recycles a 3-dim pool and the
+    site-ordered elimination reproduces the exact marginal."""
+    import itertools
+
+    T, K = 6, 2
+    # transition depends on the two previous states
+    logits = random.normal(random.PRNGKey(0), (K, K, K))
+    P = jax.nn.softmax(logits, -1)
+    locs = jnp.array([-1.0, 1.0])
+    ys = random.normal(random.PRNGKey(1), (T,))
+
+    def model():
+        x_prev, x_prev2 = 0, 0
+        for t in markov(range(T), history=2):
+            probs = P[x_prev2, x_prev]
+            x = numpyro_tpu.sample(
+                f"x_{t}", dist.Categorical(probs),
+                infer={"enumerate": "parallel"},
+            )
+            numpyro_tpu.sample(f"y_{t}", dist.Normal(locs[x], 1.0), obs=ys[t])
+            x_prev2, x_prev = x_prev, x
+
+    lj, _ = enum_log_density(
+        enum(config_enumerate(model), first_available_dim=-1), (), {}, {}
+    )
+
+    em = np.asarray(dist.Normal(locs, 1.0).log_prob(ys[:, None]))
+    logP = np.log(np.asarray(P))
+    total = []
+    for path in itertools.product(range(K), repeat=T):
+        lp, p2, p1 = 0.0, 0, 0
+        for t in range(T):
+            lp += logP[p2, p1, path[t]] + em[t, path[t]]
+            p2, p1 = p1, path[t]
+        total.append(lp)
+    expected = logsumexp(jnp.array(total))
+    assert jnp.allclose(lj, expected, rtol=1e-5), (lj, expected)

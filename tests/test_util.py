@@ -57,3 +57,27 @@ def test_format_shapes():
     assert "Trace Shapes:" in out and "w dist" in out and "obs dist" in out
     out_lp = format_shapes(tr, compute_log_prob=True)
     assert "log_prob" in out_lp
+
+
+def test_mcmc_phase_timers_and_profiler_trace(tmp_path):
+    """SURVEY §5 aux subsystems: per-phase wall timers + jax.profiler hook."""
+    import os
+
+    from numpyro_tpu.infer import MCMC, NUTS
+    from numpyro_tpu.util import profiler_trace
+
+    def model(x):
+        mu = numpyro_tpu.sample("mu", dist.Normal(0.0, 5.0))
+        with numpyro_tpu.plate("N", x.shape[0]):
+            numpyro_tpu.sample("x", dist.Normal(mu, 1.0), obs=x)
+
+    x = jnp.ones(20)
+    m = MCMC(NUTS(model), num_warmup=20, num_samples=20, progress_bar=False)
+    m.warmup(random.PRNGKey(0), x)
+    m.run(random.PRNGKey(1), x)
+    assert m.last_run_stats["warmup_s"] > 0
+    assert m.last_run_stats["sample_s"] > 0
+
+    with profiler_trace(str(tmp_path)):
+        m.run(random.PRNGKey(2), x)
+    assert len(os.listdir(str(tmp_path))) > 0

@@ -45,7 +45,10 @@ N, D = 581_012, 55
 NUM_CHAINS = 512
 NUM_WARMUP = 100
 NUM_SAMPLES = 100
-MAX_TREE_DEPTH = 7
+# depth swept on-chip: 7 -> 591 ESS/s, 5 -> 819, 4 -> 739 (coef err 0.0095 at
+# all three) — the covtype posterior is well-conditioned after warmup, so
+# trajectories longer than 2^5 leapfrog steps buy no extra ESS per unit work.
+MAX_TREE_DEPTH = 5
 
 
 def make_data():

@@ -33,6 +33,12 @@ __all__ = ["BernoulliLogitsGLMData", "bernoulli_logits_loglik", "prepare_glm_dat
 _TILE = 4096
 _LANE = 128
 
+# MXU precision for f32-stored X: HIGHEST (6-pass, exact f32) by default.
+# HIGH (3-pass bf16) costs half the MXU passes at ~7e-4 relative gradient
+# error — measured insufficiently different on this HBM-bound kernel to
+# justify the accuracy loss, but kept settable for experimentation.
+_F32_PRECISION = jax.lax.Precision.HIGHEST
+
 
 class BernoulliLogitsGLMData:
     """Pre-laid-out design matrix for the fused kernel: Xᵀ padded to
@@ -136,7 +142,7 @@ def _pallas_fused(w_pad, data):
         # bf16 storage: operands are already bf16 — take the native
         # single-pass MXU path with f32 accumulation.
         mxu_precision = (
-            jax.lax.Precision.HIGHEST
+            _F32_PRECISION
             if x_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         )

@@ -13,8 +13,8 @@ TPU-first design measured here (vs the round-1 first recording):
 - the likelihood+gradient is ONE fused Pallas pass over X tiles
   (numpyro_tpu/ops/glm.py): X is read from HBM once per leapfrog for ALL
   chains, logits blocks live only in VMEM, true-f32 MXU accumulation.
-- 128 vectorized NUTS chains amortize the MXU's 128-wide systolic array —
-  the chain-massive layout from SURVEY.md §7.
+- hundreds of vectorized NUTS chains amortize the MXU's 128-wide systolic
+  array — the chain-massive layout from SURVEY.md §7.
 
 vs_baseline is measured against ROUND1_BASELINE_ESS_PER_SEC, the value this
 same benchmark produced with plain-XLA likelihood and 16 chains when first
@@ -42,7 +42,10 @@ from numpyro_tpu.ops.glm import bernoulli_logits_loglik, prepare_glm_data
 ROUND1_BASELINE_ESS_PER_SEC = 23.34
 
 N, D = 581_012, 55
-NUM_CHAINS = 512
+# chain sweep on-chip: 512 -> 980 ESS/s, 768 -> 2239 (twice-confirmed), 1024+
+# faults the device through the tunnel.  More chains = more ESS per wall
+# second AND shorter depth-5 trajectories after warmup at this batch shape.
+NUM_CHAINS = 768
 NUM_WARMUP = 100
 NUM_SAMPLES = 100
 # depth swept on-chip: 7 -> 591 ESS/s, 5 -> 819, 4 -> 739 (coef err 0.0095 at

@@ -1,34 +1,33 @@
-"""HMC / NUTS kernels.
+"""HMC / NUTS kernels on the chain-batched engine.
 
-Fresh implementation of numpyro/infer/hmc.py.  The functional core is a
-``(init_kernel, sample_kernel)`` pair operating on a single-chain
-``HMCState`` pytree; the chain-massive engine vmaps both over a leading
-(num_chains,) axis so thousands of chains advance in ONE fused XLA program —
-vectorized chains are the default execution mode, not an afterthought.
+Unlike the reference (numpyro/infer/hmc.py:540-948, which defines a
+single-chain kernel and vmaps it over chains), these kernels are *natively
+chain-batched*: ``init``/``sample`` operate on ``(C, …)`` state panels and a
+transition for all chains is one masked ``lax.while_loop`` in
+:mod:`numpyro_tpu.infer.hmc_core`.  A single chain is just ``C == 1`` with
+the batch axis squeezed at the API boundary.
+
+``HMC.fused_run`` additionally exposes the whole warmup+sampling run as ONE
+compiled program with asynchronous cross-chain transition overlap — the
+MCMC driver uses it for the default vectorized path.
 """
 
 from __future__ import annotations
 
 import math
 from collections import namedtuple
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import random, vmap
+from jax import random
 from jax.flatten_util import ravel_pytree
 
-from numpyro_tpu.infer.hmc_util import (
-    IntegratorState,
-    build_tree,
-    euclidean_kinetic_energy,
-    find_reasonable_step_size,
-    velocity_verlet,
-    warmup_adapter,
-)
+from numpyro_tpu.infer import hmc_core as core
 from numpyro_tpu.infer.mcmc import MCMCKernel
 from numpyro_tpu.infer.util import ParamInfo, initialize_model
-from numpyro_tpu.util import cond, fori_loop, identity, is_prng_key
+from numpyro_tpu.util import identity, is_prng_key
+
+__all__ = ["HMC", "NUTS", "HMCState", "hmc", "momentum_generator"]
 
 HMCState = namedtuple(
     "HMCState",
@@ -48,57 +47,73 @@ HMCState = namedtuple(
         "rng_key",
     ],
 )
-"""Kernel state pytree — every leaf batches over chains (reference field
-semantics: numpyro/infer/hmc.py:31-48)."""
-
-
-def _get_num_steps(step_size, trajectory_length):
-    num_steps = jnp.ceil(trajectory_length / step_size)
-    return num_steps.astype(jnp.result_type(int))
+"""Public kernel state (field parity: numpyro/infer/hmc.py:31-48).  In
+batched mode every array leaf carries a leading chain axis; ``i`` is a
+scalar (chains are transition-synchronous under the per-step API)."""
 
 
 def momentum_generator(prototype_r, mass_matrix_sqrt, rng_key):
-    """r ~ N(0, M): scale standard normals by the mass-matrix sqrt; supports
-    diag / dense / dict-blocked structure (reference: hmc.py:92-110)."""
+    """Draw r ~ N(0, M) in pytree form (compat helper for external kernels;
+    the engine itself samples momenta in flat panels)."""
     if isinstance(mass_matrix_sqrt, dict):
-        rng_keys = random.split(rng_key, len(mass_matrix_sqrt))
-        r = {}
-        for (site_names, mm_sqrt), rng_key_block in zip(
-            mass_matrix_sqrt.items(), rng_keys
+        out = {}
+        for names, block_sqrt in zip(
+            mass_matrix_sqrt, random.split(rng_key, len(mass_matrix_sqrt))
         ):
-            r_block = momentum_generator(
-                {k: prototype_r[k] for k in site_names}, mm_sqrt, rng_key_block
+            out.update(
+                momentum_generator(
+                    {k: prototype_r[k] for k in names},
+                    mass_matrix_sqrt[names],
+                    block_sqrt,
+                )
             )
-            r.update(r_block)
-        return r
-
-    _, unpack_fn = ravel_pytree(prototype_r)
-    eps = random.normal(rng_key, jnp.shape(mass_matrix_sqrt)[:1])
+        return out
+    flat, unravel = ravel_pytree(prototype_r)
+    eps = random.normal(rng_key, jnp.shape(flat))
     if jnp.ndim(mass_matrix_sqrt) == 1:
-        r = mass_matrix_sqrt * eps
-        return unpack_fn(r)
-    elif jnp.ndim(mass_matrix_sqrt) == 2:
-        r = jnp.dot(mass_matrix_sqrt, eps)
-        return unpack_fn(r)
-    else:
-        raise ValueError("Mass matrix has incorrect number of dims.")
+        return unravel(mass_matrix_sqrt * eps)
+    if jnp.ndim(mass_matrix_sqrt) == 2:
+        return unravel(mass_matrix_sqrt @ eps)
+    raise ValueError("mass_matrix_sqrt must be 1- or 2-dimensional")
+
+
+def _expand0(tree):
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], tree)
+
+
+def _squeeze0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
 
 
 def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
-    """Functional HMC/NUTS factory returning (init_kernel, sample_kernel)
-    (reference: numpyro/infer/hmc.py:113-538)."""
-    if kinetic_fn is None:
-        kinetic_fn = euclidean_kinetic_energy
-    vv_update = None
-    trajectory_len = None
-    max_treedepth = None
-    wa_update = None
-    wa_steps = None
-    forward_mode_ad = False
-    max_delta_energy = 1000.0
-    fixed_num_steps = None
-    if algo not in {"HMC", "NUTS"}:
+    """Functional (init_kernel, sample_kernel) factory (surface parity:
+    numpyro/infer/hmc.py:113-538; internals are the chain-batched engine).
+
+    Only the Euclidean kinetic energy is supported natively; a custom
+    ``kinetic_fn`` raises (the flat-panel engine owns the mass-matrix ops).
+    """
+    if kinetic_fn is not None:
+        raise NotImplementedError(
+            "custom kinetic_fn is not supported by the chain-batched engine;"
+            " the Euclidean kinetic energy is built in"
+        )
+    if algo not in ("HMC", "NUTS"):
         raise ValueError("`algo` must be one of `HMC`, `NUTS`.")
+    if (potential_fn is None) == (potential_fn_gen is None):
+        raise ValueError(
+            "Exactly one of `potential_fn` or `potential_fn_gen` must be given."
+        )
+
+    # static context shared between init and sample, filled by init_kernel
+    ctx = {}
+
+    def _pe_grad(model_args, model_kwargs):
+        pe_fn = potential_fn
+        if potential_fn_gen is not None:
+            pe_fn = potential_fn_gen(*model_args, **(model_kwargs or {}))
+        return core.batched_potential(
+            pe_fn, ctx["layout"], ctx["forward_mode"]
+        )
 
     def init_kernel(
         init_params,
@@ -116,264 +131,219 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
         find_heuristic_step_size=False,
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
+        refine_step_size=True,
         model_args=(),
         model_kwargs=None,
         rng_key=None,
     ):
-        nonlocal wa_update, max_treedepth, vv_update, wa_steps, fixed_num_steps
-        nonlocal forward_mode_ad, trajectory_len
-        forward_mode_ad = forward_mode_differentiation
-        wa_steps = num_warmup
-        trajectory_len = trajectory_length
-        max_treedepth = (
-            max_tree_depth
-            if isinstance(max_tree_depth, tuple)
-            else (max_tree_depth, max_tree_depth)
-        )
-        fixed_num_steps = num_steps
         if isinstance(init_params, ParamInfo):
             z, pe, z_grad = init_params
         else:
             z, pe, z_grad = init_params, None, None
-        pe_fn = potential_fn
-        if potential_fn_gen:
-            if pe_fn is not None:
-                raise ValueError(
-                    "Only one of `potential_fn` or `potential_fn_gen` must be provided."
-                )
-            else:
-                kwargs = {} if model_kwargs is None else model_kwargs
-                pe_fn = potential_fn_gen(*model_args, **kwargs)
+        rng_key = random.PRNGKey(0) if rng_key is None else rng_key
+        batched = not is_prng_key(rng_key)
+        keys = rng_key if batched else rng_key[None]
+        num_chains = keys.shape[0]
 
-        if rng_key is None:
-            rng_key = random.PRNGKey(0)
-        rng_key_hmc, rng_key_wa, rng_key_momentum = random.split(rng_key, 3)
-        vv_init, vv_update_ = velocity_verlet(
-            pe_fn, kinetic_fn, forward_mode_differentiation
+        if batched:
+            z_proto = _squeeze0(z)
+        else:
+            z_proto = z
+            z = _expand0(z)
+            pe = None if pe is None else jnp.asarray(pe)[None]
+            z_grad = None if z_grad is None else _expand0(z_grad)
+        # unbatched init_params with batched keys: broadcast over chains
+        leaves = jax.tree.leaves(z)
+        if batched and leaves and any(
+            jnp.shape(x)[:1] != (num_chains,) for x in leaves
+        ):
+            z_proto = z
+            z = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)), z
+            )
+            pe, z_grad = None, None
+
+        layout = core.FlatLayout(z_proto)
+        ctx.update(
+            layout=layout,
+            blocks=core.build_mass_blocks(layout, dense_mass),
+            forward_mode=forward_mode_differentiation,
+            batched=batched,
+            num_warmup=num_warmup,
+            max_tree_depth=(
+                max_tree_depth
+                if isinstance(max_tree_depth, tuple)
+                else (max_tree_depth, max_tree_depth)
+            ),
+            trajectory_length=trajectory_length,
+            fixed_num_steps=num_steps,
+            adapt_step_size=adapt_step_size,
+            adapt_mass_matrix=adapt_mass_matrix,
+            target_accept_prob=target_accept_prob,
+            regularize_mass_matrix=regularize_mass_matrix,
+            refine_step_size=refine_step_size,
+            init_step_size=step_size,
+            init_inverse_mass_matrix=inverse_mass_matrix,
         )
-        vv_update = vv_update_
+        pe_grad = _pe_grad(model_args, model_kwargs)
+        z_flat = layout.ravel_batch(z)
+        if pe is None or z_grad is None:
+            pe, grad_flat = pe_grad(z_flat)
+        else:
+            grad_flat = layout.ravel_batch(z_grad)
 
-        wa_init, wa_update_ = warmup_adapter(
+        wa_init, wa_update = core.build_warmup(
+            pe_grad,
+            ctx["blocks"],
             num_warmup,
             adapt_step_size=adapt_step_size,
             adapt_mass_matrix=adapt_mass_matrix,
-            dense_mass=dense_mass,
             target_accept_prob=target_accept_prob,
-            # only wire the heuristic search when explicitly requested: with a
-            # potential_fn_gen the closure here is built from init-time model
-            # kwargs, so a window-end re-find inside Gibbs-style kernels would
-            # compare energies across different conditioning and drive the
-            # step size to zero (reference wires it the same way, hmc.py:319)
-            find_reasonable_step_size=partial(
-                find_reasonable_step_size, pe_fn, kinetic_fn, momentum_generator
-            )
-            if find_heuristic_step_size
-            else None,
+            regularize_mass_matrix=regularize_mass_matrix,
+            find_step_size=adapt_step_size and refine_step_size,
         )
-        wa_update = wa_update_
-
-        # compute initial pe/grad first — find_reasonable_step_size needs them
-        z_info = vv_init(z, r=None, potential_energy=pe, z_grad=z_grad)
-        wa_state = wa_init(
-            z_info,
-            rng_key_wa,
-            step_size,
+        ctx["wa_update"] = wa_update
+        adapt = wa_init(
+            keys, z_flat, pe, grad_flat, step_size,
             inverse_mass_matrix=inverse_mass_matrix,
         )
-        r = momentum_generator(z, wa_state.mass_matrix_sqrt, rng_key_momentum)
-        vv_state = IntegratorState(
-            z, r, z_info.potential_energy, z_info.z_grad
-        )
-        energy = vv_state.potential_energy + kinetic_fn(
-            wa_state.inverse_mass_matrix, vv_state.r
-        )
-        zero_int = jnp.array(0, dtype=jnp.result_type(int))
-        hmc_state = HMCState(
-            zero_int,
-            vv_state.z,
-            vv_state.z_grad,
-            vv_state.potential_energy,
-            energy,
+        keys = adapt.rng_key
+        c = num_chains
+        zero_i = jnp.zeros((c,), jnp.int32)
+        zero_f = jnp.zeros((c,), z_flat.dtype)
+        state = HMCState(
+            jnp.zeros((), jnp.int32),
+            layout.unravel_batch(z_flat),
+            layout.unravel_batch(grad_flat),
+            pe,
+            pe,
             None,
             trajectory_length,
-            zero_int,
-            jnp.zeros(()),
-            jnp.zeros(()),
-            jnp.array(False),
-            wa_state,
-            rng_key_hmc,
+            zero_i,
+            zero_f,
+            zero_f,
+            jnp.zeros((c,), bool),
+            adapt._replace(rng_key=None),
+            keys,
         )
-        return jax.device_put(hmc_state)
-
-    def _hmc_next(
-        step_size,
-        inverse_mass_matrix,
-        vv_state,
-        model_args,
-        model_kwargs,
-        rng_key,
-        trajectory_length,
-    ):
-        if potential_fn_gen:
-            nonlocal vv_update, forward_mode_ad
-            pe_fn = potential_fn_gen(*model_args, **model_kwargs)
-            _, vv_update = velocity_verlet(pe_fn, kinetic_fn, forward_mode_ad)
-
-        if fixed_num_steps is not None:
-            num_steps = fixed_num_steps
-        # no need to spend too many steps if the state z has 0 size (i.e. z is empty)
-        elif len(inverse_mass_matrix) == 0:
-            num_steps = 1
-        else:
-            num_steps = _get_num_steps(step_size, trajectory_length)
-
-        _body_fn = lambda i, vv_state: vv_update(  # noqa: E731
-            step_size, inverse_mass_matrix, vv_state
-        )
-        vv_state_new = fori_loop(0, num_steps, _body_fn, vv_state)
-        energy_old = vv_state.potential_energy + kinetic_fn(
-            inverse_mass_matrix, vv_state.r
-        )
-        energy_new = vv_state_new.potential_energy + kinetic_fn(
-            inverse_mass_matrix, vv_state_new.r
-        )
-        delta_energy = energy_new - energy_old
-        delta_energy = jnp.where(jnp.isnan(delta_energy), jnp.inf, delta_energy)
-        accept_prob = jnp.clip(jnp.exp(-delta_energy), None, 1.0)
-        diverging = delta_energy > max_delta_energy
-        transition = random.bernoulli(rng_key, accept_prob)
-        vv_state, energy = cond(
-            transition,
-            (vv_state_new, energy_new),
-            identity,
-            (vv_state, energy_old),
-            identity,
-        )
-        return vv_state, energy, num_steps, accept_prob, diverging
-
-    def _nuts_next(
-        step_size,
-        inverse_mass_matrix,
-        vv_state,
-        model_args,
-        model_kwargs,
-        rng_key,
-        max_treedepth_current,
-    ):
-        if potential_fn_gen:
-            nonlocal vv_update, forward_mode_ad
-            pe_fn = potential_fn_gen(*model_args, **model_kwargs)
-            _, vv_update = velocity_verlet(pe_fn, kinetic_fn, forward_mode_ad)
-
-        binary_tree = build_tree(
-            vv_update,
-            kinetic_fn,
-            vv_state,
-            inverse_mass_matrix,
-            step_size,
-            rng_key,
-            max_delta_energy=max_delta_energy,
-            max_tree_depth=(max_treedepth_current, max(max_treedepth)),
-        )
-        accept_prob = binary_tree.sum_accept_probs / binary_tree.num_proposals
-        num_steps = binary_tree.num_proposals
-        accept_prob = jnp.where(
-            binary_tree.num_proposals == 0, 0.0, accept_prob
-        )
-        vv_state = IntegratorState(
-            z=binary_tree.z_proposal,
-            r=vv_state.r,
-            potential_energy=binary_tree.z_proposal_pe,
-            z_grad=binary_tree.z_proposal_grad,
-        )
-        return (
-            vv_state,
-            binary_tree.z_proposal_energy,
-            num_steps,
-            accept_prob,
-            binary_tree.diverging,
-        )
-
-    _next = _nuts_next if algo == "NUTS" else _hmc_next
-
-    def sample_kernel(hmc_state, model_args=(), model_kwargs=None):
-        """One MCMC step: fresh momentum → trajectory → MH/slice transition →
-        (during warmup) adaptation update (reference: hmc.py:459-530)."""
-        model_kwargs = {} if model_kwargs is None else model_kwargs
-        rng_key, rng_key_momentum, rng_key_transition = random.split(
-            hmc_state.rng_key, 3
-        )
-        r = (
-            momentum_generator(
-                hmc_state.z, hmc_state.adapt_state.mass_matrix_sqrt, rng_key_momentum
+        if not batched:
+            state = state._replace(
+                z=_squeeze0(state.z),
+                z_grad=_squeeze0(state.z_grad),
+                **{
+                    f: jax.tree.map(lambda x: x[0], getattr(state, f))
+                    for f in (
+                        "potential_energy", "energy", "num_steps",
+                        "accept_prob", "mean_accept_prob", "diverging",
+                        "adapt_state", "rng_key",
+                    )
+                },
             )
-            if hmc_state.r is None
-            else hmc_state.r
-        )
-        vv_state = IntegratorState(
-            hmc_state.z, r, hmc_state.potential_energy, hmc_state.z_grad
-        )
-        if algo == "HMC":
-            hmc_length_args = (hmc_state.trajectory_length,)
+        return jax.device_put(state)
+
+    def sample_kernel(state, model_args=(), model_kwargs=None):
+        """One transition for every chain: momentum refresh -> trajectory ->
+        proposal -> warmup adaptation while ``i < num_warmup``."""
+        layout, blocks = ctx["layout"], ctx["blocks"]
+        batched = ctx["batched"]
+        num_warmup = ctx["num_warmup"]
+        if not batched:
+            state = state._replace(
+                z=_expand0(state.z),
+                z_grad=_expand0(state.z_grad),
+                **{
+                    f: jax.tree.map(lambda x: jnp.asarray(x)[None], getattr(state, f))
+                    for f in (
+                        "potential_energy", "energy", "num_steps",
+                        "accept_prob", "mean_accept_prob", "diverging",
+                        "adapt_state", "rng_key",
+                    )
+                },
+            )
+        pe_grad = _pe_grad(model_args, model_kwargs)
+        z_flat = layout.ravel_batch(state.z)
+        grad_flat = layout.ravel_batch(state.z_grad)
+        trans_keys, adapt_keys = core.split_keys(state.rng_key, 2)
+        adapt = state.adapt_state._replace(rng_key=adapt_keys)
+        i = state.i
+
+        if algo == "NUTS":
+            wa_depth, post_depth = ctx["max_tree_depth"]
+            depth_cap = jnp.where(i < num_warmup, wa_depth, post_depth)
+            out = core.nuts_transition(
+                pe_grad, blocks, trans_keys, z_flat,
+                state.potential_energy, grad_flat,
+                adapt.inverse_mass_matrix, adapt.mass_matrix_sqrt,
+                adapt.step_size, depth_cap,
+                k_slots=max(*ctx["max_tree_depth"], 1),
+            )
         else:
-            hmc_length_args = (
-                jnp.where(
-                    hmc_state.i < wa_steps, max_treedepth[0], max_treedepth[1]
+            out = core.hmc_transition(
+                pe_grad, blocks, trans_keys, z_flat,
+                state.potential_energy, grad_flat,
+                adapt.inverse_mass_matrix, adapt.mass_matrix_sqrt,
+                adapt.step_size,
+                trajectory_length=ctx["trajectory_length"],
+                num_steps=ctx["fixed_num_steps"],
+            )
+
+        if num_warmup > 0:
+            adapt = jax.lax.cond(
+                i < num_warmup,
+                lambda a: ctx["wa_update"](
+                    i, a, out.accept_prob, out.z, out.pe, out.grad,
+                    pe_grad_now=pe_grad,
                 ),
+                lambda a: a,
+                adapt,
             )
-        vv_state, energy, num_steps, accept_prob, diverging = _next(
-            hmc_state.adapt_state.step_size,
-            hmc_state.adapt_state.inverse_mass_matrix,
-            vv_state,
-            model_args,
-            model_kwargs,
-            rng_key_transition,
-            *hmc_length_args,
+        i_new = i + 1
+        n = jnp.where(i < num_warmup, i_new, i_new - num_warmup)
+        mean_accept = state.mean_accept_prob + (
+            out.accept_prob - state.mean_accept_prob
+        ) / n
+        new_state = HMCState(
+            i_new,
+            layout.unravel_batch(out.z),
+            layout.unravel_batch(out.grad),
+            out.pe,
+            out.energy,
+            None,
+            state.trajectory_length,
+            out.num_steps,
+            out.accept_prob,
+            mean_accept,
+            out.diverging,
+            adapt._replace(rng_key=None),
+            out.key,
         )
-        # not update adapt_state after warmup phase
-        adapt_state = cond(
-            hmc_state.i < wa_steps,
-            (hmc_state.i, accept_prob, vv_state, hmc_state.adapt_state),
-            lambda args: wa_update(*args),
-            hmc_state.adapt_state,
-            identity,
-        )
+        if not batched:
+            new_state = new_state._replace(
+                z=_squeeze0(new_state.z),
+                z_grad=_squeeze0(new_state.z_grad),
+                **{
+                    f: jax.tree.map(lambda x: x[0], getattr(new_state, f))
+                    for f in (
+                        "potential_energy", "energy", "num_steps",
+                        "accept_prob", "mean_accept_prob", "diverging",
+                        "adapt_state", "rng_key",
+                    )
+                },
+            )
+        return new_state
 
-        itr = hmc_state.i + 1
-        n = jnp.where(hmc_state.i < wa_steps, itr, itr - wa_steps)
-        mean_accept_prob = (
-            hmc_state.mean_accept_prob + (accept_prob - hmc_state.mean_accept_prob) / n
-        )
-
-        r = vv_state.r if hmc_state.r is not None else None
-        return HMCState(
-            itr,
-            vv_state.z,
-            vv_state.z_grad,
-            vv_state.potential_energy,
-            energy,
-            r,
-            hmc_state.trajectory_length,
-            num_steps,
-            accept_prob,
-            mean_accept_prob,
-            diverging,
-            adapt_state,
-            rng_key,
-        )
-
-    # placeholder, only the generated docs use these
-    init_kernel.__doc__ = init_kernel.__doc__
     return init_kernel, sample_kernel
 
 
 class HMC(MCMCKernel):
-    """Hamiltonian Monte Carlo with fixed trajectory length (reference class
-    surface: numpyro/infer/hmc.py:540-822).
+    """Hamiltonian Monte Carlo with a fixed trajectory length (constructor
+    parity: numpyro/infer/hmc.py:540-822).  Chain-massive by construction —
+    a batch of rng keys runs all chains inside one fused program, with
+    per-chain trajectory lengths masked in a single loop."""
 
-    Chain-massive: when given a batch of rng keys, ``init``/``sample`` vmap
-    the functional kernel over the leading chain axis — the driver's default
-    ``vectorized`` path."""
+    _algo = "HMC"
+    # the driver may trace init() under jit with model data as inputs
+    jit_init = True
 
     def __init__(
         self,
@@ -392,6 +362,7 @@ class HMC(MCMCKernel):
         find_heuristic_step_size=False,
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
+        refine_step_size=True,
     ):
         if not (model is None) ^ (potential_fn is None):
             raise ValueError("Only one of `model` or `potential_fn` must be specified.")
@@ -399,67 +370,32 @@ class HMC(MCMCKernel):
 
         self._model = model
         self._potential_fn = potential_fn
-        self._kinetic_fn = (
-            kinetic_fn if kinetic_fn is not None else euclidean_kinetic_energy
-        )
-        self._num_steps = num_steps
+        if kinetic_fn is not None:
+            raise NotImplementedError(
+                "custom kinetic_fn is not supported by the chain-batched engine"
+            )
         self._step_size = float(step_size) if isinstance(step_size, int) else step_size
         self._inverse_mass_matrix = inverse_mass_matrix
         self._adapt_step_size = adapt_step_size
         self._adapt_mass_matrix = adapt_mass_matrix
         self._dense_mass = dense_mass
         self._target_accept_prob = target_accept_prob
+        self._num_steps = num_steps
         self._trajectory_length = (
             float(trajectory_length)
             if isinstance(trajectory_length, int)
             else trajectory_length
         )
-        self._algo = "HMC"
         self._max_tree_depth = 10
-        self._init_strategy = (
-            init_to_uniform if init_strategy is None else init_strategy
-        )
+        self._init_strategy = init_to_uniform if init_strategy is None else init_strategy
         self._find_heuristic_step_size = find_heuristic_step_size
         self._forward_mode_differentiation = forward_mode_differentiation
         self._regularize_mass_matrix = regularize_mass_matrix
-
-        # Set on first call to init
+        self._refine_step_size = refine_step_size
         self._init_fn = None
+        self._sample_fn = None
         self._potential_fn_gen = None
         self._postprocess_fn = None
-        self._sample_fn = None
-        self._sample_fn_base = None
-
-    def _init_state(self, rng_key, model_args, model_kwargs, init_params):
-        if self._model is not None:
-            init_params_, potential_fn, postprocess_fn, model_trace = initialize_model(
-                rng_key,
-                self._model,
-                dynamic_args=True,
-                init_strategy=self._init_strategy,
-                model_args=model_args,
-                model_kwargs=model_kwargs,
-                forward_mode_differentiation=self._forward_mode_differentiation,
-            )
-            if init_params is None:
-                init_params = init_params_
-            if self._init_fn is None:
-                self._init_fn, self._sample_fn = hmc(
-                    potential_fn_gen=potential_fn,
-                    kinetic_fn=self._kinetic_fn,
-                    algo=self._algo,
-                )
-            self._potential_fn_gen = potential_fn
-            if self._postprocess_fn is None:
-                self._postprocess_fn = postprocess_fn
-        else:
-            if self._init_fn is None:
-                self._init_fn, self._sample_fn = hmc(
-                    potential_fn=self._potential_fn,
-                    kinetic_fn=self._kinetic_fn,
-                    algo=self._algo,
-                )
-        return init_params
 
     @property
     def model(self):
@@ -478,64 +414,72 @@ class HMC(MCMCKernel):
             state.num_steps, state.adapt_state.step_size, state.mean_accept_prob
         )
 
+    def _setup(self, rng_key, model_args, model_kwargs, init_params):
+        if self._model is not None:
+            init_params_, potential_fn_gen, postprocess_fn, _ = initialize_model(
+                rng_key,
+                self._model,
+                dynamic_args=True,
+                init_strategy=self._init_strategy,
+                model_args=model_args,
+                model_kwargs=model_kwargs,
+                forward_mode_differentiation=self._forward_mode_differentiation,
+            )
+            if init_params is None:
+                init_params = init_params_
+            self._potential_fn_gen = potential_fn_gen
+            if self._postprocess_fn is None:
+                self._postprocess_fn = postprocess_fn
+            self._init_fn, self._sample_fn = hmc(
+                potential_fn_gen=potential_fn_gen, algo=self._algo
+            )
+        else:
+            self._init_fn, self._sample_fn = hmc(
+                potential_fn=self._potential_fn, algo=self._algo
+            )
+        return init_params
+
+    def _structured_dense_mass(self, init_params):
+        dense = self._dense_mass
+        if self._model is not None and not isinstance(dense, bool):
+            assert isinstance(dense, list)
+        return dense
+
     def init(
         self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}
     ):
-        # non-vectorized
         if is_prng_key(rng_key):
             rng_key, rng_key_init_model = random.split(rng_key)
-        # vectorized
         else:
-            rng_key, rng_key_init_model = jnp.swapaxes(
-                vmap(random.split)(rng_key), 0, 1
-            )
-        init_params = self._init_state(
+            splits = jax.vmap(random.split)(rng_key)
+            rng_key, rng_key_init_model = splits[:, 0], splits[:, 1]
+        init_params = self._setup(
             rng_key_init_model, model_args, model_kwargs, init_params
         )
         if self._potential_fn and init_params is None:
             raise ValueError(
                 "Valid value of `init_params` must be provided with `potential_fn`."
             )
-
-        # change dense_mass to a structural form
-        dense = self._dense_mass
-        inverse_mass_matrix = self._inverse_mass_matrix
-        if self._model is not None:
-            z = init_params[0] if isinstance(init_params, ParamInfo) else init_params
-            if isinstance(dense, bool):
-                # XXX: by default, the order variables are sorted by name(s)
-                dense = [tuple(sorted(z))] if dense else []
-            assert isinstance(dense, list)
-
-        hmc_init_fn = lambda init_params, rng_key: self._init_fn(  # noqa: E731
+        return self._init_fn(
             init_params,
-            num_warmup=num_warmup,
+            num_warmup,
             step_size=self._step_size,
-            num_steps=self._num_steps,
-            inverse_mass_matrix=inverse_mass_matrix,
+            inverse_mass_matrix=self._inverse_mass_matrix,
             adapt_step_size=self._adapt_step_size,
             adapt_mass_matrix=self._adapt_mass_matrix,
-            dense_mass=dense,
+            dense_mass=self._structured_dense_mass(init_params),
             target_accept_prob=self._target_accept_prob,
+            num_steps=self._num_steps,
             trajectory_length=self._trajectory_length,
             max_tree_depth=self._max_tree_depth,
             find_heuristic_step_size=self._find_heuristic_step_size,
             forward_mode_differentiation=self._forward_mode_differentiation,
             regularize_mass_matrix=self._regularize_mass_matrix,
+            refine_step_size=self._refine_step_size,
             model_args=model_args,
             model_kwargs=model_kwargs,
             rng_key=rng_key,
         )
-        if self._sample_fn_base is None:
-            self._sample_fn_base = self._sample_fn
-        if is_prng_key(rng_key):
-            init_state = hmc_init_fn(init_params, rng_key)
-            self._sample_fn = self._sample_fn_base
-        else:
-            # vectorized chains: one fused program for init of all chains
-            init_state = vmap(hmc_init_fn)(init_params, rng_key)
-            self._sample_fn = vmap(self._sample_fn_base, in_axes=(0, None, None))
-        return init_state
 
     def postprocess_fn(self, args, kwargs):
         if self._postprocess_fn is None:
@@ -545,19 +489,151 @@ class HMC(MCMCKernel):
     def sample(self, state, model_args, model_kwargs):
         return self._sample_fn(state, model_args, model_kwargs)
 
+    # ---- fused whole-run program (driver fast path) --------------------
+
+    FUSED_FIELDS = (
+        "z", "energy", "diverging", "num_steps", "accept_prob",
+        "mean_accept_prob", "adapt_state.step_size",
+    )
+
+    @property
+    def supports_fused_run(self):
+        return True
+
+    def fused_run(
+        self,
+        rng_key,
+        num_warmup,
+        num_samples,
+        *,
+        thinning=1,
+        init_params=None,
+        model_args=(),
+        model_kwargs=None,
+        collect_fields=("z", "diverging"),
+    ):
+        """Warmup + sampling for all chains as ONE compiled program with
+        asynchronous transition overlap (see hmc_core.build_fused_run).
+
+        Returns ``(fields, last_state)`` where every collected field has
+        shape ``(num_chains, num_collected, ...)``.
+        """
+        model_kwargs = {} if model_kwargs is None else model_kwargs
+        assert not is_prng_key(rng_key), "fused_run expects a batch of keys"
+        splits = jax.vmap(random.split)(rng_key)
+        keys, init_model_keys = splits[:, 0], splits[:, 1]
+        init_params = self._setup(
+            init_model_keys, model_args, model_kwargs, init_params
+        )
+        if isinstance(init_params, ParamInfo):
+            z, pe, z_grad = init_params
+        else:
+            z, pe, z_grad = init_params, None, None
+        num_chains = keys.shape[0]
+        leaves = jax.tree.leaves(z)
+        if leaves and any(jnp.shape(x)[:1] != (num_chains,) for x in leaves):
+            z = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)), z
+            )
+            pe, z_grad = None, None
+        z_proto = _squeeze0(z)
+        layout = core.FlatLayout(z_proto)
+        blocks = core.build_mass_blocks(
+            layout, self._structured_dense_mass(init_params)
+        )
+        max_depth = (
+            self._max_tree_depth
+            if isinstance(self._max_tree_depth, tuple)
+            else (self._max_tree_depth, self._max_tree_depth)
+        )
+
+        def program(keys, z_tree, pe, z_grad_tree, margs, mkwargs):
+            # the potential is (re)built inside the trace so model data
+            # rides in as program inputs, never as baked XLA constants
+            if self._potential_fn_gen is not None:
+                pe_fn = self._potential_fn_gen(*margs, **mkwargs)
+            else:
+                pe_fn = self._potential_fn
+            pe_grad = core.batched_potential(
+                pe_fn, layout, self._forward_mode_differentiation
+            )
+            run = core.build_fused_run(
+                pe_grad,
+                blocks,
+                algo=self._algo,
+                num_warmup=num_warmup,
+                num_samples=num_samples,
+                thinning=thinning,
+                max_depth=max_depth[1],
+                warmup_max_depth=max_depth[0],
+                trajectory_length=self._trajectory_length,
+                fixed_num_steps=self._num_steps,
+                adapt_step_size=self._adapt_step_size,
+                adapt_mass_matrix=self._adapt_mass_matrix,
+                target_accept_prob=self._target_accept_prob,
+                regularize_mass_matrix=self._regularize_mass_matrix,
+                find_step_size=self._adapt_step_size and self._refine_step_size,
+            )
+            z_flat = layout.ravel_batch(z_tree)
+            if z_grad_tree is None:
+                pe_now, grad_flat = pe_grad(z_flat)
+            else:
+                pe_now, grad_flat = pe, layout.ravel_batch(z_grad_tree)
+            return run(
+                keys, z_flat, pe_now, grad_flat, self._step_size,
+                inverse_mass_matrix=self._inverse_mass_matrix,
+            )
+
+        if pe is None or z_grad is None:
+            pe, z_grad = None, None
+        out = jax.jit(program)(keys, z, pe, z_grad, model_args, model_kwargs)
+        n_collect = out["samples_z"].shape[1]
+        # unpack the flat z panel back into site pytrees per (chain, draw)
+        flat2 = out["samples_z"].reshape(num_chains * n_collect, -1)
+        z_samples = jax.tree.map(
+            lambda x: x.reshape((num_chains, n_collect) + x.shape[1:]),
+            layout.unravel_batch(flat2),
+        )
+        step_size = jnp.broadcast_to(
+            out["adapt"].step_size[:, None], (num_chains, n_collect)
+        )
+        fields = {
+            "z": z_samples,
+            "adapt_state.step_size": step_size,
+            **out["extras"],
+        }
+        fields = {k: fields[k] for k in collect_fields}
+        last_state = HMCState(
+            jnp.asarray(num_warmup + num_samples, jnp.int32),
+            layout.unravel_batch(out["z"]),
+            layout.unravel_batch(out["grad"]),
+            out["pe"],
+            out["pe"],
+            None,
+            self._trajectory_length,
+            jnp.zeros((num_chains,), jnp.int32),
+            out["mean_accept_prob"],
+            out["mean_accept_prob"],
+            jnp.zeros((num_chains,), bool),
+            out["adapt"]._replace(rng_key=None),
+            out["keys"],
+        )
+        return fields, last_state
+
     def __getstate__(self):
         state = self.__dict__.copy()
-        state["_sample_fn"] = None
-        state["_sample_fn_base"] = None
         state["_init_fn"] = None
+        state["_sample_fn"] = None
         state["_postprocess_fn"] = None
         state["_potential_fn_gen"] = None
         return state
 
 
 class NUTS(HMC):
-    """No-U-Turn Sampler with iterative tree building (reference:
-    numpyro/infer/hmc.py:825-948)."""
+    """No-U-Turn Sampler (constructor parity: numpyro/infer/hmc.py:825-948)
+    on the vectorized-checkpoint iterative tree engine."""
+
+    _algo = "NUTS"
 
     def __init__(
         self,
@@ -576,10 +652,11 @@ class NUTS(HMC):
         find_heuristic_step_size=False,
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
+        refine_step_size=True,
     ):
         super().__init__(
-            potential_fn=potential_fn,
             model=model,
+            potential_fn=potential_fn,
             kinetic_fn=kinetic_fn,
             step_size=step_size,
             inverse_mass_matrix=inverse_mass_matrix,
@@ -592,6 +669,6 @@ class NUTS(HMC):
             find_heuristic_step_size=find_heuristic_step_size,
             forward_mode_differentiation=forward_mode_differentiation,
             regularize_mass_matrix=regularize_mass_matrix,
+            refine_step_size=refine_step_size,
         )
         self._max_tree_depth = max_tree_depth
-        self._algo = "NUTS"

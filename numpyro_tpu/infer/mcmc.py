@@ -228,14 +228,24 @@ class MCMC:
     ):
         rng_key, init_state, init_params = init
         if init_state is None:
-            init_state = self.sampler.init(
-                rng_key,
-                self.num_warmup,
-                init_params,
-                model_args=args,
-                model_kwargs=kwargs,
-            )
-        sample_fn = partial(self.sampler.sample, model_args=args, model_kwargs=kwargs)
+            if getattr(self.sampler, "jit_init", False) and not self.progress_bar:
+                # trace the whole init (incl. model initialization and the
+                # step-size search) with the data as program inputs — model
+                # arrays must not become baked XLA constants (TPU compile
+                # pays ~30s per closed-over device array)
+                init_state = jit(
+                    lambda rng, ip, a, kw: self.sampler.init(
+                        rng, self.num_warmup, ip, model_args=a, model_kwargs=kw
+                    )
+                )(rng_key, init_params, args, kwargs)
+            else:
+                init_state = self.sampler.init(
+                    rng_key,
+                    self.num_warmup,
+                    init_params,
+                    model_args=args,
+                    model_kwargs=kwargs,
+                )
         postprocess_fn = (
             self.sampler.postprocess_fn(args, kwargs)
             if self.postprocess_fn is None
@@ -251,13 +261,14 @@ class MCMC:
         collection, last_state = fori_collect(
             lower_idx,
             upper_idx,
-            sample_fn,
+            self.sampler.sample,
             init_state,
             transform=collect_fn,
             progbar=self.progress_bar,
             return_last_val=True,
             thinning=self.thinning,
             collection_size=None,
+            body_args=(args, kwargs),
             progbar_desc=lambda i: (
                 "warmup" if i < self.num_warmup else "sample"
             ),
@@ -420,7 +431,15 @@ class MCMC:
 
         site_values = states_by_field[self._sample_field]
         if isinstance(site_values, dict) and postprocess_fn is not identity:
-            constrained = vmap(vmap(postprocess_fn))(site_values)
+            # jit with the model data as inputs (constants are slow on TPU)
+            if self.postprocess_fn is None:
+                constrained = jit(
+                    lambda sites, a, kw: vmap(
+                        vmap(self.sampler.postprocess_fn(a, kw))
+                    )(sites)
+                )(site_values, self._args, self._kwargs)
+            else:
+                constrained = vmap(vmap(postprocess_fn))(site_values)
             states_by_field[self._sample_field] = constrained
 
         self._states = states_by_field

@@ -247,6 +247,7 @@ def fori_collect(
     return_last_val: bool = False,
     collection_size=None,
     thinning: int = 1,
+    body_args: tuple = (),
     **progbar_opts,
 ):
     """Run ``body_fun`` ``upper`` times, collecting ``transform(state)`` for
@@ -256,6 +257,11 @@ def fori_collect(
     single compiled ``lax.fori_loop`` program with the collection buffer
     donated — no per-step host dispatch (reference equivalent:
     numpyro/util.py:277-407 with progress_bar=False).
+
+    ``body_args`` is an extra pytree of arguments forwarded to ``body_fun``
+    on every call *through the compiled program's inputs* — pass model data
+    here instead of closing over it, so it never becomes a baked-in XLA
+    constant (pathologically slow to compile on the TPU backend).
     """
     assert lower <= upper
     assert thinning >= 1
@@ -268,8 +274,8 @@ def fori_collect(
     num_chains = progbar_opts.pop("num_chains", 1)
 
     @partial(maybe_jit, donate_argnums=2)
-    def _body_fn(i, val, collection, start_idx, thinning):
-        val = body_fun(val)
+    def _body_fn(i, val, collection, start_idx, thinning, body_args=()):
+        val = body_fun(val, *body_args)
         idx = (i - start_idx) // thinning
         collected = transform(val)
         # clamp idx so the scatter is always in-bounds; mask selects whether
@@ -285,16 +291,21 @@ def fori_collect(
             collection,
             collected,
         )
-        return val, collection, start_idx, thinning
+        return val, collection, start_idx, thinning, body_args
 
     if collection_size == 0:
         # nothing to collect (e.g. warmup-only run): just advance the state
         val = init_val
         if not progbar:
-            val = fori_loop(0, upper, lambda i, v: body_fun(v), val)
+            val, _ = fori_loop(
+                0,
+                upper,
+                lambda i, c: (body_fun(c[0], *c[1]), c[1]),
+                (val, body_args),
+            )
         else:
             for _ in range(upper):
-                val = maybe_jit(body_fun)(val)
+                val = maybe_jit(body_fun)(val, *body_args)
         empty = jax.tree.map(
             lambda x: jnp.zeros((0,) + jnp.shape(x), dtype=jnp.result_type(x)),
             init_val_transformed,
@@ -308,11 +319,13 @@ def fori_collect(
 
     if not progbar:
         def loop_body(i, vals):
-            val, collection, start_idx_, thinning_ = vals
-            return _body_fn(i, val, collection, start_idx_, thinning_)
+            return _body_fn(i, *vals)
 
-        last_val, collection, _, _ = fori_loop(
-            0, upper, loop_body, (init_val, collection, start_idx, thinning)
+        last_val, collection, _, _, _ = fori_loop(
+            0,
+            upper,
+            loop_body,
+            (init_val, collection, start_idx, thinning, body_args),
         )
     else:
         diagnostics_fn = progbar_opts.pop("diagnostics_fn", None)
@@ -320,19 +333,25 @@ def fori_collect(
         try:
             from tqdm.auto import tqdm
 
-            vals = (init_val, collection, device_put(start_idx), device_put(thinning))
+            vals = (
+                init_val,
+                collection,
+                device_put(start_idx),
+                device_put(thinning),
+                body_args,
+            )
             with tqdm(range(upper)) as t:
                 for i in t:
                     vals = _body_fn(i, *vals)
                     t.set_description(progbar_desc(i), refresh=False)
                     if diagnostics_fn:
                         t.set_postfix_str(diagnostics_fn(vals[0]), refresh=False)
-            last_val, collection, _, _ = vals
+            last_val, collection, _, _, _ = vals
         except ImportError:  # pragma: no cover
-            vals = (init_val, collection, start_idx, thinning)
+            vals = (init_val, collection, start_idx, thinning, body_args)
             for i in range(upper):
                 vals = _body_fn(i, *vals)
-            last_val, collection, _, _ = vals
+            last_val, collection, _, _, _ = vals
 
     return (collection, last_val) if return_last_val else collection
 

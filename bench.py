@@ -6,20 +6,26 @@ Prints ONE JSON line:
 
 The dataset is synthetic at the covtype shape (581,012 x 55 + intercept,
 Bernoulli logistic regression) — zero-egress environment, and throughput
-depends on shape, not values.  The timed section excludes compilation (a
-throwaway run triggers it).
+depends on shape, not values.
 
-TPU-first design measured here (vs the round-1 first recording):
-- the likelihood+gradient is ONE fused Pallas pass over X tiles
-  (numpyro_tpu/ops/glm.py): X is read from HBM once per leapfrog for ALL
-  chains, logits blocks live only in VMEM, true-f32 MXU accumulation.
-- hundreds of vectorized NUTS chains amortize the MXU's 128-wide systolic
-  array — the chain-massive layout from SURVEY.md §7.
+What is measured (honest-bench rules from round-1 review):
+- **1000 draws/chain** so the ESS estimate has a trustworthy
+  autocorrelation window.
+- **Full `max_tree_depth=10`** (the reference default).  The round-1 bench
+  capped depth at 5 to dodge the vmap max-depth tax; the chain-batched
+  engine's asynchronous harvest loop (hmc_core.build_fused_run) removes
+  that tax, so the cap is gone.
+- The headline `value` is **warmup-amortized** ESS/s/chip:
+  ess_median / (warmup_s + sample_s), both phases timed after a separate
+  compile pass.  The sampling-phase-only rate is in `detail`.
+- Correctness is **asserted**, not just reported: the run fails unless the
+  posterior mean recovers the generating coefficients to 0.05.
 
-vs_baseline is measured against ROUND1_BASELINE_ESS_PER_SEC, the value this
-same benchmark produced with plain-XLA likelihood and 16 chains when first
-recorded; the reference repo publishes no numbers (BASELINE.md), so
-round-over-round improvement is tracked against our own round-1 measurement.
+vs_baseline compares against ROUND1_BASELINE, this same workload's first
+recording (16 vectorized chains, plain-XLA likelihood, depth<=7, 100-draw
+chains, sample-phase-only ESS/s of 23.34).  The reference repo publishes no
+numbers (BASELINE.md), so round-over-round progress is tracked against our
+own first measurement; note the config delta when quoting the multiplier.
 """
 
 import json
@@ -37,21 +43,16 @@ from numpyro_tpu.diagnostics import effective_sample_size
 from numpyro_tpu.infer import MCMC, NUTS
 from numpyro_tpu.ops.glm import bernoulli_logits_loglik, prepare_glm_data
 
-# round-1 first recording on this chip (plain XLA likelihood, 16 chains):
-# 23.34 ESS/s/chip, sample phase 90.7s / 1600 draws at depth<=7.
-ROUND1_BASELINE_ESS_PER_SEC = 23.34
+# round-1 first recording on this chip (plain XLA likelihood, 16 chains,
+# depth<=7, sample-phase-only): 23.34 ESS/s/chip
+ROUND1_BASELINE = 23.34
 
+import os
 N, D = 581_012, 55
-# chain sweep on-chip: 512 -> 980 ESS/s, 768 -> 2239 (twice-confirmed), 1024+
-# faults the device through the tunnel.  More chains = more ESS per wall
-# second AND shorter depth-5 trajectories after warmup at this batch shape.
-NUM_CHAINS = 768
-NUM_WARMUP = 100
-NUM_SAMPLES = 100
-# depth swept on-chip: 7 -> 591 ESS/s, 5 -> 819, 4 -> 739 (coef err 0.0095 at
-# all three) — the covtype posterior is well-conditioned after warmup, so
-# trajectories longer than 2^5 leapfrog steps buy no extra ESS per unit work.
-MAX_TREE_DEPTH = 5
+NUM_CHAINS = int(os.environ.get("BENCH_CHAINS", 768))
+NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
+NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1000))
+MAX_TREE_DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 
 
 def make_data():
@@ -84,47 +85,52 @@ def main():
         progress_bar=False,
     )
 
-    # warmup phase (also compiles the warmup program)
-    t0 = time.time()
-    mcmc.warmup(random.PRNGKey(1), data)
-    jax.block_until_ready(mcmc.post_warmup_state.z["w"])
-    warmup_s = time.time() - t0
-
-    # sampling phase: first run compiles, second run is the timed one
-    mcmc.run(random.PRNGKey(2), data)
+    # first run compiles (cached by shape); second run is the timed one
+    mcmc.run(random.PRNGKey(1), data)
     jax.block_until_ready(mcmc.get_samples()["w"])
     t0 = time.time()
-    mcmc.run(random.PRNGKey(3), data)
+    mcmc.run(random.PRNGKey(2), data)
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
-    sample_s = time.time() - t0
+    total_s = time.time() - t0
+    warmup_s = mcmc.last_run_stats.get("warmup_s", float("nan"))
+    sample_s = mcmc.last_run_stats.get("sample_s", total_s)
 
     # ESS across all chains, per coefficient; report the median coefficient
     ess = np.asarray(jax.device_get(effective_sample_size(samples)))
     ess_median = float(np.median(ess))
-    ess_per_sec = ess_median / sample_s
 
-    # correctness guard: posterior means must recover the generating coefs
+    # correctness gate: fail loudly rather than publish a bogus number
     w_err = float(jnp.abs(samples.mean((0, 1)) - true_w).max())
+    assert w_err < 0.05, f"posterior means off by {w_err:.4f} (>0.05): bench invalid"
 
     n_chips = jax.device_count()
-    value = ess_per_sec / n_chips
+    amortized = ess_median / total_s / n_chips
+    sample_only = ess_median / sample_s / n_chips
 
     result = {
-        "metric": "effective samples/sec/chip (NUTS, covtype-shape logistic "
-        f"regression, {NUM_CHAINS} vectorized chains, fused Pallas likelihood)",
-        "value": round(value, 2),
+        "metric": "warmup-amortized effective samples/sec/chip (NUTS depth 10,"
+        f" covtype-shape logistic regression, {NUM_CHAINS} async vectorized"
+        " chains, fused Pallas likelihood)",
+        "value": round(amortized, 2),
         "unit": "ESS/s/chip",
-        "vs_baseline": round(value / ROUND1_BASELINE_ESS_PER_SEC, 3),
+        "vs_baseline": round(amortized / ROUND1_BASELINE, 3),
         "detail": {
+            "sample_phase_ess_per_sec_per_chip": round(sample_only, 2),
             "warmup_s": round(warmup_s, 2),
             "sample_s": round(sample_s, 2),
+            "total_s": round(total_s, 2),
             "ess_median": round(ess_median, 1),
+            "ess_min": round(float(ess.min()), 1),
             "max_coef_abs_err": round(w_err, 4),
             "num_chains": NUM_CHAINS,
+            "num_warmup": NUM_WARMUP,
             "num_samples_per_chain": NUM_SAMPLES,
+            "max_tree_depth": MAX_TREE_DEPTH,
             "data_shape": [N, D],
             "device": str(jax.devices()[0]),
+            "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"
+            " 100 draws/chain, sample-phase-only ESS/s",
         },
     }
     print(json.dumps(result))

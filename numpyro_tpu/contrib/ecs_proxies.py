@@ -1,254 +1,316 @@
-"""Control-variate proxies for energy-conserving subsampling (HMCECS).
+"""Likelihood proxies and block updates for energy-conserving subsampling.
 
-Reference surface: numpyro/contrib/ecs_proxies.py (Bardenet, Doucet & Holmes
-2017; Quiroz et al. 2018).  ``taylor_proxy`` expands the per-datapoint
-log-likelihood to first/second order around reference (MAP) parameters so the
-subsample estimator's variance collapses near the mode; ``block_update``
-resamples one random block of subsample indices per step (Tran et al. 2017).
+Role parity: numpyro/contrib/ecs_proxies.py (Quiroz et al. 2018 difference
+estimator; Tran et al. 2017 block pseudo-marginal).  The implementation is
+organized differently from the reference:
 
-All proxy state is per-subsample arrays updated with
-``lax.dynamic_update_slice`` — scatter-free, static shapes, TPU-friendly.
+- :func:`block_refresh` replaces one random block of a chain's subsample
+  index panel with **arithmetic position masks** (iota + select) instead of
+  pad/dynamic-slice shuffling — the same proposal distribution in a form
+  XLA lowers to pure vector ops.
+- Proxy statistics are plain namedtuple panels over the subsample axis and
+  are refreshed by recomputing only the replaced block, then mask-merged.
+- :class:`subsample_estimator` is the effect handler that swaps the exact
+  subsampled likelihood for the bias-corrected difference estimator during
+  potential-energy evaluation.
+
+Everything here is written per chain; the HMCECS kernel vmaps these
+functions over its chain axis.
 """
 
 from __future__ import annotations
 
+import math
 import warnings
-from collections import defaultdict, namedtuple
+from collections import namedtuple
 
-from jax import hessian, jacobian, lax, random
+import jax
 import jax.numpy as jnp
+from jax import random
 from jax.flatten_util import ravel_pytree
 
+import numpyro_tpu.primitives
 from numpyro_tpu.distributions.transforms import biject_to
 from numpyro_tpu.handlers import block, substitute, trace
 
-TaylorTwoProxyState = namedtuple(
-    "TaylorProxyState",
-    "ref_subsample_log_liks,ref_subsample_log_lik_grads,ref_subsample_log_lik_hessians",
-)
-TaylorOneProxyState = namedtuple(
-    "TaylorOneProxyState", "ref_subsample_log_liks,ref_subsample_log_lik_grads,"
-)
+__all__ = [
+    "block_refresh",
+    "block_update",
+    "subsample_estimator",
+    "taylor_proxy",
+]
+
+TaylorProxyStats = namedtuple("TaylorProxyStats", "value, grad, hess")
+"""Per-plate dicts of reference log-lik statistics at the current
+subsample: value (m,), grad (m, P), hess (m, P, P) or None."""
 
 
-def _sum_all_except_at_dim(x, dim):
-    x = x.reshape((-1,) + x.shape[dim:]).sum(0)
-    return x.reshape(x.shape[:1] + (-1,)).sum(-1)
+def block_refresh(rng_key, idx, size, num_blocks):
+    """Redraw one random block of a subsample index vector.
 
-
-def perturbed_method(subsample_plate_sizes, proxy_fn):
-    """Bias-corrected perturbed likelihood estimator: proxy total + scaled
-    mean of (subsample log-lik − proxy at subsample) − ½·variance correction."""
-
-    def estimator(likelihoods, params, gibbs_state):
-        subsample_log_liks = defaultdict(float)
-        for fn, value, name, subsample_dim in likelihoods.values():
-            subsample_log_liks[name] += _sum_all_except_at_dim(
-                fn.log_prob(value), subsample_dim
-            )
-        log_lik_sum = 0.0
-        proxy_value_all, proxy_value_subsample = proxy_fn(
-            params, subsample_log_liks.keys(), gibbs_state
-        )
-        for name, subsample_log_lik in subsample_log_liks.items():
-            n, m = subsample_plate_sizes[name]
-            diff = subsample_log_lik - proxy_value_subsample[name]
-            unbiased_log_lik = proxy_value_all[name] + n * jnp.mean(diff)
-            variance = n**2 / m * jnp.var(diff)
-            log_lik_sum += unbiased_log_lik - 0.5 * variance
-        return log_lik_sum
-
-    return estimator
-
-
-def _update_block(rng_key, num_blocks, subsample_idx, plate_size):
-    """Propose new indices for one random block of the subsample."""
-    size, subsample_size = plate_size
-    rng_key, subkey, block_key = random.split(rng_key, 3)
-    block_size = (subsample_size - 1) // num_blocks + 1
-    pad = block_size - (subsample_size - 1) % block_size - 1
-    chosen_block = random.randint(block_key, shape=(), minval=0, maxval=num_blocks)
-    new_idx = random.randint(subkey, minval=0, maxval=size, shape=(block_size,))
-    subsample_idx_padded = jnp.pad(subsample_idx, (0, pad))
-    start = chosen_block * block_size
-    subsample_idx_padded = lax.dynamic_update_slice_in_dim(
-        subsample_idx_padded, new_idx, start, 0
-    )
-    return rng_key, subsample_idx_padded[:subsample_size], pad, new_idx, start
+    Returns ``(new_idx, in_block, repl, start)`` where ``in_block`` marks
+    the refreshed positions, ``repl`` holds the block's replacement draws
+    (padded block length) and ``start`` is the block's first position.
+    """
+    m = idx.shape[0]
+    bs = -(-m // num_blocks)  # ceil, static
+    kb, ki = random.split(rng_key)
+    b = random.randint(kb, (), 0, num_blocks)
+    repl = random.randint(ki, (bs,), 0, size)
+    pos = jnp.arange(m)
+    start = b * bs
+    in_block = (pos >= start) & (pos < start + bs)
+    new_idx = jnp.where(in_block, repl[jnp.clip(pos - start, 0, bs - 1)], idx)
+    return new_idx, in_block, repl, start
 
 
 def block_update(plate_sizes, num_blocks, rng_key, gibbs_sites, gibbs_state):
-    """Plain block update of subsample indices (no proxy state)."""
-    u_new = {}
-    for name, subsample_idx in gibbs_sites.items():
-        rng_key, u_new[name], *_ = _update_block(
-            rng_key, num_blocks, subsample_idx, plate_sizes[name]
+    """Proxy-free block update of every subsample plate (one chain)."""
+    new = {}
+    keys = random.split(rng_key, max(len(gibbs_sites), 1))
+    for key, name in zip(keys, sorted(gibbs_sites)):
+        new[name], *_ = block_refresh(
+            key, gibbs_sites[name], plate_sizes[name][0], num_blocks
         )
-    return u_new, gibbs_state
+    return new, gibbs_state
 
 
-def _block_update_proxy(num_blocks, rng_key, gibbs_sites, plate_sizes):
-    u_new, pads, new_idxs, starts = {}, {}, {}, {}
-    for name, subsample_idx in gibbs_sites.items():
-        rng_key, u_new[name], pads[name], new_idxs[name], starts[name] = _update_block(
-            rng_key, num_blocks, subsample_idx, plate_sizes[name]
+def _per_site_loglik(fn, value, dim):
+    """Reduce a site's log_prob over every axis except the subsample dim."""
+    lp = fn.log_prob(value)
+    moved = jnp.moveaxis(lp, dim, 0)
+    return moved.reshape(moved.shape[0], -1).sum(-1)
+
+
+class subsample_estimator(numpyro_tpu.primitives.Messenger):
+    """Swap the exact likelihood of observed sites inside subsample plates
+    for the bias-corrected difference estimator (role parity:
+    numpyro/infer/hmc_gibbs.py:690-769 + perturbed_method).
+
+    Active only while a potential-energy evaluation is on the handler stack
+    (detected by the unconstraining substitution) — model tracing and
+    prediction see the untouched likelihood.
+    """
+
+    def __init__(self, fn, plate_sizes, proxy_fn):
+        super().__init__(fn)
+        self._plate_sizes = plate_sizes
+        self._proxy = proxy_fn
+        self._reset()
+
+    def _reset(self):
+        self._params = None
+        self._collected = {}
+        self._plates_seen = {}
+        self._gibbs_state = None
+
+    def _in_potential_eval(self):
+        from numpyro_tpu.infer.util import _unconstrain_reparam
+        from functools import partial as _partial
+
+        for handler in numpyro_tpu.primitives._PYRO_STACK[::-1]:
+            if (
+                isinstance(handler, substitute)
+                and isinstance(handler.substitute_fn, _partial)
+                and handler.substitute_fn.func is _unconstrain_reparam
+            ):
+                return handler.substitute_fn.args[0]
+        return None
+
+    def __enter__(self):
+        self._reset()
+        self._params = self._in_potential_eval()
+        return super().__enter__()
+
+    def __exit__(self, exc_type, exc_value, tb):
+        super().__exit__(exc_type, exc_value, tb)
+        if exc_type is not None or self._params is None:
+            return
+        if numpyro_tpu.get_mask() is False:
+            self._reset()
+            return
+        sub_ll = {}
+        for fn, value, dim, plate in self._collected.values():
+            sub_ll[plate] = sub_ll.get(plate, 0.0) + _per_site_loglik(
+                fn, value, dim
+            )
+        total_all, total_sub = self._proxy(
+            self._params, tuple(sub_ll), self._gibbs_state
         )
-    return u_new, pads, new_idxs, starts
+        estimate = 0.0
+        for plate, ll in sub_ll.items():
+            n, m = self._plate_sizes[plate]
+            diff = ll - total_sub[plate]
+            # Quiroz et al. difference estimator with variance correction
+            estimate += (
+                total_all[plate]
+                + (n / m) * diff.sum()
+                - 0.5 * (n**2 / m) * jnp.var(diff)
+            )
+        numpyro_tpu.factor("_subsample_likelihood_estimate", estimate)
+        self._reset()
+
+    def process_message(self, msg):
+        if self._params is None:
+            return
+        if msg["type"] == "_gibbs_state":
+            self._gibbs_state = msg["value"]
+            return
+        if (
+            msg["type"] == "plate"
+            and msg["args"][1] is not None
+            and msg["args"][0] > msg["args"][1]
+        ):
+            self._plates_seen[msg["name"]] = True
+        elif msg["type"] == "sample" and msg["is_observed"]:
+            for frame in msg["cond_indep_stack"]:
+                if frame.name in self._plates_seen:
+                    if msg["name"] in self._collected:
+                        raise RuntimeError(
+                            f"site {msg['name']} appears under multiple "
+                            "subsample plates; reshape the data so each "
+                            "observation belongs to one subsample plate"
+                        )
+                    # keep the ORIGINAL fn — the message's fn is replaced
+                    # by a masked one below
+                    self._collected[msg["name"]] = (
+                        msg["fn"], msg["value"], frame.dim, frame.name
+                    )
+                    msg["fn"] = msg["fn"].mask(False)
 
 
 def taylor_proxy(reference_params, degree=2):
-    """Taylor-expansion control variate around reference (MAP) params.
+    """Taylor control variate around reference (MAP) parameters.
 
-    :param dict reference_params: constrained-space parameter estimates.
-    :param degree: 1 or 2 (include Hessian terms).
+    Returns a constructor matching the HMCECS proxy contract:
+    ``construct(prototype_trace, plate_sizes, model, args, kwargs,
+    num_blocks) -> (proxy_fn, proxy_init, proxy_update)`` with per-chain
+    ``proxy_init(idx_dict)`` / ``proxy_update(key, idx_dict, stats)``
+    (role parity: numpyro/contrib/ecs_proxies.py:99-254).
     """
+    if degree not in (1, 2):
+        raise ValueError("taylor_proxy supports degree 1 or 2 only")
 
-    def construct_proxy_fn(
-        prototype_trace,
-        subsample_plate_sizes,
-        model,
-        model_args,
-        model_kwargs,
-        num_blocks=1,
-    ):
-        ref_params = {
-            name: (
-                biject_to(prototype_trace[name]["fn"].support).inv(value)
-                if prototype_trace[name]["type"] == "sample"
-                else value
-            )
-            for name, value in reference_params.items()
-        }
-        ref_params_flat, unravel_fn = ravel_pytree(ref_params)
+    def construct(prototype_trace, plate_sizes, model, model_args, model_kwargs,
+                  num_blocks=1):
+        def _unconstrain(values):
+            return {
+                name: (
+                    biject_to(prototype_trace[name]["fn"].support).inv(v)
+                    if prototype_trace[name]["type"] == "sample"
+                    else v
+                )
+                for name, v in values.items()
+            }
 
-        def log_likelihood(params_flat, subsample_indices=None):
-            if subsample_indices is None:
-                subsample_indices = {
-                    k: jnp.arange(v[0]) for k, v in subsample_plate_sizes.items()
-                }
-            params = unravel_fn(params_flat)
+        def _constrain(values):
+            return {
+                name: (
+                    biject_to(prototype_trace[name]["fn"].support)(v)
+                    if prototype_trace[name]["type"] == "sample"
+                    else v
+                )
+                for name, v in values.items()
+            }
+
+        ref_flat, unravel = ravel_pytree(_unconstrain(reference_params))
+
+        def pointwise_loglik(params_flat, idx_dict):
+            """{plate: (m,)} per-datapoint log-lik at given indices."""
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
-                params = {
-                    name: (
-                        biject_to(prototype_trace[name]["fn"].support)(value)
-                        if prototype_trace[name]["type"] == "sample"
-                        else value
-                    )
-                    for name, value in params.items()
-                }
+                params = _constrain(unravel(params_flat))
                 with (
                     block(),
                     trace() as tr,
-                    substitute(data=subsample_indices),
+                    substitute(data=idx_dict),
                     substitute(data=params),
                 ):
                     model(*model_args, **model_kwargs)
-            log_lik = {}
+            out = {}
             for site in tr.values():
                 if site["type"] == "sample" and site["is_observed"]:
                     for frame in site["cond_indep_stack"]:
-                        if frame.name in log_lik:
-                            log_lik[frame.name] += _sum_all_except_at_dim(
-                                site["fn"].log_prob(site["value"]), frame.dim
+                        if frame.name in idx_dict:
+                            ll = _per_site_loglik(
+                                site["fn"], site["value"], frame.dim
                             )
-                        elif frame.name in subsample_indices:
-                            log_lik[frame.name] = _sum_all_except_at_dim(
-                                site["fn"].log_prob(site["value"]), frame.dim
-                            )
-            return log_lik
+                            out[frame.name] = out.get(frame.name, 0.0) + ll
+            return out
 
-        def log_likelihood_sum(params_flat, subsample_indices=None):
+        def _stats_at(idx_dict):
+            value = pointwise_loglik(ref_flat, idx_dict)
+            grad = jax.jacrev(pointwise_loglik)(ref_flat, idx_dict)
+            hess = (
+                jax.jacfwd(jax.jacrev(pointwise_loglik))(ref_flat, idx_dict)
+                if degree == 2
+                else None
+            )
+            return TaylorProxyStats(value, grad, hess)
+
+        # full-data reference statistics, computed once
+        full_idx = {k: jnp.arange(v[0]) for k, v in plate_sizes.items()}
+
+        def _summed(params_flat):
             return {
-                k: v.sum()
-                for k, v in log_likelihood(params_flat, subsample_indices).items()
+                k: v.sum() for k, v in pointwise_loglik(params_flat, full_idx).items()
             }
 
-        if degree == 2:
-            TPState = TaylorTwoProxyState
-        elif degree == 1:
-            TPState = TaylorOneProxyState
-        else:
-            raise ValueError("Taylor proxy only defined for first and second degree.")
+        full_value = _summed(ref_flat)
+        full_grad = jax.jacobian(_summed)(ref_flat)
+        full_hess = jax.jacfwd(jax.jacrev(_summed))(ref_flat) if degree == 2 else None
 
-        # full-data reference statistics (computed once at init)
-        ref_sum_log_lik = log_likelihood_sum(ref_params_flat)
-        ref_sum_log_lik_grads = jacobian(log_likelihood_sum)(ref_params_flat)
-        if degree == 2:
-            ref_sum_log_lik_hessians = hessian(log_likelihood_sum)(ref_params_flat)
+        def proxy_init(idx_dict):
+            return _stats_at(idx_dict)
 
-        def gibbs_init(rng_key, gibbs_sites):
-            ref_subsamples_taylor = [
-                log_likelihood(ref_params_flat, gibbs_sites),
-                jacobian(log_likelihood)(ref_params_flat, gibbs_sites),
-            ]
-            if degree == 2:
-                ref_subsamples_taylor.append(
-                    hessian(log_likelihood)(ref_params_flat, gibbs_sites)
+        def proxy_update(rng_key, idx_dict, stats):
+            keys = random.split(rng_key, max(len(idx_dict), 1))
+            new_idx, masks, repls, starts = {}, {}, {}, {}
+            for key, name in zip(keys, sorted(idx_dict)):
+                new_idx[name], masks[name], repls[name], starts[name] = (
+                    block_refresh(
+                        key, idx_dict[name], plate_sizes[name][0], num_blocks
+                    )
                 )
-            return TPState(*ref_subsamples_taylor)
+            repl_stats = _stats_at(repls)
 
-        def gibbs_update(rng_key, gibbs_sites, gibbs_state):
-            u_new, pads, new_idxs, starts = _block_update_proxy(
-                num_blocks, rng_key, gibbs_sites, subsample_plate_sizes
+            def merge(old, new):
+                merged = {}
+                for name in old:
+                    m = old[name].shape[0]
+                    pos = jnp.arange(m)
+                    sel = jnp.clip(pos - starts[name], 0, repls[name].shape[0] - 1)
+                    mask = masks[name].reshape(
+                        (m,) + (1,) * (old[name].ndim - 1)
+                    )
+                    merged[name] = jnp.where(mask, new[name][sel], old[name])
+                return merged
+
+            value = merge(stats.value, repl_stats.value)
+            grad = merge(stats.grad, repl_stats.grad)
+            hess = (
+                merge(stats.hess, repl_stats.hess) if degree == 2 else None
             )
-            new_states = defaultdict(dict)
-            new_ref_subsample_taylor = [
-                log_likelihood(ref_params_flat, new_idxs),
-                jacobian(log_likelihood)(ref_params_flat, new_idxs),
-            ]
-            if degree == 2:
-                new_ref_subsample_taylor.append(
-                    hessian(log_likelihood)(ref_params_flat, new_idxs)
-                )
-            last_ref_subsample_taylor = list(gibbs_state._asdict().values())
-            for stat, new_block_values, last_values in zip(
-                TPState._fields, new_ref_subsample_taylor, last_ref_subsample_taylor
-            ):
-                for name in gibbs_sites:
-                    _, subsample_size = subsample_plate_sizes[name]
-                    pad, start = pads[name], starts[name]
-                    new_value = jnp.pad(
-                        last_values[name],
-                        [(0, pad)] + [(0, 0)] * (jnp.ndim(last_values[name]) - 1),
-                    )
-                    new_value = lax.dynamic_update_slice_in_dim(
-                        new_value, new_block_values[name], start, 0
-                    )
-                    new_states[stat][name] = new_value[:subsample_size]
-            gibbs_state = TPState(**new_states)
-            return u_new, gibbs_state
+            return new_idx, TaylorProxyStats(value, grad, hess)
 
-        def proxy_fn(params, subsample_lik_sites, gibbs_state):
+        def proxy_fn(params, plate_names, stats):
+            # params arrive already unconstrained (they come from the
+            # potential-energy substitution)
             params_flat, _ = ravel_pytree(params)
-            params_diff = params_flat - ref_params_flat
-            ref_subsample_log_liks = gibbs_state.ref_subsample_log_liks
-            ref_subsample_log_lik_grads = gibbs_state.ref_subsample_log_lik_grads
-            if degree == 2:
-                ref_subsample_log_lik_hessians = (
-                    gibbs_state.ref_subsample_log_lik_hessians
-                )
-            proxy_sum = defaultdict(float)
-            proxy_subsample = defaultdict(float)
-            for name in subsample_lik_sites:
-                proxy_subsample[name] = ref_subsample_log_liks[name] + jnp.dot(
-                    ref_subsample_log_lik_grads[name], params_diff
-                )
+            d = params_flat - ref_flat
+            total_all, total_sub = {}, {}
+            for name in plate_names:
+                sub = stats.value[name] + stats.grad[name] @ d
+                full = full_value[name] + full_grad[name] @ d
                 if degree == 2:
-                    proxy_subsample[name] = proxy_subsample[name] + 0.5 * jnp.dot(
-                        jnp.dot(ref_subsample_log_lik_hessians[name], params_diff),
-                        params_diff,
+                    sub = sub + 0.5 * jnp.einsum(
+                        "mij,i,j->m", stats.hess[name], d, d
                     )
-                proxy_sum[name] = ref_sum_log_lik[name] + jnp.dot(
-                    ref_sum_log_lik_grads[name], params_diff
-                )
-                if degree == 2:
-                    proxy_sum[name] = proxy_sum[name] + 0.5 * jnp.dot(
-                        jnp.dot(ref_sum_log_lik_hessians[name], params_diff),
-                        params_diff,
-                    )
-            return proxy_sum, proxy_subsample
+                    full = full + 0.5 * d @ full_hess[name] @ d
+                total_sub[name] = sub
+                total_all[name] = full
+            return total_all, total_sub
 
-        return proxy_fn, gibbs_init, gibbs_update
+        return proxy_fn, proxy_init, proxy_update
 
-    return construct_proxy_fn
+    return construct

@@ -108,12 +108,37 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
     ctx = {}
 
     def _pe_grad(model_args, model_kwargs):
-        pe_fn = potential_fn
-        if potential_fn_gen is not None:
-            pe_fn = potential_fn_gen(*model_args, **(model_kwargs or {}))
-        return core.batched_potential(
-            pe_fn, ctx["layout"], ctx["forward_mode"]
-        )
+        """Batched potential+grad; ``model_kwargs['_per_chain']`` is a pytree
+        of chain-batched auxiliary conditioning (e.g. Gibbs site values or
+        subsample index panels) vmapped alongside the position panel — this
+        is how the Gibbs-composed kernels get *per-chain* conditioning
+        through one fused program."""
+        model_kwargs = dict(model_kwargs or {})
+        per_chain = model_kwargs.pop("_per_chain", None)
+        layout, forward_mode = ctx["layout"], ctx["forward_mode"]
+        if per_chain is None:
+            pe_fn = potential_fn
+            if potential_fn_gen is not None:
+                pe_fn = potential_fn_gen(*model_args, **model_kwargs)
+            return core.batched_potential(pe_fn, layout, forward_mode)
+
+        def one(flat, pc):
+            pe_fn = potential_fn_gen(*model_args, **model_kwargs, **pc)
+
+            def pe_flat(f):
+                return pe_fn(layout.unravel_one(f))
+
+            if forward_mode:
+                return pe_flat(flat), jax.jacfwd(pe_flat)(flat)
+            return jax.value_and_grad(pe_flat)(flat)
+
+        def pe_grad(panel):
+            if layout.dim == 0:
+                c = panel.shape[0]
+                return jnp.zeros((c,), panel.dtype), panel
+            return jax.vmap(one)(panel, per_chain)
+
+        return pe_grad
 
     def init_kernel(
         init_params,
@@ -547,7 +572,7 @@ class HMC(MCMCKernel):
             else (self._max_tree_depth, self._max_tree_depth)
         )
 
-        def program(keys, z_tree, pe, z_grad_tree, margs, mkwargs):
+        def _build_run(margs, mkwargs):
             # the potential is (re)built inside the trace so model data
             # rides in as program inputs, never as baked XLA constants
             if self._potential_fn_gen is not None:
@@ -574,19 +599,96 @@ class HMC(MCMCKernel):
                 regularize_mass_matrix=self._regularize_mass_matrix,
                 find_step_size=self._adapt_step_size and self._refine_step_size,
             )
+            return pe_grad, run
+
+        # --- chunked program suite.  Single device executions must stay
+        # under ~1 minute (longer ones fault the TPU tunnel), so warmup and
+        # sampling advance in bounded chunks with all state left on device.
+        import os as _os
+        import time as _time
+        from functools import partial as _partial
+
+        warm_chunk = int(_os.environ.get("NUMPYRO_TPU_WARMUP_CHUNK", "5"))
+        samp_chunk = int(_os.environ.get("NUMPYRO_TPU_SAMPLE_CHUNK", "20"))
+
+        def program_init(keys, z_tree, pe, z_grad_tree, margs, mkwargs):
+            pe_grad, run = _build_run(margs, mkwargs)
             z_flat = layout.ravel_batch(z_tree)
             if z_grad_tree is None:
                 pe_now, grad_flat = pe_grad(z_flat)
             else:
                 pe_now, grad_flat = pe, layout.ravel_batch(z_grad_tree)
-            return run(
+            return run.warm_init(
                 keys, z_flat, pe_now, grad_flat, self._step_size,
                 inverse_mass_matrix=self._inverse_mass_matrix,
             )
 
+        def program_warm(n, ws, i0, margs, mkwargs):
+            _, run = _build_run(margs, mkwargs)
+            return run.warm_steps(ws, i0, n)
+
+        def program_start(ws, margs, mkwargs):
+            _, run = _build_run(margs, mkwargs)
+            return run.sample_start(ws)
+
+        def program_sample(ss, target, margs, mkwargs):
+            _, run = _build_run(margs, mkwargs)
+            return run.sample_until(ss, target)
+
+        def program_finish(ss, margs, mkwargs):
+            _, run = _build_run(margs, mkwargs)
+            return run.sample_finish(ss)
+
         if pe is None or z_grad is None:
             pe, z_grad = None, None
-        out = jax.jit(program)(keys, z, pe, z_grad, model_args, model_kwargs)
+        # cache the jitted programs per run configuration: model data are
+        # traced inputs, so re-running on fresh data of the same shapes
+        # reuses the compiled executables (the reference's `jit_model_args`
+        # recompile-avoidance, on by default: numpyro/infer/mcmc.py:290-294)
+        cache_key = (num_warmup, num_samples, thinning, self._algo)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if cache_key not in cache:
+            rem = num_warmup % warm_chunk
+            cache[cache_key] = {
+                "init": jax.jit(program_init),
+                "warm": jax.jit(_partial(program_warm, warm_chunk)),
+                "warm_rem": jax.jit(_partial(program_warm, rem)) if rem else None,
+                "start": jax.jit(program_start),
+                "sample": jax.jit(program_sample),
+                "finish": jax.jit(program_finish),
+            }
+        progs = cache[cache_key]
+
+        def _sync(tree):
+            # block_until_ready does not actually wait on the axon tunnel;
+            # a tiny device_get is the reliable sync point
+            jax.device_get(jax.tree.leaves(tree)[0][:1])
+
+        t0 = _time.time()
+        ws = progs["init"](keys, z, pe, z_grad, model_args, model_kwargs)
+        done = 0
+        while done < num_warmup:
+            step = min(warm_chunk, num_warmup - done)
+            prog = progs["warm"] if step == warm_chunk else progs["warm_rem"]
+            ws = prog(ws, done, model_args, model_kwargs)
+            done += step
+        _sync(ws.z)
+        warmup_s = _time.time() - t0
+
+        t0 = _time.time()
+        ss = progs["start"](ws, model_args, model_kwargs)
+        target = 0
+        while target < num_samples:
+            target = min(target + samp_chunk, num_samples)
+            ss = progs["sample"](ss, target, model_args, model_kwargs)
+        out = progs["finish"](ss, model_args, model_kwargs)
+        _sync(out["samples_z"])
+        self.last_fused_stats = {
+            "warmup_s": warmup_s,
+            "sample_s": _time.time() - t0,
+        }
         n_collect = out["samples_z"].shape[1]
         # unpack the flat z panel back into site pytrees per (chain, draw)
         flat2 = out["samples_z"].reshape(num_chains * n_collect, -1)
@@ -626,6 +728,7 @@ class HMC(MCMCKernel):
         state["_sample_fn"] = None
         state["_postprocess_fn"] = None
         state["_potential_fn_gen"] = None
+        state["_fused_cache"] = None
         return state
 
 

@@ -569,6 +569,17 @@ TransitionOut = namedtuple(
     ["key", "z", "pe", "grad", "energy", "num_steps", "accept_prob", "diverging"],
 )
 
+WarmState = namedtuple(
+    "WarmState", ["keys", "z", "pe", "grad", "adapt", "mean_accept"]
+)
+"""Resumable warmup-phase state for the chunked fused run."""
+
+SampleState = namedtuple(
+    "SampleState",
+    ["carry", "buf_z", "buf", "trans_idx", "mean_accept", "adapt"],
+)
+"""Resumable sampling-phase state (collection buffers ride along)."""
+
 
 def nuts_transition(
     pe_grad,
@@ -1071,36 +1082,13 @@ def build_fused_run(
             max_delta_energy,
         )
 
-    def warmup_phase(keys, z, pe, grad, step_size, inverse_mass_matrix):
-        adapt = wa_init(
-            keys, z, pe, grad, step_size, inverse_mass_matrix=inverse_mass_matrix
-        )
-        keys = adapt.rng_key
+    # The run is exposed in resumable pieces so the driver can split it
+    # into bounded-duration device calls: single XLA executions beyond
+    # ~1 minute fault the TPU tunnel in this environment, and chunking also
+    # gives natural progress-reporting points.  All state stays on device
+    # between calls, so the fusion wins are unchanged.
 
-        def body(i, carry):
-            keys, z, pe, grad, adapt, stats = carry
-            out = transition(keys, z, pe, grad, adapt, warmup_max_depth)
-            keys, adapt_keys = split_keys(out.key, 2)
-            adapt = adapt._replace(rng_key=adapt_keys)
-            adapt = wa_update(i, adapt, out.accept_prob, out.z, out.pe, out.grad)
-            mean_acc = stats + (out.accept_prob - stats) / (i + 1)
-            return keys, out.z, out.pe, out.grad, adapt, mean_acc
-
-        stats0 = jnp.zeros((z.shape[0],), z.dtype)
-        keys, z, pe, grad, adapt, mean_acc = lax.fori_loop(
-            0, num_warmup, body, (keys, z, pe, grad, adapt, stats0)
-        )
-        return keys, z, pe, grad, adapt, mean_acc
-
-    def sample_phase_async(keys, z, pe, grad, adapt):
-        """NUTS harvest loop: per-chain transition state machines."""
-        c, d = z.shape
-        dtype = z.dtype
-        k_slots = max(max_depth, 1)
-        carry0 = _init_nuts_carry(
-            keys, z, pe, grad, blocks,
-            adapt.inverse_mass_matrix, adapt.mass_matrix_sqrt, k_slots,
-        )
+    def _empty_buffers(c, d, dtype):
         buf_z = jnp.zeros((c, num_collect, d), dtype)
         buf = {
             "energy": jnp.zeros((c, num_collect), dtype),
@@ -1109,45 +1097,111 @@ def build_fused_run(
             "accept_prob": jnp.zeros((c, num_collect), dtype),
             "mean_accept_prob": jnp.zeros((c, num_collect), dtype),
         }
-        trans_idx = jnp.zeros((c,), jnp.int32)  # transitions since warmup
-        mean_acc = jnp.zeros((c,), dtype)
-        finished = jnp.zeros((c,), bool)
+        return buf_z, buf
 
-        def cond_fn(state):
-            return ~jnp.all(state[0])
+    def _bank(buf_z, buf, rows, slot, t, acc, mean_acc):
+        buf_z = buf_z.at[rows, slot].set(t.prop_z, mode="drop")
+        vals = {
+            "energy": t.prop_energy,
+            "diverging": t.diverging,
+            "num_steps": t.n_leaf,
+            "accept_prob": acc,
+            "mean_accept_prob": mean_acc,
+        }
+        buf = {
+            k: v.at[rows, slot].set(vals[k], mode="drop")
+            for k, v in buf.items()
+        }
+        return buf_z, buf
 
-        def body_fn(state):
-            finished, t, buf_z, buf, trans_idx, mean_acc = state
+    def warm_init(keys, z, pe, grad, step_size, inverse_mass_matrix=None):
+        adapt = wa_init(
+            keys, z, pe, grad, step_size, inverse_mass_matrix=inverse_mass_matrix
+        )
+        keys = adapt.rng_key
+        return WarmState(
+            keys, z, pe, grad, adapt._replace(rng_key=None),
+            jnp.zeros((z.shape[0],), z.dtype),
+        )
+
+    def warm_steps(ws, start, n):
+        """Advance ``n`` warmup transitions from absolute step ``start``."""
+
+        def body(j, ws):
+            i = start + j
+            out = transition(
+                ws.keys, ws.z, ws.pe, ws.grad, ws.adapt, warmup_max_depth
+            )
+            keys, adapt_keys = split_keys(out.key, 2)
+            adapt = ws.adapt._replace(rng_key=adapt_keys)
+            adapt = wa_update(i, adapt, out.accept_prob, out.z, out.pe, out.grad)
+            mean_acc = ws.mean_accept + (out.accept_prob - ws.mean_accept) / (
+                i + 1
+            )
+            return WarmState(
+                keys, out.z, out.pe, out.grad,
+                adapt._replace(rng_key=None), mean_acc,
+            )
+
+        return lax.fori_loop(0, n, body, ws)
+
+    def sample_start(ws):
+        """Initialize the sampling phase state (buffers + NUTS machines)."""
+        c, d = ws.z.shape
+        dtype = ws.z.dtype
+        buf_z, buf = _empty_buffers(c, d, dtype)
+        zero_i = jnp.zeros((c,), jnp.int32)
+        zero_f = jnp.zeros((c,), dtype)
+        if algo == "NUTS":
+            carry = _init_nuts_carry(
+                ws.keys, ws.z, ws.pe, ws.grad, blocks,
+                ws.adapt.inverse_mass_matrix, ws.adapt.mass_matrix_sqrt,
+                max(max_depth, 1),
+            )
+        else:
+            carry = (ws.keys, ws.z, ws.pe, ws.grad)
+        return SampleState(carry, buf_z, buf, zero_i, zero_f, ws.adapt)
+
+    def _sample_until_async(ss, target):
+        """Harvest loop: advance every chain one leapfrog per iteration;
+        chains that finish a trajectory bank the sample and immediately
+        start the next one.  Runs until every chain has completed
+        ``target`` transitions (chains past the target keep producing
+        rather than idling, so chunked calls waste nothing)."""
+        adapt = ss.adapt
+        goal = jnp.minimum(target, num_samples)
+
+        def cond_fn(ss):
+            return ~jnp.all(ss.trans_idx >= goal)
+
+        def body_fn(ss):
+            t = ss.carry
+            c = t.z.shape[0]
+            d = t.z.shape[1]
+            dtype = t.z.dtype
+            finished = ss.trans_idx >= num_samples
             t = t._replace(done=t.done | finished)
             t = _nuts_tick(
                 t, blocks, pe_grad, adapt.inverse_mass_matrix,
                 adapt.step_size, max_depth, max_delta_energy,
             )
             boundary = t.done & ~finished
-            # bank the sample for chains at a transition boundary
             acc = t.accept_sum / jnp.maximum(t.n_leaf, 1)
-            n1 = trans_idx + 1
-            mean_acc_new = mean_acc + (acc - mean_acc) / n1
-            mean_acc = jnp.where(boundary, mean_acc_new, mean_acc)
-            keep = boundary & (trans_idx % thinning == 0)
-            slot = jnp.where(keep, trans_idx // thinning, num_collect)
+            n1 = ss.trans_idx + 1
+            mean_acc = jnp.where(
+                boundary,
+                ss.mean_accept + (acc - ss.mean_accept) / n1,
+                ss.mean_accept,
+            )
+            keep = boundary & (ss.trans_idx % thinning == 0)
+            slot = jnp.where(keep, ss.trans_idx // thinning, num_collect)
             rows = jnp.arange(c)
-            buf_z = buf_z.at[rows, slot].set(t.prop_z, mode="drop")
-            vals = {
-                "energy": t.prop_energy,
-                "diverging": t.diverging,
-                "num_steps": t.n_leaf,
-                "accept_prob": acc,
-                "mean_accept_prob": mean_acc,
-            }
-            buf = {
-                k: v.at[rows, slot].set(vals[k], mode="drop")
-                for k, v in buf.items()
-            }
-            trans_idx = jnp.where(boundary, n1, trans_idx)
-            finished = finished | (trans_idx >= num_samples)
+            buf_z, buf = _bank(
+                ss.buf_z, ss.buf, rows, slot, t, acc, mean_acc
+            )
+            trans_idx = jnp.where(boundary, n1, ss.trans_idx)
             # refresh momentum and restart the machines at boundaries
-            restart = boundary & ~finished
+            restart = boundary & (trans_idx < num_samples)
             key, k_mom, k_dir = split_keys(t.key, 3)
             r0 = draw_momentum(
                 blocks, adapt.mass_matrix_sqrt, batch_normal(k_mom, d)
@@ -1177,40 +1231,33 @@ def build_fused_run(
                 done=jnp.zeros((c,), bool),
             )
             t = jax.tree.map(
-                lambda new, old: _sel(restart, new, old)
-                if new.ndim
-                else jnp.where(restart, new, old),
+                lambda new, old: _sel(restart, new, old),
                 fresh,
                 t._replace(key=key),
             )
-            return finished, t, buf_z, buf, trans_idx, mean_acc
+            return SampleState(t, buf_z, buf, trans_idx, mean_acc, ss.adapt)
 
-        state = (finished, carry0, buf_z, buf, trans_idx, mean_acc)
-        finished, t, buf_z, buf, trans_idx, mean_acc = lax.while_loop(
-            cond_fn, body_fn, state
-        )
-        return t.key, t.prop_z, t.prop_pe, t.prop_grad, buf_z, buf, mean_acc
+        return lax.while_loop(cond_fn, body_fn, ss)
 
-    def sample_phase_sync(keys, z, pe, grad, adapt):
-        """HMC path: transitions in lockstep, collection by fori_loop."""
-        c, d = z.shape
-        dtype = z.dtype
-        buf_z = jnp.zeros((c, num_collect, d), dtype)
-        buf = {
-            "energy": jnp.zeros((c, num_collect), dtype),
-            "diverging": jnp.zeros((c, num_collect), bool),
-            "num_steps": jnp.zeros((c, num_collect), jnp.int32),
-            "accept_prob": jnp.zeros((c, num_collect), dtype),
-            "mean_accept_prob": jnp.zeros((c, num_collect), dtype),
-        }
+    def _sample_until_sync(ss, target):
+        """HMC path: transitions in lockstep until ``target`` draws."""
+        adapt = ss.adapt
+        goal = jnp.minimum(target, num_samples)
 
-        def body(i, carry):
-            keys, z, pe, grad, buf_z, buf, mean_acc = carry
+        def cond_fn(ss):
+            return ~jnp.all(ss.trans_idx >= goal)
+
+        def body_fn(ss):
+            keys, z, pe, grad = ss.carry
+            c = z.shape[0]
             out = transition(keys, z, pe, grad, adapt, max_depth)
-            mean_acc = mean_acc + (out.accept_prob - mean_acc) / (i + 1)
+            i = ss.trans_idx[0]
+            mean_acc = ss.mean_accept + (out.accept_prob - ss.mean_accept) / (
+                i + 1
+            )
             keep = i % thinning == 0
             slot = jnp.where(keep, i // thinning, num_collect)
-            buf_z = buf_z.at[:, slot].set(out.z, mode="drop")
+            buf_z = ss.buf_z.at[:, slot].set(out.z, mode="drop")
             vals = {
                 "energy": out.energy,
                 "diverging": out.diverging,
@@ -1220,33 +1267,60 @@ def build_fused_run(
             }
             buf = {
                 k: v.at[:, slot].set(vals[k], mode="drop")
-                for k, v in buf.items()
+                for k, v in ss.buf.items()
             }
-            return out.key, out.z, out.pe, out.grad, buf_z, buf, mean_acc
+            return SampleState(
+                (out.key, out.z, out.pe, out.grad),
+                buf_z, buf, ss.trans_idx + 1, mean_acc, ss.adapt,
+            )
 
-        keys, z, pe, grad, buf_z, buf, mean_acc = lax.fori_loop(
-            0, num_samples, body,
-            (keys, z, pe, grad, buf_z, buf, jnp.zeros((c,), dtype)),
-        )
-        return keys, z, pe, grad, buf_z, buf, mean_acc
+        return lax.while_loop(cond_fn, body_fn, ss)
 
-    def run(keys, z, pe, grad, step_size, inverse_mass_matrix=None):
-        keys, z, pe, grad, adapt, _ = warmup_phase(
-            keys, z, pe, grad, step_size, inverse_mass_matrix
-        )
-        phase = sample_phase_async if algo == "NUTS" else sample_phase_sync
-        keys, z_f, pe_f, grad_f, buf_z, buf, mean_acc = phase(
-            keys, z, pe, grad, adapt
-        )
+    def sample_until(ss, target):
+        if algo == "NUTS":
+            return _sample_until_async(ss, target)
+        return _sample_until_sync(ss, target)
+
+    def sample_finish(ss):
+        if algo == "NUTS":
+            t = ss.carry
+            keys, z, pe, grad = t.key, t.prop_z, t.prop_pe, t.prop_grad
+        else:
+            keys, z, pe, grad = ss.carry
         return {
             "keys": keys,
-            "z": z_f,
-            "pe": pe_f,
-            "grad": grad_f,
-            "samples_z": buf_z,
-            "extras": buf,
-            "adapt": adapt,
-            "mean_accept_prob": mean_acc,
+            "z": z,
+            "pe": pe,
+            "grad": grad,
+            "samples_z": ss.buf_z,
+            "extras": ss.buf,
+            "adapt": ss.adapt,
+            "mean_accept_prob": ss.mean_accept,
         }
 
+    def warmup(keys, z, pe, grad, step_size, inverse_mass_matrix=None):
+        ws = warm_init(keys, z, pe, grad, step_size, inverse_mass_matrix)
+        ws = warm_steps(ws, 0, num_warmup)
+        return {
+            "keys": ws.keys, "z": ws.z, "pe": ws.pe, "grad": ws.grad,
+            "adapt": ws.adapt, "mean_accept_prob": ws.mean_accept,
+        }
+
+    def sample(keys, z, pe, grad, adapt):
+        ws = WarmState(keys, z, pe, grad, adapt, jnp.zeros_like(pe))
+        ss = sample_start(ws)
+        ss = sample_until(ss, num_samples)
+        return sample_finish(ss)
+
+    def run(keys, z, pe, grad, step_size, inverse_mass_matrix=None):
+        w = warmup(keys, z, pe, grad, step_size, inverse_mass_matrix)
+        return sample(w["keys"], w["z"], w["pe"], w["grad"], w["adapt"])
+
+    run.warmup = warmup
+    run.sample = sample
+    run.warm_init = warm_init
+    run.warm_steps = warm_steps
+    run.sample_start = sample_start
+    run.sample_until = sample_until
+    run.sample_finish = sample_finish
     return run

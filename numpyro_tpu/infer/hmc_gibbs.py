@@ -1,14 +1,25 @@
-"""HMC-within-Gibbs kernels: HMCGibbs, DiscreteHMCGibbs, HMCECS.
+"""Gibbs-composed HMC kernels, natively chain-batched.
 
-Reference surface: numpyro/infer/hmc_gibbs.py:38-769.
-- ``HMCGibbs``: user-supplied Gibbs conditional over some sites, HMC/NUTS
-  over the rest; model wrapped with condition+substitute of Gibbs values.
-- ``DiscreteHMCGibbs``: auto-detected finite-support sites updated by
-  (modified-)Gibbs or random-walk MH proposals inside a fori_loop.
-- ``HMCECS``: energy-conserving subsampling — subsample plate indices become
-  Gibbs sites updated blockwise with a pseudo-marginal MH correction; an
-  ``estimate_likelihood`` messenger swaps the subsample likelihood for a
-  bias-corrected control-variate estimator (see contrib/ecs_proxies.py).
+Role parity with numpyro/infer/hmc_gibbs.py (HMCGibbs / DiscreteHMCGibbs /
+HMCECS), but the design differs structurally from the reference:
+
+- **Chain-batched throughout.**  Outer Gibbs state (site values, subsample
+  index panels, proxy statistics) carries a leading chain axis; Gibbs
+  conditionals, block updates and pseudo-marginal accepts are vmapped over
+  chains so thousands of chains advance in one program.  A single chain is
+  ``C == 1`` squeezed at the API boundary.
+- **Per-chain conditioning channel.**  Conditioning values reach the inner
+  HMC's vmapped potential through ``model_kwargs["_per_chain"]`` (see
+  ``hmc.py``) instead of being baked into a scalar closure — each chain's
+  leapfrog gradient sees *its own* Gibbs values / subsample indices.
+- **Exact categorical conditionals.**  Discrete-site updates evaluate all
+  candidate values of a site in one vmapped sweep and sample the softmax
+  conditional directly, rather than the reference's sequential
+  reservoir-style candidate loop (hmc_gibbs.py:150-271).
+- **Mask-based block refresh.**  HMCECS subsample blocks are refreshed with
+  arithmetic position masks (no pad + dynamic-slice shuffling), which lowers
+  to select/iota — the TPU-friendly form of Tran et al.'s block
+  pseudo-marginal update.
 """
 
 from __future__ import annotations
@@ -19,22 +30,31 @@ from functools import partial
 
 import numpy as np
 
-from jax import grad, jacfwd, random, value_and_grad
+import jax
 import jax.numpy as jnp
+from jax import jacfwd, random, value_and_grad, vmap
 from jax.flatten_util import ravel_pytree
-from jax.scipy.special import expit
+from jax.scipy.special import logsumexp
 
 import numpyro_tpu
-from numpyro_tpu.contrib.ecs_proxies import block_update, perturbed_method, taylor_proxy
+from numpyro_tpu.contrib.ecs_proxies import (
+    block_refresh,
+    subsample_estimator,
+    taylor_proxy,
+)
 from numpyro_tpu.handlers import condition, seed, substitute, trace
 from numpyro_tpu.infer.hmc import HMC
 from numpyro_tpu.infer.initialization import init_to_sample
 from numpyro_tpu.infer.mcmc import MCMCKernel
-from numpyro_tpu.infer.util import _unconstrain_reparam
-from numpyro_tpu.util import cond, fori_loop, identity
+from numpyro_tpu.util import identity, is_prng_key
 
 HMCGibbsState = namedtuple("HMCGibbsState", "z, hmc_state, rng_key")
-HMCECSState = namedtuple("HMCECSState", "z, hmc_state, rng_key, gibbs_state, accept_prob")
+"""``z``: all latents (Gibbs + HMC sites); ``hmc_state``: inner kernel
+state; ``rng_key``: outer Gibbs key(s)."""
+
+HMCECSState = namedtuple(
+    "HMCECSState", "z, hmc_state, rng_key, gibbs_state, accept_prob"
+)
 
 
 def _wrap_model(model, *args, **kwargs):
@@ -43,9 +63,33 @@ def _wrap_model(model, *args, **kwargs):
         return model(*args, **kwargs)
 
 
+def _batched(state):
+    """Add a leading chain axis to every leaf except the scalar step index."""
+    i = state.hmc_state.i
+    out = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
+    return out._replace(hmc_state=out.hmc_state._replace(i=i))
+
+
+def _unbatched(state):
+    i = state.hmc_state.i
+    # park a batched placeholder where the scalar step index lives so the
+    # uniform x[0] map is well-defined, then put the scalar back
+    state = state._replace(
+        hmc_state=state.hmc_state._replace(i=jnp.zeros((1,), jnp.int32))
+    )
+    out = jax.tree.map(lambda x: x[0], state)
+    return out._replace(hmc_state=out.hmc_state._replace(i=i))
+
+
+def _split_keys(keys, n):
+    pieces = vmap(lambda k: random.split(k, n))(keys)
+    return tuple(pieces[:, j] for j in range(n))
+
+
 class HMCGibbs(MCMCKernel):
-    """HMC/NUTS over continuous sites + a user Gibbs conditional over
-    ``gibbs_sites`` (reference: hmc_gibbs.py:38-191)."""
+    """Inner HMC/NUTS over continuous sites composed with a user-supplied
+    Gibbs conditional over ``gibbs_sites`` (role parity:
+    numpyro/infer/hmc_gibbs.py:38-191)."""
 
     sample_field = "z"
 
@@ -62,78 +106,133 @@ class HMCGibbs(MCMCKernel):
         self._gibbs_sites = gibbs_sites
         self._gibbs_fn = gibbs_fn
         self._prototype_trace = None
+        self._chain_mode = False  # True once init sees a batch of keys
 
     @property
     def model(self):
         return self.inner_kernel._model
 
     def get_diagnostics_str(self, state):
-        state = state.hmc_state
+        hs = state.hmc_state
         return "{} steps of size {:.2e}. acc. prob={:.2f}".format(
-            state.num_steps, state.adapt_state.step_size, state.mean_accept_prob
+            hs.num_steps, hs.adapt_state.step_size, hs.mean_accept_prob
         )
 
     def postprocess_fn(self, args, kwargs):
         def fn(z):
             model_kwargs = {} if kwargs is None else kwargs.copy()
-            hmc_sites = {k: v for k, v in z.items() if k not in self._gibbs_sites}
             gibbs_sites = {k: v for k, v in z.items() if k in self._gibbs_sites}
+            hmc_sites = {k: v for k, v in z.items() if k not in self._gibbs_sites}
             model_kwargs["_gibbs_sites"] = gibbs_sites
-            hmc_sites = self.inner_kernel.postprocess_fn(args, model_kwargs)(hmc_sites)
-            return {**gibbs_sites, **hmc_sites}
+            out = self.inner_kernel.postprocess_fn(args, model_kwargs)(hmc_sites)
+            return {**gibbs_sites, **out}
 
         return fn
 
+    def _prototype(self, rng_key, model_args, model_kwargs):
+        if self._prototype_trace is None:
+            self._prototype_trace = trace(
+                substitute(seed(self.model, rng_key), substitute_fn=init_to_sample())
+            ).get_trace(*model_args, **model_kwargs)
+        return self._prototype_trace
+
+    def _initial_gibbs_values(self, init_params):
+        values = {}
+        for name, site in self._prototype_trace.items():
+            if name not in self._gibbs_sites:
+                continue
+            if init_params and name in init_params:
+                values[name] = init_params.pop(name)
+            else:
+                values[name] = site["value"]
+        return values
+
     def init(self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}):
         model_kwargs = {} if model_kwargs is None else model_kwargs.copy()
-        if self._prototype_trace is None:
-            rng_key, key_u = random.split(rng_key)
-            self._prototype_trace = trace(
-                substitute(seed(self.model, key_u), substitute_fn=init_to_sample())
-            ).get_trace(*model_args, **model_kwargs)
-        rng_key, key_z = random.split(rng_key)
-        gibbs_sites = {}
-        for name, site in self._prototype_trace.items():
-            if init_params and (name in init_params) and (name in self._gibbs_sites):
-                gibbs_sites[name] = init_params.pop(name)
-            elif name in self._gibbs_sites:
-                gibbs_sites[name] = site["value"]
-        model_kwargs["_gibbs_sites"] = gibbs_sites
-        hmc_state = self.inner_kernel.init(
-            key_z, num_warmup, init_params, model_args, model_kwargs
+        self._chain_mode = not is_prng_key(rng_key)
+        if not self._chain_mode:
+            state = self._init_batched(
+                rng_key[None], num_warmup, init_params, model_args, model_kwargs
+            )
+            return _unbatched(state)
+        return self._init_batched(
+            rng_key, num_warmup, init_params, model_args, model_kwargs
         )
-        z = {**gibbs_sites, **hmc_state.z}
-        return HMCGibbsState(z, hmc_state, rng_key)
+
+    def _init_batched(self, keys, num_warmup, init_params, model_args, model_kwargs):
+        num_chains = keys.shape[0]
+        keys, proto_keys, inner_keys = _split_keys(keys, 3)
+        self._prototype(proto_keys[0], model_args, model_kwargs)
+        gibbs_values = self._initial_gibbs_values(init_params)
+        gibbs_panel = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)),
+            gibbs_values,
+        )
+        inner_kwargs = model_kwargs.copy()
+        inner_kwargs["_gibbs_sites"] = gibbs_values  # shared at init
+        hmc_state = self.inner_kernel.init(
+            inner_keys, num_warmup, init_params, model_args, inner_kwargs
+        )
+        z = {**gibbs_panel, **hmc_state.z}
+        return HMCGibbsState(z, hmc_state, keys)
+
+    def _chain_potential(self, model_args, model_kwargs):
+        """Per-chain potential: (gibbs_values_c, z_hmc_c) -> scalar."""
+
+        def pe(z_gibbs_c, z_hmc_c):
+            return self.inner_kernel._potential_fn_gen(
+                *model_args, _gibbs_sites=z_gibbs_c, **model_kwargs
+            )(z_hmc_c)
+
+        return pe
+
+    def _refresh_hmc_state(self, hmc_state, z_gibbs, model_args, model_kwargs):
+        """Recompute pe/grad under new per-chain Gibbs conditioning."""
+        pe_fn = self._chain_potential(model_args, model_kwargs)
+        if self.inner_kernel._forward_mode_differentiation:
+            def one(g, zc):
+                return pe_fn(g, zc), jacfwd(partial(pe_fn, g))(zc)
+        else:
+            def one(g, zc):
+                return value_and_grad(partial(pe_fn, g))(zc)
+
+        pe, grad = vmap(one)(z_gibbs, hmc_state.z)
+        return hmc_state._replace(z_grad=grad, potential_energy=pe)
 
     def sample(self, state, model_args, model_kwargs):
         model_kwargs = {} if model_kwargs is None else model_kwargs
-        rng_key, rng_gibbs = random.split(state.rng_key)
+        if not self._chain_mode:
+            state = _batched(state)
+        state = self._sample_batched(state, model_args, model_kwargs)
+        if not self._chain_mode:
+            state = _unbatched(state)
+        return state
 
-        def potential_fn(z_gibbs, z_hmc):
-            return self.inner_kernel._potential_fn_gen(
-                *model_args, _gibbs_sites=z_gibbs, **model_kwargs
-            )(z_hmc)
-
-        z_gibbs = {k: v for k, v in state.z.items() if k not in state.hmc_state.z}
+    def _sample_batched(self, state, model_args, model_kwargs):
+        keys, gibbs_keys = _split_keys(state.rng_key, 2)
+        z_gibbs = {
+            k: v for k, v in state.z.items() if k not in state.hmc_state.z
+        }
         z_hmc = {k: v for k, v in state.z.items() if k in state.hmc_state.z}
-        model_kwargs_ = model_kwargs.copy()
-        model_kwargs_["_gibbs_sites"] = z_gibbs
-        z_hmc = self.inner_kernel.postprocess_fn(model_args, model_kwargs_)(z_hmc)
 
-        z_gibbs = self._gibbs_fn(rng_key=rng_gibbs, gibbs_sites=z_gibbs, hmc_sites=z_hmc)
-
-        if self.inner_kernel._forward_mode_differentiation:
-            pe = potential_fn(z_gibbs, state.hmc_state.z)
-            z_grad = jacfwd(partial(potential_fn, z_gibbs))(state.hmc_state.z)
-        else:
-            pe, z_grad = value_and_grad(partial(potential_fn, z_gibbs))(
-                state.hmc_state.z
+        # run the user conditional per chain on constrained hmc values
+        def one_chain(key, g, h):
+            mk = dict(model_kwargs)
+            mk["_gibbs_sites"] = g
+            h_constrained = self.inner_kernel.postprocess_fn(model_args, mk)(h)
+            return self._gibbs_fn(
+                rng_key=key, gibbs_sites=g, hmc_sites=h_constrained
             )
-        hmc_state = state.hmc_state._replace(z_grad=z_grad, potential_energy=pe)
-        model_kwargs_["_gibbs_sites"] = z_gibbs
-        hmc_state = self.inner_kernel.sample(hmc_state, model_args, model_kwargs_)
+
+        z_gibbs = vmap(one_chain)(gibbs_keys, z_gibbs, z_hmc)
+        hmc_state = self._refresh_hmc_state(
+            state.hmc_state, z_gibbs, model_args, model_kwargs
+        )
+        inner_kwargs = dict(model_kwargs)
+        inner_kwargs["_per_chain"] = {"_gibbs_sites": z_gibbs}
+        hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}
-        return HMCGibbsState(z, hmc_state, rng_key)
+        return HMCGibbsState(z, hmc_state, keys)
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -141,222 +240,180 @@ class HMCGibbs(MCMCKernel):
         return state
 
 
-# --- discrete-site proposal machinery (reference: hmc_gibbs.py:150-330) ---
+# ---------------------------------------------------------------------------
+# Discrete-site conditionals
 
 
-def _discrete_gibbs_proposal_body_fn(
-    z_init_flat, unravel_fn, pe_init, potential_fn, idx, i, val
+def _site_element_layout(support_sizes):
+    """Flatten {site: per-element support size} into host-side arrays."""
+    names = sorted(support_sizes)
+    sizes = np.concatenate(
+        [np.asarray(support_sizes[k]).reshape(-1) for k in names]
+    ).astype(np.int32)
+    return names, sizes
+
+
+def _one_hot_set(flat, idx, value):
+    """flat.at[idx].set(value) via select (no scatter)."""
+    pos = jnp.arange(flat.shape[0])
+    return jnp.where(pos == idx, value, flat)
+
+
+def _discrete_sweep(
+    pe_fn, key, z_flat, unravel, pe, sizes_np, *, mode, smax
 ):
-    rng_key, z, pe, log_weight_sum = val
-    rng_key, rng_transition = random.split(rng_key)
-    proposal = jnp.where(i >= z_init_flat[idx], i + 1, i)
-    z_new_flat = z_init_flat.at[idx].set(proposal)
-    z_new = unravel_fn(z_new_flat)
-    pe_new = potential_fn(z_new)
-    log_weight_new = pe_init - pe_new
-    log_weight_new = jnp.where(jnp.isfinite(log_weight_new), log_weight_new, -jnp.inf)
-    # stick-breaking / Gumbel-free reservoir selection across candidates
-    transition_prob = expit(log_weight_new - log_weight_sum)
-    z, pe = cond(
-        random.bernoulli(rng_transition, transition_prob),
-        (z_new, pe_new),
-        identity,
-        (z, pe),
-        identity,
-    )
-    log_weight_sum = jnp.logaddexp(log_weight_new, log_weight_sum)
-    return rng_key, z, pe, log_weight_sum
+    """One full Gibbs sweep over every discrete element of one chain.
 
+    ``mode``: 'gibbs' (exact conditional), 'modified-gibbs' (never-stay with
+    MH correction), 'rw' (uniform proposal), 'modified-rw' (uniform over the
+    other values).  Candidate energies for a site are evaluated in one
+    vmapped sweep (see module docstring).
+    """
+    nd = sizes_np.shape[0]
+    sizes = jnp.asarray(sizes_np)
+    key, perm_key = random.split(key)
+    order = random.permutation(perm_key, nd)
 
-def _discrete_gibbs_proposal(rng_key, z_discrete, pe, potential_fn, idx, support_size):
-    z_discrete_flat, unravel_fn = ravel_pytree(z_discrete)
-    body_fn = partial(
-        _discrete_gibbs_proposal_body_fn,
-        z_discrete_flat,
-        unravel_fn,
-        pe,
-        potential_fn,
-        idx,
-    )
-    init_val = (rng_key, z_discrete, pe, jnp.array(0.0))
-    rng_key, z_new, pe_new, _ = fori_loop(0, support_size - 1, body_fn, init_val)
-    return rng_key, z_new, pe_new, jnp.array(0.0)
+    def pe_at(flat):
+        return pe_fn(unravel(flat))
 
-
-def _discrete_modified_gibbs_proposal(
-    rng_key, z_discrete, pe, potential_fn, idx, support_size, stay_prob=0.0
-):
-    assert isinstance(stay_prob, float) and stay_prob >= 0.0 and stay_prob < 1
-    z_discrete_flat, unravel_fn = ravel_pytree(z_discrete)
-    body_fn = partial(
-        _discrete_gibbs_proposal_body_fn,
-        z_discrete_flat,
-        unravel_fn,
-        pe,
-        potential_fn,
-        idx,
-    )
-    init_val = (rng_key, z_discrete, pe, jnp.array(-jnp.inf))
-    rng_key, z_new, pe_new, log_weight_sum = fori_loop(
-        0, support_size - 1, body_fn, init_val
-    )
-    rng_key, rng_stay = random.split(rng_key)
-    z_new, pe_new = cond(
-        random.bernoulli(rng_stay, stay_prob),
-        (z_discrete, pe),
-        identity,
-        (z_new, pe_new),
-        identity,
-    )
-    log_accept_ratio = log_weight_sum - jnp.log(
-        jnp.exp(log_weight_sum) - jnp.expm1(pe - pe_new)
-    )
-    return rng_key, z_new, pe_new, log_accept_ratio
-
-
-def _discrete_rw_proposal(rng_key, z_discrete, pe, potential_fn, idx, support_size):
-    rng_key, rng_proposal = random.split(rng_key, 2)
-    z_discrete_flat, unravel_fn = ravel_pytree(z_discrete)
-    proposal = random.randint(rng_proposal, (), minval=0, maxval=support_size)
-    z_new = unravel_fn(z_discrete_flat.at[idx].set(proposal))
-    pe_new = potential_fn(z_new)
-    return rng_key, z_new, pe_new, pe - pe_new
-
-
-def _discrete_modified_rw_proposal(
-    rng_key, z_discrete, pe, potential_fn, idx, support_size, stay_prob=0.0
-):
-    assert isinstance(stay_prob, float) and stay_prob >= 0.0 and stay_prob < 1
-    rng_key, rng_proposal, rng_stay = random.split(rng_key, 3)
-    z_discrete_flat, unravel_fn = ravel_pytree(z_discrete)
-    i = random.randint(rng_proposal, (), minval=0, maxval=support_size - 1)
-    proposal = jnp.where(i >= z_discrete_flat[idx], i + 1, i)
-    proposal = jnp.where(random.bernoulli(rng_stay, stay_prob), idx, proposal)
-    z_new = unravel_fn(z_discrete_flat.at[idx].set(proposal))
-    pe_new = potential_fn(z_new)
-    return rng_key, z_new, pe_new, pe - pe_new
-
-
-def _discrete_gibbs_fn(potential_fn, support_sizes, proposal_fn):
-    def gibbs_fn(rng_key, gibbs_sites, hmc_sites, pe):
-        support_sizes_flat, _ = ravel_pytree(
-            {k: support_sizes[k] for k in gibbs_sites}
-        )
-        num_discretes = support_sizes_flat.shape[0]
-        rng_key, rng_permute = random.split(rng_key)
-        idxs = random.permutation(rng_permute, jnp.arange(num_discretes))
-
-        def body_fn(i, val):
-            idx = idxs[i]
-            support_size = support_sizes_flat[idx]
-            rng_key, z, pe = val
-            rng_key, z_new, pe_new, log_accept_ratio = proposal_fn(
-                rng_key,
-                z,
-                pe,
-                potential_fn=partial(potential_fn, z_hmc=hmc_sites),
-                idx=idx,
-                support_size=support_size,
+    def body(j, carry):
+        key, flat, pe = carry
+        idx = order[j]
+        size = sizes[idx]
+        cur = flat[idx]
+        key, k_draw, k_accept = random.split(key, 3)
+        if mode in ("gibbs", "modified-gibbs"):
+            cand = jnp.arange(smax)
+            z_cand = jnp.where(
+                jnp.arange(flat.shape[0])[None, :] == idx,
+                cand[:, None].astype(flat.dtype),
+                flat[None, :],
             )
-            rng_key, rng_accept = random.split(rng_key)
-            z, pe = cond(
-                random.exponential(rng_accept) > -log_accept_ratio,
-                (z_new, pe_new),
-                identity,
-                (z, pe),
-                identity,
-            )
-            return rng_key, z, pe
+            pe_cand = vmap(pe_at)(z_cand)
+            logw = jnp.where(cand < size, -pe_cand, -jnp.inf)
+            logw = jnp.where(jnp.isnan(logw), -jnp.inf, logw)
+            if mode == "gibbs":
+                new = random.categorical(k_draw, logw)
+                pe_new = pe_cand[new]
+                flat = _one_hot_set(flat, idx, new.astype(flat.dtype))
+                return key, flat, pe_new
+            # never-stay proposal with exact MH correction:
+            # q(z'|z) ∝ w(z') over z'≠z; accept = min(1, Σ_{k≠z}w / Σ_{k≠z'}w)
+            logw_others = jnp.where(cand == cur, -jnp.inf, logw)
+            prop = random.categorical(k_draw, logw_others)
+            log_fwd = logsumexp(logw_others)
+            log_bwd = logsumexp(jnp.where(cand == prop, -jnp.inf, logw))
+            take = jnp.log(random.uniform(k_accept)) < (log_fwd - log_bwd)
+            new = jnp.where(take, prop, cur)
+            flat = _one_hot_set(flat, idx, new.astype(flat.dtype))
+            return key, flat, pe_cand[new]
+        # random-walk proposals: a single candidate energy
+        if mode == "rw":
+            prop = random.randint(k_draw, (), 0, size)
+        else:  # modified-rw: uniform over the other values
+            raw = random.randint(k_draw, (), 0, size - 1)
+            prop = jnp.where(raw >= cur, raw + 1, raw)
+        flat_prop = _one_hot_set(flat, idx, prop.astype(flat.dtype))
+        pe_prop = pe_at(flat_prop)
+        delta = pe - jnp.where(jnp.isnan(pe_prop), jnp.inf, pe_prop)
+        take = jnp.log(random.uniform(k_accept)) < delta
+        flat = jnp.where(take, flat_prop, flat)
+        return key, flat, jnp.where(take, pe_prop, pe)
 
-        init_val = (rng_key, gibbs_sites, pe)
-        _, gibbs_sites, pe = fori_loop(0, num_discretes, body_fn, init_val)
-        return gibbs_sites, pe
-
-    return gibbs_fn
+    key, flat, pe = jax.lax.fori_loop(0, nd, body, (key, z_flat, pe))
+    return flat, pe
 
 
 class DiscreteHMCGibbs(HMCGibbs):
-    """Metropolis(-within-Gibbs) updates for auto-detected discrete latent
-    sites; HMC/NUTS over the rest (reference: hmc_gibbs.py:272-487)."""
+    """Metropolis-within-Gibbs over auto-detected enumerable discrete sites
+    + inner HMC/NUTS over the rest (role parity: hmc_gibbs.py:272-487)."""
 
     def __init__(self, inner_kernel, *, random_walk=False, modified=False):
         super().__init__(inner_kernel, identity, None)
         self._random_walk = random_walk
         self._modified = modified
-        if random_walk:
-            if modified:
-                self._discrete_proposal_fn = partial(
-                    _discrete_modified_rw_proposal, stay_prob=0.0
-                )
-            else:
-                self._discrete_proposal_fn = _discrete_rw_proposal
-        else:
-            if modified:
-                self._discrete_proposal_fn = partial(
-                    _discrete_modified_gibbs_proposal, stay_prob=0.0
-                )
-            else:
-                self._discrete_proposal_fn = _discrete_gibbs_proposal
+        self._mode = {
+            (False, False): "gibbs",
+            (False, True): "modified-gibbs",
+            (True, False): "rw",
+            (True, True): "modified-rw",
+        }[(random_walk, modified)]
 
     def init(self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}):
         model_kwargs = {} if model_kwargs is None else model_kwargs.copy()
-        rng_key, key_u = random.split(rng_key)
-        self._prototype_trace = trace(
-            substitute(seed(self.model, key_u), substitute_fn=init_to_sample())
-        ).get_trace(*model_args, **model_kwargs)
-        self._support_sizes = {
-            name: np.broadcast_to(
-                site["fn"].enumerate_support(False).shape[0], jnp.shape(site["value"])
-            )
-            for name, site in self._prototype_trace.items()
+        proto_key = rng_key if is_prng_key(rng_key) else rng_key[0]
+        tr = self._prototype(proto_key, model_args, model_kwargs)
+        discrete = {
+            name: site
+            for name, site in tr.items()
             if site["type"] == "sample"
-            and site["fn"].has_enumerate_support
             and not site["is_observed"]
+            and site["fn"].has_enumerate_support
         }
         self._gibbs_sites = [
             name
-            for name, site in self._prototype_trace.items()
-            if site["type"] == "sample"
-            and site["fn"].has_enumerate_support
-            and not site["is_observed"]
-            and site["infer"].get("enumerate", "") != "parallel"
+            for name, site in discrete.items()
+            if site["infer"].get("enumerate", "") != "parallel"
         ]
         assert self._gibbs_sites, "Cannot detect any discrete latent variables."
-        return super().init(rng_key, num_warmup, init_params, model_args, model_kwargs)
+        self._support_sizes = {
+            name: np.broadcast_to(
+                discrete[name]["fn"].enumerate_support(False).shape[0],
+                jnp.shape(discrete[name]["value"]),
+            )
+            for name in self._gibbs_sites
+        }
+        return super().init(
+            rng_key, num_warmup, init_params, model_args, model_kwargs
+        )
 
-    def sample(self, state, model_args, model_kwargs):
-        model_kwargs = {} if model_kwargs is None else model_kwargs
-        rng_key, rng_gibbs = random.split(state.rng_key)
-
-        def potential_fn(z_gibbs, z_hmc):
-            return self.inner_kernel._potential_fn_gen(
-                *model_args, _gibbs_sites=z_gibbs, **model_kwargs
-            )(z_hmc)
-
-        z_gibbs = {k: v for k, v in state.z.items() if k not in state.hmc_state.z}
+    def _sample_batched(self, state, model_args, model_kwargs):
+        keys, gibbs_keys = _split_keys(state.rng_key, 2)
+        z_gibbs = {
+            k: v for k, v in state.z.items() if k not in state.hmc_state.z
+        }
         z_hmc = {k: v for k, v in state.z.items() if k in state.hmc_state.z}
-        model_kwargs_ = model_kwargs.copy()
-        model_kwargs_["_gibbs_sites"] = z_gibbs
+        names, sizes_np = _site_element_layout(self._support_sizes)
+        smax = int(sizes_np.max())
+        pe_fn = self._chain_potential(model_args, model_kwargs)
 
-        gibbs_fn = _discrete_gibbs_fn(
-            potential_fn, self._support_sizes, self._discrete_proposal_fn
-        )
-        z_gibbs, pe = gibbs_fn(
-            rng_key=rng_gibbs,
-            gibbs_sites=z_gibbs,
-            hmc_sites=z_hmc,
-            pe=state.hmc_state.potential_energy,
+        def one_chain(key, g, h, pe):
+            flat, unravel = ravel_pytree(g)
+            flat, pe = _discrete_sweep(
+                lambda gg: pe_fn(gg, h),
+                key,
+                flat,
+                unravel,
+                pe,
+                sizes_np,
+                mode=self._mode,
+                smax=smax,
+            )
+            return unravel(flat), pe
+
+        z_gibbs, pe = vmap(one_chain)(
+            gibbs_keys, z_gibbs, z_hmc, state.hmc_state.potential_energy
         )
 
+        # gradient under the new conditioning (pe already exact)
         if self.inner_kernel._forward_mode_differentiation:
-            z_grad = jacfwd(partial(potential_fn, z_gibbs))(state.hmc_state.z)
+            grad_fn = lambda g, zc: jacfwd(partial(pe_fn, g))(zc)  # noqa: E731
         else:
-            z_grad = grad(partial(potential_fn, z_gibbs))(state.hmc_state.z)
-        hmc_state = state.hmc_state._replace(z_grad=z_grad, potential_energy=pe)
-        model_kwargs_["_gibbs_sites"] = z_gibbs
-        hmc_state = self.inner_kernel.sample(hmc_state, model_args, model_kwargs_)
+            grad_fn = lambda g, zc: jax.grad(partial(pe_fn, g))(zc)  # noqa: E731
+        z_grad = vmap(grad_fn)(z_gibbs, z_hmc)
+        hmc_state = state.hmc_state._replace(
+            z_grad=z_grad, potential_energy=pe
+        )
+        inner_kwargs = dict(model_kwargs)
+        inner_kwargs["_per_chain"] = {"_gibbs_sites": z_gibbs}
+        hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}
-        return HMCGibbsState(z, hmc_state, rng_key)
+        return HMCGibbsState(z, hmc_state, keys)
+
+
+# ---------------------------------------------------------------------------
+# HMCECS
 
 
 def _wrap_gibbs_state(model, *args, **kwargs):
@@ -366,22 +423,24 @@ def _wrap_gibbs_state(model, *args, **kwargs):
 
 
 class HMCECS(HMCGibbs):
-    """HMC with Energy-Conserving Subsampling (Dang et al. 2019; block
-    pseudo-marginal of Tran et al. 2017; Taylor control variates of Quiroz
-    et al. 2018) — the covtype north-star kernel
-    (reference: hmc_gibbs.py:502-687)."""
+    """HMC with Energy-Conserving Subsampling — per-chain subsample index
+    panels, vmapped block refreshes, and a batched pseudo-marginal accept
+    (role parity: numpyro/infer/hmc_gibbs.py:502-687; Dang et al. 2019,
+    Tran et al. 2017, Quiroz et al. 2018)."""
 
     def __init__(self, inner_kernel, *, num_blocks=1, proxy=None):
         super().__init__(inner_kernel, identity, None)
-        self.inner_kernel._model = partial(_wrap_gibbs_state, self.inner_kernel._model)
+        self.inner_kernel._model = partial(
+            _wrap_gibbs_state, self.inner_kernel._model
+        )
         self._num_blocks = num_blocks
         self._proxy = proxy
 
     def postprocess_fn(self, args, kwargs):
         def fn(z):
             model_kwargs = {} if kwargs is None else kwargs.copy()
-            hmc_sites = {k: v for k, v in z.items() if k not in self._gibbs_sites}
             gibbs_sites = {k: v for k, v in z.items() if k in self._gibbs_sites}
+            hmc_sites = {k: v for k, v in z.items() if k not in self._gibbs_sites}
             model_kwargs["_gibbs_sites"] = gibbs_sites
             return self.inner_kernel.postprocess_fn(args, model_kwargs)(hmc_sites)
 
@@ -389,173 +448,186 @@ class HMCECS(HMCGibbs):
 
     def init(self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}):
         model_kwargs = {} if model_kwargs is None else model_kwargs.copy()
-        rng_key, key_u = random.split(rng_key)
-        self._prototype_trace = trace(
-            substitute(seed(self.model, key_u), substitute_fn=init_to_sample())
-        ).get_trace(*model_args, **model_kwargs)
+        batched = not is_prng_key(rng_key)
+        proto_key = rng_key[0] if batched else rng_key
+        tr = self._prototype(proto_key, model_args, model_kwargs)
         self._subsample_plate_sizes = {
             name: site["args"]
-            for name, site in self._prototype_trace.items()
+            for name, site in tr.items()
             if site["type"] == "plate"
-            and (site["args"][1] is not None)
+            and site["args"][1] is not None
             and site["args"][0] > site["args"][1]
         }
-        self._gibbs_sites = list(self._subsample_plate_sizes.keys())
-        assert self._gibbs_sites, "Cannot detect any subsample statements in the model."
+        self._gibbs_sites = list(self._subsample_plate_sizes)
+        assert self._gibbs_sites, (
+            "Cannot detect any subsample statements in the model."
+        )
         if self._proxy is not None:
             if any(
                 site["type"] == "sample"
-                and (not site["is_observed"])
+                and not site["is_observed"]
                 and site["fn"].support.is_discrete
-                for site in self._prototype_trace.values()
+                for site in tr.values()
             ):
                 raise RuntimeError(
-                    "Currently, the proxy does not support models with "
+                    "The likelihood proxy does not support models with "
                     "discrete latent sites."
                 )
-            proxy_fn, gibbs_init, self._gibbs_update = self._proxy(
-                self._prototype_trace,
+            proxy_fn, proxy_init, self._proxy_update = self._proxy(
+                tr,
                 self._subsample_plate_sizes,
                 self.model,
                 model_args,
                 model_kwargs.copy(),
                 num_blocks=self._num_blocks,
             )
-            method = perturbed_method(self._subsample_plate_sizes, proxy_fn)
-            self.inner_kernel._model = estimate_likelihood(
-                self.inner_kernel._model, method
+            self.inner_kernel._model = subsample_estimator(
+                self.inner_kernel._model,
+                self._subsample_plate_sizes,
+                proxy_fn,
             )
-            z_gibbs = {
-                name: site["value"]
-                for name, site in self._prototype_trace.items()
-                if name in self._gibbs_sites
-            }
-            rng_key, rng_state = random.split(rng_key)
-            gibbs_state = gibbs_init(rng_state, z_gibbs)
         else:
-            self._gibbs_update = partial(
-                block_update, self._subsample_plate_sizes, self._num_blocks
-            )
-            gibbs_state = ()
+            proxy_init, self._proxy_update = None, None
 
-        model_kwargs["_gibbs_state"] = gibbs_state
-        state = super().init(rng_key, num_warmup, init_params, model_args, model_kwargs)
+        num_chains = 1 if not batched else rng_key.shape[0]
+        proto_idx = {
+            name: tr[name]["value"] for name in self._gibbs_sites
+        }
+        idx_panel = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)),
+            proto_idx,
+        )
+        if proxy_init is not None:
+            gibbs_state = vmap(lambda idx: proxy_init(idx))(idx_panel)
+        else:
+            gibbs_state = ()
+        self._has_proxy = proxy_init is not None
+
+        model_kwargs["_gibbs_state"] = jax.tree.map(
+            lambda x: x[0], gibbs_state
+        ) if self._has_proxy else ()
+        state = super().init(
+            rng_key, num_warmup, init_params, model_args, model_kwargs
+        )
+        accept = jnp.zeros(() if not batched else (num_chains,))
+        if not batched:
+            gibbs_state = jax.tree.map(lambda x: x[0], gibbs_state)
         return HMCECSState(
-            state.z, state.hmc_state, state.rng_key, gibbs_state, jnp.zeros(())
+            state.z, state.hmc_state, state.rng_key, gibbs_state, accept
         )
 
     def sample(self, state, model_args, model_kwargs):
-        model_kwargs = {} if model_kwargs is None else model_kwargs.copy()
-        rng_key, rng_gibbs = random.split(state.rng_key)
+        model_kwargs = {} if model_kwargs is None else model_kwargs
+        if not self._chain_mode:
+            hg = _batched(
+                HMCGibbsState(state.z, state.hmc_state, state.rng_key)
+            )
+            gibbs_state = jax.tree.map(
+                lambda x: jnp.asarray(x)[None], state.gibbs_state
+            )
+            state = HMCECSState(
+                hg.z, hg.hmc_state, hg.rng_key, gibbs_state,
+                jnp.asarray(state.accept_prob)[None],
+            )
+        state = self._sample_batched(state, model_args, model_kwargs)
+        if not self._chain_mode:
+            hg = _unbatched(
+                HMCGibbsState(state.z, state.hmc_state, state.rng_key)
+            )
+            state = HMCECSState(
+                hg.z, hg.hmc_state, hg.rng_key,
+                jax.tree.map(lambda x: x[0], state.gibbs_state),
+                state.accept_prob[0],
+            )
+        return state
 
-        def potential_fn(z_gibbs, gibbs_state, z_hmc):
+    def _chain_potential_ecs(self, model_args, model_kwargs):
+        def pe(z_gibbs_c, gibbs_state_c, z_hmc_c):
             return self.inner_kernel._potential_fn_gen(
                 *model_args,
-                _gibbs_sites=z_gibbs,
-                _gibbs_state=gibbs_state,
+                _gibbs_sites=z_gibbs_c,
+                _gibbs_state=gibbs_state_c,
                 **model_kwargs,
-            )(z_hmc)
+            )(z_hmc_c)
 
-        z_gibbs = {k: v for k, v in state.z.items() if k not in state.hmc_state.z}
-        z_gibbs_new, gibbs_state_new = self._gibbs_update(
-            rng_key, z_gibbs, state.gibbs_state
-        )
+        return pe
 
-        # pseudo-marginal MH on the likelihood-estimator difference
+    def _sample_batched(self, state, model_args, model_kwargs):
+        keys, refresh_keys, accept_keys = _split_keys(state.rng_key, 3)
+        z_gibbs = {
+            k: v for k, v in state.z.items() if k not in state.hmc_state.z
+        }
+
+        # propose a block refresh of each chain's subsample indices
+        if self._has_proxy:
+            def refresh(key, idx, gstate):
+                return self._proxy_update(key, idx, gstate)
+
+            z_gibbs_new, gibbs_state_new = vmap(refresh)(
+                refresh_keys, z_gibbs, state.gibbs_state
+            )
+        else:
+            def refresh(key, idx):
+                site_keys = random.split(key, len(self._gibbs_sites))
+                return {
+                    name: block_refresh(
+                        k,
+                        idx[name],
+                        self._subsample_plate_sizes[name][0],
+                        self._num_blocks,
+                    )[0]
+                    for name, k in zip(sorted(idx), site_keys)
+                }
+
+            z_gibbs_new = vmap(refresh)(refresh_keys, z_gibbs)
+            gibbs_state_new = state.gibbs_state
+
+        # batched pseudo-marginal MH on the likelihood-estimator difference
+        pe_fn = self._chain_potential_ecs(model_args, model_kwargs)
         pe = state.hmc_state.potential_energy
-        pe_new = potential_fn(z_gibbs_new, gibbs_state_new, state.hmc_state.z)
-        accept_prob = jnp.clip(jnp.exp(pe - pe_new), None, 1.0)
-        transition = random.bernoulli(rng_key, accept_prob)
-        grad_ = jacfwd if self.inner_kernel._forward_mode_differentiation else grad
-        z_gibbs, gibbs_state, pe, z_grad = cond(
-            transition,
-            (z_gibbs_new, gibbs_state_new, pe_new),
-            lambda vals: vals
-            + (grad_(partial(potential_fn, vals[0], vals[1]))(state.hmc_state.z),),
-            (z_gibbs, state.gibbs_state, pe, state.hmc_state.z_grad),
-            identity,
+        pe_new = vmap(pe_fn)(z_gibbs_new, gibbs_state_new, state.hmc_state.z)
+        accept_prob = jnp.exp(jnp.minimum(0.0, pe - pe_new))
+        take = (
+            jnp.log(vmap(random.uniform)(accept_keys)) < (pe - pe_new)
         )
 
-        hmc_state = state.hmc_state._replace(z_grad=z_grad, potential_energy=pe)
-        model_kwargs["_gibbs_sites"] = z_gibbs
-        model_kwargs["_gibbs_state"] = gibbs_state
-        hmc_state = self.inner_kernel.sample(hmc_state, model_args, model_kwargs)
+        def sel(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    take.reshape(take.shape + (1,) * (jnp.ndim(a) - 1)), a, b
+                ),
+                new,
+                old,
+            )
+
+        z_gibbs = sel(z_gibbs_new, z_gibbs)
+        gibbs_state = sel(gibbs_state_new, state.gibbs_state)
+        pe = jnp.where(take, pe_new, pe)
+
+        # gradient under the selected conditioning
+        if self.inner_kernel._forward_mode_differentiation:
+            grad_fn = lambda g, s, zc: jacfwd(  # noqa: E731
+                lambda z: pe_fn(g, s, z)
+            )(zc)
+        else:
+            grad_fn = lambda g, s, zc: jax.grad(  # noqa: E731
+                lambda z: pe_fn(g, s, z)
+            )(zc)
+        z_grad = vmap(grad_fn)(z_gibbs, gibbs_state, state.hmc_state.z)
+        hmc_state = state.hmc_state._replace(
+            z_grad=z_grad, potential_energy=pe
+        )
+
+        inner_kwargs = dict(model_kwargs)
+        inner_kwargs["_per_chain"] = {
+            "_gibbs_sites": z_gibbs,
+            "_gibbs_state": gibbs_state,
+        }
+        hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}
-        return HMCECSState(z, hmc_state, rng_key, gibbs_state, accept_prob)
+        return HMCECSState(z, hmc_state, keys, gibbs_state, accept_prob)
 
     @staticmethod
     def taylor_proxy(reference_params, degree=2):
+        """Taylor-expansion control variate around MAP reference params."""
         return taylor_proxy(reference_params, degree)
-
-
-class estimate_likelihood(numpyro_tpu.primitives.Messenger):
-    """Intercepts observed sites inside subsample plates: masks their exact
-    likelihood and, on exit, injects a bias-corrected estimator factor
-    (reference: hmc_gibbs.py:690-769)."""
-
-    def __init__(self, fn=None, method=None):
-        assert method is not None
-        super().__init__(fn)
-        self.method = method
-        self.params = None
-        self.likelihoods = {}
-        self.subsample_plates = {}
-        self.gibbs_state = None
-
-    def __enter__(self):
-        # only active when the potential-energy unconstraining substitution
-        # is on the stack (i.e. during potential_fn evaluation)
-        for handler in numpyro_tpu.primitives._PYRO_STACK[::-1]:
-            if (
-                isinstance(handler, substitute)
-                and isinstance(handler.substitute_fn, partial)
-                and handler.substitute_fn.func is _unconstrain_reparam
-            ):
-                self.params = handler.substitute_fn.args[0]
-                break
-        return super().__enter__()
-
-    def __exit__(self, exc_type, exc_value, traceback):
-        super().__exit__(exc_type, exc_value, traceback)
-        if exc_type is not None:
-            return
-        if self.params is None:
-            return
-        if numpyro_tpu.get_mask() is not False:
-            numpyro_tpu.factor(
-                "_biased_corrected_log_likelihood",
-                self.method(self.likelihoods, self.params, self.gibbs_state),
-            )
-        self.params = None
-        self.likelihoods = {}
-        self.subsample_plates = {}
-        self.gibbs_state = None
-
-    def process_message(self, msg):
-        if self.params is None:
-            return
-        if msg["type"] == "_gibbs_state":
-            self.gibbs_state = msg["value"]
-            return
-        if msg["type"] == "sample" and msg["is_observed"]:
-            assert msg["name"] not in self.params
-            for frame in msg["cond_indep_stack"]:
-                if frame.name in self.subsample_plates:
-                    if msg["name"] in self.likelihoods:
-                        raise RuntimeError(
-                            f"Multiple subsample plates at site {msg['name']} "
-                            "are not allowed. Please reshape your data."
-                        )
-                    self.likelihoods[msg["name"]] = (
-                        msg["fn"],
-                        msg["value"],
-                        frame.name,
-                        frame.dim,
-                    )
-                    msg["fn"] = msg["fn"].mask(False)
-        elif (
-            msg["type"] == "plate"
-            and (msg["args"][1] is not None)
-            and msg["args"][0] > msg["args"][1]
-        ):
-            self.subsample_plates[msg["name"]] = msg["value"]

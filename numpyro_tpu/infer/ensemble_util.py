@@ -7,16 +7,6 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 
-def get_nondiagonal_indices(n):
-    """All ordered (i, j) pairs with i != j, as a (n*(n-1), 2) array — the
-    candidate walker pairs for differential-evolution moves."""
-    rows, cols = np.tril_indices(n, -1)
-    pairs = np.column_stack(
-        [np.concatenate([rows, cols]), np.concatenate([cols, rows])]
-    )
-    return jnp.asarray(pairs)
-
-
 def batch_ravel_pytree(pytree):
     """Flatten a batch-leading pytree to (batch, flat_dim) + unravel fn."""
     flat = jax.vmap(lambda x: ravel_pytree(x)[0])(pytree)

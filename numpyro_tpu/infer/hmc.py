@@ -666,15 +666,20 @@ class HMC(MCMCKernel):
             # a tiny device_get is the reliable sync point
             jax.device_get(jax.tree.leaves(tree)[0][:1])
 
+        warm_times, sample_times = [], []
         t0 = _time.time()
         ws = progs["init"](keys, z, pe, z_grad, model_args, model_kwargs)
+        _sync(ws.z)
+        init_s = _time.time() - t0
         done = 0
         while done < num_warmup:
             step = min(warm_chunk, num_warmup - done)
             prog = progs["warm"] if step == warm_chunk else progs["warm_rem"]
+            t1 = _time.time()
             ws = prog(ws, done, model_args, model_kwargs)
+            _sync(ws.z)
+            warm_times.append(_time.time() - t1)
             done += step
-        _sync(ws.z)
         warmup_s = _time.time() - t0
 
         t0 = _time.time()
@@ -682,12 +687,20 @@ class HMC(MCMCKernel):
         target = 0
         while target < num_samples:
             target = min(target + samp_chunk, num_samples)
+            t1 = _time.time()
             ss = progs["sample"](ss, target, model_args, model_kwargs)
+            _sync(ss.trans_idx)
+            sample_times.append(_time.time() - t1)
         out = progs["finish"](ss, model_args, model_kwargs)
         _sync(out["samples_z"])
         self.last_fused_stats = {
             "warmup_s": warmup_s,
             "sample_s": _time.time() - t0,
+            "init_s": init_s,
+            # per-chunk times let callers separate compile (first chunk)
+            # from steady state without a second full run
+            "warm_chunk_times": warm_times,
+            "sample_chunk_times": sample_times,
         }
         n_collect = out["samples_z"].shape[1]
         # unpack the flat z panel back into site pytrees per (chain, draw)

@@ -708,6 +708,37 @@ def hmc_transition(
     )
 
 
+def integrate_segment(
+    pe_grad, blocks, inv_mass, step_size, num_steps, z, r, pe, grad
+):
+    """Leapfrog every chain for its own ``num_steps`` (masked; momentum is
+    carried, not refreshed) — the building block for composite-trajectory
+    kernels like MixedHMC."""
+    c = z.shape[0]
+
+    def cond_fn(t):
+        return jnp.any(t[0] < num_steps)
+
+    def body_fn(t):
+        step, z, r, pe, grad = t
+        live = step < num_steps
+        z_n, r_n, pe_n, grad_n = leapfrog(
+            pe_grad, blocks, inv_mass, step_size, z, r, grad
+        )
+        return (
+            step + live.astype(jnp.int32),
+            _sel(live, z_n, z),
+            _sel(live, r_n, r),
+            jnp.where(live, pe_n, pe),
+            _sel(live, grad_n, grad),
+        )
+
+    _, z, r, pe, grad = lax.while_loop(
+        cond_fn, body_fn, (jnp.zeros((c,), jnp.int32), z, r, pe, grad)
+    )
+    return z, r, pe, grad
+
+
 # ---------------------------------------------------------------------------
 # Batched reasonable-step-size search (all chains search simultaneously)
 

@@ -64,21 +64,20 @@ def _wrap_model(model, *args, **kwargs):
 
 
 def _batched(state):
-    """Add a leading chain axis to every leaf except the scalar step index."""
-    i = state.hmc_state.i
+    """Add a leading chain axis to every leaf except the static scalars
+    (step index, trajectory length)."""
+    hs = state.hmc_state
+    i, traj = hs.i, hs.trajectory_length
     out = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
-    return out._replace(hmc_state=out.hmc_state._replace(i=i))
+    return out._replace(
+        hmc_state=out.hmc_state._replace(i=i, trajectory_length=traj)
+    )
 
 
 def _unbatched(state):
-    i = state.hmc_state.i
-    # park a batched placeholder where the scalar step index lives so the
-    # uniform x[0] map is well-defined, then put the scalar back
-    state = state._replace(
-        hmc_state=state.hmc_state._replace(i=jnp.zeros((1,), jnp.int32))
-    )
-    out = jax.tree.map(lambda x: x[0], state)
-    return out._replace(hmc_state=out.hmc_state._replace(i=i))
+    # static scalar leaves (step index, trajectory length) have no chain
+    # axis to strip — leave anything 0-dimensional alone
+    return jax.tree.map(lambda x: x[0] if jnp.ndim(x) else x, state)
 
 
 def _split_keys(keys, n):
@@ -259,16 +258,56 @@ def _one_hot_set(flat, idx, value):
     return jnp.where(pos == idx, value, flat)
 
 
+def _element_proposal(pe_at, key, flat, pe, idx, size, smax, mode):
+    """Propose a new value for discrete element ``idx`` of one chain.
+
+    Returns ``(flat_prop, pe_prop, log_ratio)`` where ``log_ratio`` is the
+    MH log-acceptance-ratio of the proposal (0 for the exact-conditional
+    'gibbs' draw, which needs no correction).  Candidate energies are
+    evaluated in one vmapped sweep for the conditional modes.
+
+    ``mode``: 'gibbs' (exact conditional), 'modified-gibbs' (never-stay),
+    'rw' (uniform), 'modified-rw' (uniform over the other values).
+    """
+    cur = flat[idx]
+    if mode in ("gibbs", "modified-gibbs"):
+        cand = jnp.arange(smax)
+        z_cand = jnp.where(
+            jnp.arange(flat.shape[0])[None, :] == idx,
+            cand[:, None].astype(flat.dtype),
+            flat[None, :],
+        )
+        pe_cand = vmap(pe_at)(z_cand)
+        logw = jnp.where(cand < size, -pe_cand, -jnp.inf)
+        logw = jnp.where(jnp.isnan(logw), -jnp.inf, logw)
+        if mode == "gibbs":
+            new = random.categorical(key, logw)
+            flat_prop = _one_hot_set(flat, idx, new.astype(flat.dtype))
+            return flat_prop, pe_cand[new], jnp.zeros(())
+        # never-stay proposal: q(z'|z) ∝ w(z') over z'≠z, so the MH ratio is
+        # Σ_{k≠z} w / Σ_{k≠z'} w
+        logw_others = jnp.where(cand == cur, -jnp.inf, logw)
+        prop = random.categorical(key, logw_others)
+        log_fwd = logsumexp(logw_others)
+        log_bwd = logsumexp(jnp.where(cand == prop, -jnp.inf, logw))
+        flat_prop = _one_hot_set(flat, idx, prop.astype(flat.dtype))
+        return flat_prop, pe_cand[prop], log_fwd - log_bwd
+    if mode == "rw":
+        prop = random.randint(key, (), 0, size)
+    else:  # modified-rw: uniform over the other values (symmetric)
+        raw = random.randint(key, (), 0, size - 1)
+        prop = jnp.where(raw >= cur, raw + 1, raw)
+    flat_prop = _one_hot_set(flat, idx, prop.astype(flat.dtype))
+    pe_prop = pe_at(flat_prop)
+    pe_prop = jnp.where(jnp.isnan(pe_prop), jnp.inf, pe_prop)
+    return flat_prop, pe_prop, pe - pe_prop
+
+
 def _discrete_sweep(
     pe_fn, key, z_flat, unravel, pe, sizes_np, *, mode, smax
 ):
-    """One full Gibbs sweep over every discrete element of one chain.
-
-    ``mode``: 'gibbs' (exact conditional), 'modified-gibbs' (never-stay with
-    MH correction), 'rw' (uniform proposal), 'modified-rw' (uniform over the
-    other values).  Candidate energies for a site are evaluated in one
-    vmapped sweep (see module docstring).
-    """
+    """One full Metropolis-within-Gibbs sweep over every discrete element of
+    one chain, visiting elements in random order."""
     nd = sizes_np.shape[0]
     sizes = jnp.asarray(sizes_np)
     key, perm_key = random.split(key)
@@ -280,44 +319,11 @@ def _discrete_sweep(
     def body(j, carry):
         key, flat, pe = carry
         idx = order[j]
-        size = sizes[idx]
-        cur = flat[idx]
-        key, k_draw, k_accept = random.split(key, 3)
-        if mode in ("gibbs", "modified-gibbs"):
-            cand = jnp.arange(smax)
-            z_cand = jnp.where(
-                jnp.arange(flat.shape[0])[None, :] == idx,
-                cand[:, None].astype(flat.dtype),
-                flat[None, :],
-            )
-            pe_cand = vmap(pe_at)(z_cand)
-            logw = jnp.where(cand < size, -pe_cand, -jnp.inf)
-            logw = jnp.where(jnp.isnan(logw), -jnp.inf, logw)
-            if mode == "gibbs":
-                new = random.categorical(k_draw, logw)
-                pe_new = pe_cand[new]
-                flat = _one_hot_set(flat, idx, new.astype(flat.dtype))
-                return key, flat, pe_new
-            # never-stay proposal with exact MH correction:
-            # q(z'|z) ∝ w(z') over z'≠z; accept = min(1, Σ_{k≠z}w / Σ_{k≠z'}w)
-            logw_others = jnp.where(cand == cur, -jnp.inf, logw)
-            prop = random.categorical(k_draw, logw_others)
-            log_fwd = logsumexp(logw_others)
-            log_bwd = logsumexp(jnp.where(cand == prop, -jnp.inf, logw))
-            take = jnp.log(random.uniform(k_accept)) < (log_fwd - log_bwd)
-            new = jnp.where(take, prop, cur)
-            flat = _one_hot_set(flat, idx, new.astype(flat.dtype))
-            return key, flat, pe_cand[new]
-        # random-walk proposals: a single candidate energy
-        if mode == "rw":
-            prop = random.randint(k_draw, (), 0, size)
-        else:  # modified-rw: uniform over the other values
-            raw = random.randint(k_draw, (), 0, size - 1)
-            prop = jnp.where(raw >= cur, raw + 1, raw)
-        flat_prop = _one_hot_set(flat, idx, prop.astype(flat.dtype))
-        pe_prop = pe_at(flat_prop)
-        delta = pe - jnp.where(jnp.isnan(pe_prop), jnp.inf, pe_prop)
-        take = jnp.log(random.uniform(k_accept)) < delta
+        key, k_prop, k_accept = random.split(key, 3)
+        flat_prop, pe_prop, log_ratio = _element_proposal(
+            pe_at, k_prop, flat, pe, idx, sizes[idx], smax, mode
+        )
+        take = jnp.log(random.uniform(k_accept)) < log_ratio
         flat = jnp.where(take, flat_prop, flat)
         return key, flat, jnp.where(take, pe_prop, pe)
 

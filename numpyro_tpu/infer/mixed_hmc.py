@@ -1,33 +1,41 @@
-"""MixedHMC — HMC over continuous sites with clock-driven Metropolis updates
-of discrete sites inside the trajectory (Zhou 2020, "Mixed Hamiltonian Monte
-Carlo for Mixed Discrete and Continuous Variables").
+"""MixedHMC — HMC over continuous sites with clock-driven Metropolis
+updates of discrete sites inside the trajectory (Zhou 2020, "Mixed
+Hamiltonian Monte Carlo for Mixed Discrete and Continuous Variables").
 
-Reference surface: numpyro/infer/mixed_hmc.py:19-312.  Discrete updates are
-scheduled by exponential-clock arrival times; each discrete flip pays its
-log-accept-ratio out of a per-site "discrete kinetic energy" budget, and the
-whole composite trajectory gets one final MH correction.
+Role parity: numpyro/infer/mixed_hmc.py:19-312.  Unlike the reference
+(which replays a single-chain HMC kernel segment by segment), this kernel
+is built directly on the chain-batched engine: every chain carries its own
+event clock, discrete kinetic budgets and segment lengths, and the whole
+composite trajectory — leapfrog segments via
+:func:`hmc_core.integrate_segment` with *persistent* momentum, interleaved
+with vmapped discrete flips — runs for all chains in one program.
 """
 
 from __future__ import annotations
 
 from collections import namedtuple
-from functools import partial
 
-from jax import grad, jacfwd, lax, random
+import jax
 import jax.numpy as jnp
+from jax import lax, random, vmap
 from jax.flatten_util import ravel_pytree
 
-from numpyro_tpu.infer.hmc import momentum_generator
-from numpyro_tpu.infer.hmc_gibbs import DiscreteHMCGibbs
-from numpyro_tpu.infer.hmc_util import euclidean_kinetic_energy, warmup_adapter
-from numpyro_tpu.util import cond, fori_loop, identity
+from numpyro_tpu.infer import hmc_core as core
+from numpyro_tpu.infer.hmc_gibbs import (
+    DiscreteHMCGibbs,
+    _batched,
+    _element_proposal,
+    _site_element_layout,
+    _split_keys,
+    _unbatched,
+)
 
 MixedHMCState = namedtuple("MixedHMCState", "z, hmc_state, rng_key, accept_prob")
 
 
 class MixedHMC(DiscreteHMCGibbs):
-    """Mixed discrete+continuous HMC; requires an ``HMC`` inner kernel with a
-    fixed trajectory length (NUTS is not compatible with the clock scheme)."""
+    """Requires an ``HMC`` inner kernel with a fixed trajectory length (the
+    event-clock scheme is incompatible with NUTS termination)."""
 
     def __init__(
         self,
@@ -43,191 +51,207 @@ class MixedHMC(DiscreteHMCGibbs):
                 "The algorithm only works with HMC and does not support NUTS."
             )
         self._num_discrete_updates = num_discrete_updates
+        self._wa_update = None
+        self._layout = None
 
     def init(self, rng_key, num_warmup, init_params=None, model_args=(), model_kwargs={}):
-        rng_key, rng_r = random.split(rng_key)
-        state = super().init(rng_key, num_warmup, init_params, model_args, model_kwargs)
-        self._support_sizes_flat, _ = ravel_pytree(
-            {k: self._support_sizes[k] for k in self._gibbs_sites}
+        state = super().init(
+            rng_key, num_warmup, init_params, model_args, model_kwargs
         )
+        _, sizes = _site_element_layout(self._support_sizes)
         if self._num_discrete_updates is None:
-            self._num_discrete_updates = self._support_sizes_flat.shape[0]
+            self._num_discrete_updates = int(sizes.shape[0])
         self._num_warmup = num_warmup
-        # the composite step needs its own adaptation update (the inner HMC's
-        # per-step adaptation is frozen during the trajectory)
-        _, self._wa_update = warmup_adapter(
+        # composite-step adaptation is owned here (never a window-end
+        # step-size search: the composite accept statistic drives dual
+        # averaging directly, matching the reference's find_reasonable=None)
+        _, self._wa_update = core.build_warmup(
+            None,
+            self._ensure_layout(state.hmc_state.z, self._chain_mode),
             num_warmup,
             adapt_step_size=self.inner_kernel._adapt_step_size,
             adapt_mass_matrix=self.inner_kernel._adapt_mass_matrix,
-            dense_mass=self.inner_kernel._dense_mass,
             target_accept_prob=self.inner_kernel._target_accept_prob,
-            find_reasonable_step_size=None,
+            find_step_size=False,
         )
-        r = momentum_generator(
-            state.hmc_state.z, state.hmc_state.adapt_state.mass_matrix_sqrt, rng_r
-        )
-        return MixedHMCState(
-            state.z, state.hmc_state._replace(r=r), state.rng_key, jnp.zeros(())
-        )
+        zero = jnp.zeros_like(state.hmc_state.accept_prob)
+        return MixedHMCState(state.z, state.hmc_state, state.rng_key, zero)
+
+    def _ensure_layout(self, z_hmc_tree, batched):
+        if self._layout is None:
+            proto = (
+                jax.tree.map(lambda x: x[0], z_hmc_tree) if batched else z_hmc_tree
+            )
+            self._layout = core.FlatLayout(proto)
+            self._block_struct = core.build_mass_blocks(
+                self._layout, self.inner_kernel._dense_mass
+            )
+        return self._block_struct
 
     def sample(self, state, model_args, model_kwargs):
         model_kwargs = {} if model_kwargs is None else model_kwargs
-        num_discretes = self._support_sizes_flat.shape[0]
-
-        def potential_fn(z_gibbs, z_hmc):
-            return self.inner_kernel._potential_fn_gen(
-                *model_args, _gibbs_sites=z_gibbs, **model_kwargs
-            )(z_hmc)
-
-        def update_discrete(
-            idx, rng_key, hmc_state, z_discrete, ke_discrete, delta_pe_sum
-        ):
-            # one Metropolis flip of discrete site idx, paid from its budget
-            (
-                rng_key,
-                z_discrete_new,
-                pe_new,
-                log_accept_ratio,
-            ) = self._discrete_proposal_fn(
-                rng_key,
-                z_discrete,
-                hmc_state.potential_energy,
-                partial(potential_fn, z_hmc=hmc_state.z),
-                idx,
-                self._support_sizes_flat[idx],
+        if not self._chain_mode:
+            hs = _batched(
+                MixedHMCState(state.z, state.hmc_state, state.rng_key, state.accept_prob)
             )
-            ke_discrete_i_new = ke_discrete[idx] + log_accept_ratio
-            grad_ = jacfwd if self.inner_kernel._forward_mode_differentiation else grad
-            z_discrete, pe, ke_discrete_i, z_grad = lax.cond(
-                ke_discrete_i_new > 0,
-                (z_discrete_new, pe_new, ke_discrete_i_new),
-                lambda vals: vals
-                + (grad_(partial(potential_fn, vals[0]))(hmc_state.z),),
-                (
-                    z_discrete,
-                    hmc_state.potential_energy,
-                    ke_discrete[idx],
-                    hmc_state.z_grad,
-                ),
-                identity,
-            )
-            delta_pe_sum = delta_pe_sum + pe - hmc_state.potential_energy
-            ke_discrete = ke_discrete.at[idx].set(ke_discrete_i)
-            hmc_state = hmc_state._replace(potential_energy=pe, z_grad=z_grad)
-            return rng_key, hmc_state, z_discrete, ke_discrete, delta_pe_sum
+            state = hs
+        state = self._sample_batched(state, model_args, model_kwargs)
+        if not self._chain_mode:
+            state = _unbatched(state)
+        return state
 
-        def update_continuous(hmc_state, z_discrete):
-            model_kwargs_ = model_kwargs.copy()
-            model_kwargs_["_gibbs_sites"] = z_discrete
-            hmc_state_new = self.inner_kernel.sample(
-                hmc_state, model_args, model_kwargs_
-            )
-            # keep iteration counter / adapt state frozen within the
-            # composite trajectory; accumulate leapfrog count
-            return hmc_state_new._replace(
-                i=hmc_state.i,
-                adapt_state=hmc_state.adapt_state,
-                num_steps=hmc_state.num_steps + hmc_state_new.num_steps,
-            )
+    def _sample_batched(self, state, model_args, model_kwargs):
+        inner = self.inner_kernel
+        blocks = self._ensure_layout(state.hmc_state.z, True)
+        layout = self._layout
+        adapt = state.hmc_state.adapt_state
+        nd_names, sizes_np = _site_element_layout(self._support_sizes)
+        nd = sizes_np.shape[0]
+        smax = int(sizes_np.max())
+        sizes = jnp.asarray(sizes_np)
+        num_updates = self._num_discrete_updates
+        traj_len = inner._trajectory_length
 
-        def body_fn(i, vals):
-            (
-                rng_key,
-                hmc_state,
-                z_discrete,
-                ke_discrete,
-                delta_pe_sum,
-                arrival_times,
-            ) = vals
-            idx = jnp.argmin(arrival_times)
-            trajectory_length = arrival_times[idx] * time_unit
-            arrival_times = arrival_times - arrival_times[idx]
-            arrival_times = arrival_times.at[idx].set(1.0)
+        z_disc_tree = {
+            k: v for k, v in state.z.items() if k not in state.hmc_state.z
+        }
+        c = state.hmc_state.diverging.shape[0]
+        rows = jnp.arange(c)
+        disc_proto = jax.tree.map(lambda x: x[0], z_disc_tree)
+        _, disc_unravel = ravel_pytree(disc_proto)
+        disc_flat = vmap(lambda t: ravel_pytree(t)[0])(z_disc_tree)
 
-            # run HMC until the next discrete-update event
-            pe = jnp.inf
-            hmc_state = hmc_state._replace(
-                trajectory_length=trajectory_length, potential_energy=pe
-            )
-            hmc_state = update_continuous(hmc_state, z_discrete)
-            rng_key, hmc_state, z_discrete, ke_discrete, delta_pe_sum = update_discrete(
-                idx, rng_key, hmc_state, z_discrete, ke_discrete, delta_pe_sum
-            )
-            return (
-                rng_key,
-                hmc_state,
-                z_discrete,
-                ke_discrete,
-                delta_pe_sum,
-                arrival_times,
-            )
+        chain_pe = self._chain_potential(model_args, model_kwargs)
 
-        z_discrete = {k: v for k, v in state.z.items() if k not in state.hmc_state.z}
-        rng_key, rng_ke, rng_time, rng_r, rng_accept = random.split(state.rng_key, 5)
-        ke_discrete = random.exponential(rng_ke, (num_discretes,))
-        arrival_times = random.uniform(rng_time, (num_discretes,))
-        total_time = (self._num_discrete_updates - 1) // num_discretes + jnp.sort(
-            arrival_times
-        )[(self._num_discrete_updates - 1) % num_discretes]
-        time_unit = state.hmc_state.trajectory_length / total_time
+        def pe_at_chain(z_hmc_flat_c):
+            def pe_at(disc_flat_c):
+                return chain_pe(
+                    disc_unravel(disc_flat_c), layout.unravel_one(z_hmc_flat_c)
+                )
 
-        r = momentum_generator(
-            state.hmc_state.r, state.hmc_state.adapt_state.mass_matrix_sqrt, rng_r
+            return pe_at
+
+        def pe_grad_given(disc_flat_panel):
+            def one(z_flat_c, disc_c):
+                def f(zf):
+                    return chain_pe(disc_unravel(disc_c), layout.unravel_one(zf))
+
+                return jax.value_and_grad(f)(z_flat_c)
+
+            return lambda panel: vmap(one)(panel, disc_flat_panel)
+
+        keys = state.rng_key
+        keys, k_ke, k_time, k_mom, k_mh = _split_keys(keys, 5)
+        ke_disc = vmap(lambda k: random.exponential(k, (nd,)))(k_ke)
+        arrival = vmap(lambda k: random.uniform(k, (nd,)))(k_time)
+        # total event-clock time spanned by num_updates arrivals
+        whole_rounds = (num_updates - 1) // nd
+        frac_idx = (num_updates - 1) % nd
+        total_time = whole_rounds + jnp.sort(arrival, axis=1)[:, frac_idx]
+        time_unit = traj_len / total_time  # (C,)
+
+        z_flat = layout.ravel_batch(state.hmc_state.z)
+        pe0 = state.hmc_state.potential_energy
+        grad0 = layout.ravel_batch(state.hmc_state.z_grad)
+        d = z_flat.shape[1]
+        r = core.draw_momentum(
+            blocks, adapt.mass_matrix_sqrt, core.batch_normal(k_mom, d)
         )
-        hmc_state = state.hmc_state._replace(r=r, num_steps=0)
-        hmc_ke = euclidean_kinetic_energy(hmc_state.adapt_state.inverse_mass_matrix, r)
-        energy_old = hmc_ke + hmc_state.potential_energy
+        energy_old = pe0 + core.kinetic(blocks, adapt.inverse_mass_matrix, r)
 
-        init_val = (rng_key, hmc_state, z_discrete, ke_discrete, 0.0, arrival_times)
-        rng_key, hmc_state_new, z_discrete_new, _, delta_pe_sum, _ = fori_loop(
-            0, self._num_discrete_updates, body_fn, init_val
-        )
+        def event(_, carry):
+            keys, z, r, pe, grad, disc, ke, dpe, arrival, n_leap = carry
+            keys, k_prop = _split_keys(keys, 2)
+            idx = jnp.argmin(arrival, axis=1)  # (C,)
+            wait = arrival[rows, idx]
+            seg_len = wait * time_unit
+            arrival = arrival - wait[:, None]
+            arrival = arrival.at[rows, idx].set(1.0)
+            steps = jnp.ceil(seg_len / adapt.step_size).astype(jnp.int32)
+            pe_grad = pe_grad_given(disc)
+            z, r, pe, grad = core.integrate_segment(
+                pe_grad, blocks, adapt.inverse_mass_matrix, adapt.step_size,
+                steps, z, r, pe, grad,
+            )
+            n_leap = n_leap + steps
 
-        hmc_ke = euclidean_kinetic_energy(
-            hmc_state.adapt_state.inverse_mass_matrix, hmc_state_new.r
-        )
-        energy_new = hmc_ke + hmc_state_new.potential_energy
-        delta_energy = energy_new - energy_old - delta_pe_sum
-        delta_energy = jnp.where(jnp.isnan(delta_energy), jnp.inf, delta_energy)
-        accept_prob = jnp.clip(jnp.exp(-delta_energy), None, 1.0)
+            # one discrete flip per chain, paid from its kinetic budget
+            def one(kc, dc, zc, pec, idxc):
+                return _element_proposal(
+                    pe_at_chain(zc), kc, dc, pec, idxc, sizes[idxc], smax,
+                    self._mode,
+                )
 
-        hmc_state = hmc_state._replace(num_steps=hmc_state_new.num_steps)
-        hmc_state_new = hmc_state_new._replace(
-            trajectory_length=hmc_state.trajectory_length
+            disc_prop, pe_prop, log_ratio = vmap(one)(
+                k_prop, disc, z, pe, idx
+            )
+            budget = ke[rows, idx] + log_ratio
+            take = budget > 0
+            disc_new = jnp.where(take[:, None], disc_prop, disc)
+            ke = ke.at[rows, idx].set(jnp.where(take, budget, ke[rows, idx]))
+            pe_new, grad_new = pe_grad_given(disc_new)(z)
+            dpe = dpe + pe_new - pe
+            return keys, z, r, pe_new, grad_new, disc_new, ke, dpe, arrival, n_leap
+
+        carry = (
+            keys, z_flat, r, pe0, grad0, disc_flat, ke_disc,
+            jnp.zeros((c,)), arrival, jnp.zeros((c,), jnp.int32),
         )
-        hmc_state, z_discrete = cond(
-            random.bernoulli(rng_accept, accept_prob),
-            (hmc_state_new, z_discrete_new),
-            identity,
-            (hmc_state, z_discrete),
-            identity,
+        keys, z_new, r_new, pe_new, grad_new, disc_new, _, dpe, _, n_leap = (
+            lax.fori_loop(0, num_updates, event, carry)
         )
 
-        adapt_state = cond(
-            hmc_state.i < self._num_warmup,
-            (hmc_state.i, accept_prob, (hmc_state.z,), hmc_state.adapt_state),
-            lambda args: self._wa_update(*args),
-            hmc_state.adapt_state,
-            identity,
+        energy_new = pe_new + core.kinetic(
+            blocks, adapt.inverse_mass_matrix, r_new
         )
-        itr = hmc_state.i + 1
-        n = jnp.where(hmc_state.i < self._num_warmup, itr, itr - self._num_warmup)
-        mean_accept_prob_prev = state.hmc_state.mean_accept_prob
-        mean_accept_prob = (
-            mean_accept_prob_prev + (accept_prob - mean_accept_prob_prev) / n
-        )
-        hmc_state = hmc_state._replace(
-            i=itr,
+        delta = energy_new - energy_old - dpe
+        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+        accept_prob = jnp.exp(jnp.minimum(0.0, -delta))
+        take = jnp.log(vmap(random.uniform)(k_mh)) < -delta
+
+        def sel(new, old):
+            return jnp.where(take.reshape(take.shape + (1,) * (new.ndim - 1)), new, old)
+
+        z_flat = sel(z_new, z_flat)
+        pe = jnp.where(take, pe_new, pe0)
+        grad = sel(grad_new, grad0)
+        disc_flat = sel(disc_new, disc_flat)
+
+        i = state.hmc_state.i
+        if self._num_warmup > 0:
+            keys, adapt_keys = _split_keys(keys, 2)
+            adapt = adapt._replace(rng_key=adapt_keys)
+            adapt = lax.cond(
+                i < self._num_warmup,
+                lambda a: self._wa_update(i, a, accept_prob, z_flat, pe, grad),
+                lambda a: a,
+                adapt,
+            )
+            adapt = adapt._replace(rng_key=None)
+        i_new = i + 1
+        n = jnp.where(i < self._num_warmup, i_new, i_new - self._num_warmup)
+        mean_accept = state.hmc_state.mean_accept_prob + (
+            accept_prob - state.hmc_state.mean_accept_prob
+        ) / n
+
+        hmc_state = state.hmc_state._replace(
+            i=i_new,
+            z=layout.unravel_batch(z_flat),
+            z_grad=layout.unravel_batch(grad),
+            potential_energy=pe,
+            energy=jnp.where(take, energy_new, energy_old),
+            num_steps=n_leap,
             accept_prob=accept_prob,
-            mean_accept_prob=mean_accept_prob,
-            adapt_state=adapt_state,
+            mean_accept_prob=mean_accept,
+            adapt_state=adapt,
         )
-        z = {**z_discrete, **hmc_state.z}
-        return MixedHMCState(z, hmc_state, rng_key, accept_prob)
+        z_disc_tree = vmap(disc_unravel)(disc_flat)
+        z = {**z_disc_tree, **hmc_state.z}
+        return MixedHMCState(z, hmc_state, keys, accept_prob)
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_wa_update"] = None
         state["_prototype_trace"] = None
-        state["_support_sizes_flat"] = None
+        state["_layout"] = None
         return state

@@ -1,9 +1,11 @@
-"""Effectful ``cond`` — handler-aware branch selection under ``lax.cond``
-(reference: numpyro/contrib/control_flow/cond.py:76).  Both branches are
-traced under ``block`` and their traces carried out as PytreeTraces — XLA
-compiles both branches; only one executes per step."""
+"""Effectful ``cond`` — handler-aware branch selection under ``lax.cond``.
 
-from functools import partial
+Role parity: numpyro/contrib/control_flow/cond.py.  Each branch runs
+blocked from the outer stack with outer substitution/conditioning applied
+through the ``substitute_stack`` protocol; the executed branch's trace
+crosses the boundary as a :class:`PytreeTrace` and is replayed into the
+outer handlers.  XLA compiles both branches but executes one.
+"""
 
 from jax import lax
 
@@ -12,40 +14,39 @@ from numpyro_tpu.ops.pytree import PytreeTrace
 from numpyro_tpu.primitives import _PYRO_STACK, apply_stack
 
 
-def _subs_wrapper(subs_map, site):
-    if isinstance(subs_map, dict) and site["name"] in subs_map:
-        return subs_map[site["name"]]
-    elif callable(subs_map):
+def _resolve(subs_map, site):
+    """Look up a site's replacement value in a dict or callable map."""
+    if callable(subs_map) and not isinstance(subs_map, dict):
         if site["type"] == "deterministic":
             return subs_map(site)
         rng_key = site["kwargs"].get("rng_key")
-        subs_map = (
-            handlers.seed(subs_map, rng_seed=rng_key)
-            if rng_key is not None
-            else subs_map
-        )
-        return subs_map(site)
-    return None
+        fn = subs_map if rng_key is None else handlers.seed(subs_map, rng_key)
+        return fn(site)
+    return subs_map.get(site["name"]) if isinstance(subs_map, dict) else None
 
 
-def _wrap_fn(fn, substitute_stack):
-    def wrapper(wrapped_operand):
-        rng_key, operand = wrapped_operand
-        with handlers.block():
-            seeded_fn = handlers.seed(fn, rng_key) if rng_key is not None else fn
-            for subs_type, subs_map in substitute_stack:
-                subs_fn = partial(_subs_wrapper, subs_map)
-                if subs_type == "condition":
-                    seeded_fn = handlers.condition(seeded_fn, condition_fn=subs_fn)
-                elif subs_type == "substitute":
-                    seeded_fn = handlers.substitute(
-                        seeded_fn, substitute_fn=subs_fn
-                    )
-            with handlers.trace() as trace:
-                value = seeded_fn(operand)
-        return value, PytreeTrace(trace)
+def _branch(fn, substitute_stack):
+    """Wrap one branch: blocked, seeded, with outer substitutions applied;
+    returns (branch value, recorded trace)."""
 
-    return wrapper
+    def run(packed):
+        rng_key, operand = packed
+        body = fn if rng_key is None else handlers.seed(fn, rng_key)
+        for kind, subs_map in substitute_stack:
+            wrap = (
+                handlers.condition
+                if kind == "condition"
+                else handlers.substitute
+            )
+            kwarg = (
+                "condition_fn" if kind == "condition" else "substitute_fn"
+            )
+            body = wrap(body, **{kwarg: lambda site, m=subs_map: _resolve(m, site)})
+        with handlers.block(), handlers.trace() as tr:
+            value = body(operand)
+        return value, PytreeTrace(tr)
+
+    return run
 
 
 def cond_wrapper(
@@ -60,34 +61,34 @@ def cond_wrapper(
 ):
     if enum:
         raise RuntimeError("The cond primitive does not support enumeration")
-    if substitute_stack is None:
-        substitute_stack = []
-    wrapped_true = _wrap_fn(true_fun, substitute_stack)
-    wrapped_false = _wrap_fn(false_fun, substitute_stack)
-    return lax.cond(pred, wrapped_true, wrapped_false, (rng_key, operand))
+    substitute_stack = substitute_stack or []
+    return lax.cond(
+        pred,
+        _branch(true_fun, substitute_stack),
+        _branch(false_fun, substitute_stack),
+        (rng_key, operand),
+    )
 
 
 def cond(pred, true_fun, false_fun, operand):
-    """Conditionally apply ``true_fun`` or ``false_fun`` with handler-aware
-    bodies.  Both branches must declare the same sites with the same
-    distribution classes (XLA requires identical output pytrees)."""
+    """Handler-aware conditional.  Both branches must declare the same
+    sites with the same distribution classes (identical output pytrees)."""
     if not _PYRO_STACK:
         value, _ = cond_wrapper(pred, true_fun, false_fun, operand)
         return value
 
-    initial_msg = {
-        "type": "control_flow",
-        "fn": cond_wrapper,
-        "args": (pred, true_fun, false_fun, operand),
-        "kwargs": {"rng_key": None, "substitute_stack": []},
-        "value": None,
-    }
-    msg = apply_stack(initial_msg)
-    value, pytree_trace = msg["value"]
-
-    for site in pytree_trace.trace.values():
-        if site["type"] == "plate":
-            continue
-        apply_stack(site)
-
+    msg = apply_stack(
+        {
+            "type": "control_flow",
+            "fn": cond_wrapper,
+            "args": (pred, true_fun, false_fun, operand),
+            "kwargs": {"rng_key": None, "substitute_stack": []},
+            "value": None,
+        }
+    )
+    value, carried = msg["value"]
+    # replay recorded sites into the surrounding handlers
+    for site in carried.trace.values():
+        if site["type"] != "plate":
+            apply_stack(site)
     return value

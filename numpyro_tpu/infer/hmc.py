@@ -25,7 +25,7 @@ from jax.flatten_util import ravel_pytree
 from numpyro_tpu.infer import hmc_core as core
 from numpyro_tpu.infer.mcmc import MCMCKernel
 from numpyro_tpu.infer.util import ParamInfo, initialize_model
-from numpyro_tpu.util import identity, is_prng_key
+from numpyro_tpu.util import identity, is_prng_key, merge_dynamic, split_dynamic
 
 __all__ = ["HMC", "NUTS", "HMCState", "hmc", "momentum_generator"]
 
@@ -572,10 +572,12 @@ class HMC(MCMCKernel):
             else (self._max_tree_depth, self._max_tree_depth)
         )
 
-        def _build_run(margs, mkwargs):
+        def _build_run(dynamic):
             # the potential is (re)built inside the trace so model data
             # rides in as program inputs, never as baked XLA constants
+            # (python-scalar args stay static via split_dynamic)
             if self._potential_fn_gen is not None:
+                margs, mkwargs = merge_dynamic(dynamic, arg_meta)
                 pe_fn = self._potential_fn_gen(*margs, **mkwargs)
             else:
                 pe_fn = self._potential_fn
@@ -611,8 +613,8 @@ class HMC(MCMCKernel):
         warm_chunk = int(_os.environ.get("NUMPYRO_TPU_WARMUP_CHUNK", "5"))
         samp_chunk = int(_os.environ.get("NUMPYRO_TPU_SAMPLE_CHUNK", "20"))
 
-        def program_init(keys, z_tree, pe, z_grad_tree, margs, mkwargs):
-            pe_grad, run = _build_run(margs, mkwargs)
+        def program_init(keys, z_tree, pe, z_grad_tree, dynamic):
+            pe_grad, run = _build_run(dynamic)
             z_flat = layout.ravel_batch(z_tree)
             if z_grad_tree is None:
                 pe_now, grad_flat = pe_grad(z_flat)
@@ -623,29 +625,30 @@ class HMC(MCMCKernel):
                 inverse_mass_matrix=self._inverse_mass_matrix,
             )
 
-        def program_warm(n, ws, i0, margs, mkwargs):
-            _, run = _build_run(margs, mkwargs)
+        def program_warm(n, ws, i0, dynamic):
+            _, run = _build_run(dynamic)
             return run.warm_steps(ws, i0, n)
 
-        def program_start(ws, margs, mkwargs):
-            _, run = _build_run(margs, mkwargs)
+        def program_start(ws, dynamic):
+            _, run = _build_run(dynamic)
             return run.sample_start(ws)
 
-        def program_sample(ss, target, margs, mkwargs):
-            _, run = _build_run(margs, mkwargs)
+        def program_sample(ss, target, dynamic):
+            _, run = _build_run(dynamic)
             return run.sample_until(ss, target)
 
-        def program_finish(ss, margs, mkwargs):
-            _, run = _build_run(margs, mkwargs)
+        def program_finish(ss, dynamic):
+            _, run = _build_run(dynamic)
             return run.sample_finish(ss)
 
         if pe is None or z_grad is None:
             pe, z_grad = None, None
+        arg_dyn, arg_meta = split_dynamic((model_args, model_kwargs))
         # cache the jitted programs per run configuration: model data are
         # traced inputs, so re-running on fresh data of the same shapes
         # reuses the compiled executables (the reference's `jit_model_args`
         # recompile-avoidance, on by default: numpyro/infer/mcmc.py:290-294)
-        cache_key = (num_warmup, num_samples, thinning, self._algo)
+        cache_key = (num_warmup, num_samples, thinning, self._algo, arg_meta)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -668,7 +671,7 @@ class HMC(MCMCKernel):
 
         warm_times, sample_times = [], []
         t0 = _time.time()
-        ws = progs["init"](keys, z, pe, z_grad, model_args, model_kwargs)
+        ws = progs["init"](keys, z, pe, z_grad, arg_dyn)
         _sync(ws.z)
         init_s = _time.time() - t0
         done = 0
@@ -676,22 +679,22 @@ class HMC(MCMCKernel):
             step = min(warm_chunk, num_warmup - done)
             prog = progs["warm"] if step == warm_chunk else progs["warm_rem"]
             t1 = _time.time()
-            ws = prog(ws, done, model_args, model_kwargs)
+            ws = prog(ws, done, arg_dyn)
             _sync(ws.z)
             warm_times.append(_time.time() - t1)
             done += step
         warmup_s = _time.time() - t0
 
         t0 = _time.time()
-        ss = progs["start"](ws, model_args, model_kwargs)
+        ss = progs["start"](ws, arg_dyn)
         target = 0
         while target < num_samples:
             target = min(target + samp_chunk, num_samples)
             t1 = _time.time()
-            ss = progs["sample"](ss, target, model_args, model_kwargs)
+            ss = progs["sample"](ss, target, arg_dyn)
             _sync(ss.trans_idx)
             sample_times.append(_time.time() - t1)
-        out = progs["finish"](ss, model_args, model_kwargs)
+        out = progs["finish"](ss, arg_dyn)
         _sync(out["samples_z"])
         self.last_fused_stats = {
             "warmup_s": warmup_s,

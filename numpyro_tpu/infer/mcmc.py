@@ -33,7 +33,9 @@ from numpyro_tpu.util import (
     fori_collect,
     identity,
     is_prng_key,
+    merge_dynamic,
     nested_attrgetter,
+    split_dynamic,
 )
 
 __all__ = ["MCMCKernel", "MCMC"]
@@ -227,17 +229,22 @@ class MCMC:
         self, init, args, kwargs, collect_fields, remove_sites
     ):
         rng_key, init_state, init_params = init
+        # model data rides through every compiled program as inputs (baked
+        # XLA constants cost ~30s of TPU compile each); python-scalar args
+        # stay static so models may branch on them
+        dyn, meta = split_dynamic((args, kwargs))
         if init_state is None:
             if getattr(self.sampler, "jit_init", False) and not self.progress_bar:
                 # trace the whole init (incl. model initialization and the
-                # step-size search) with the data as program inputs — model
-                # arrays must not become baked XLA constants (TPU compile
-                # pays ~30s per closed-over device array)
+                # step-size search) with the data as program inputs
                 init_state = jit(
-                    lambda rng, ip, a, kw: self.sampler.init(
-                        rng, self.num_warmup, ip, model_args=a, model_kwargs=kw
+                    lambda rng, ip, d: self.sampler.init(
+                        rng,
+                        self.num_warmup,
+                        ip,
+                        *merge_dynamic(d, meta),
                     )
-                )(rng_key, init_params, args, kwargs)
+                )(rng_key, init_params, dyn)
             else:
                 init_state = self.sampler.init(
                     rng_key,
@@ -258,17 +265,21 @@ class MCMC:
 
         collect_fn = _collect_fn(collect_fields, remove_sites)
 
+        def step_fn(state, dynamic):
+            a, kw = merge_dynamic(dynamic, meta)
+            return self.sampler.sample(state, a, kw)
+
         collection, last_state = fori_collect(
             lower_idx,
             upper_idx,
-            self.sampler.sample,
+            step_fn,
             init_state,
             transform=collect_fn,
             progbar=self.progress_bar,
             return_last_val=True,
             thinning=self.thinning,
             collection_size=None,
-            body_args=(args, kwargs),
+            body_args=(dyn,),
             progbar_desc=lambda i: (
                 "warmup" if i < self.num_warmup else "sample"
             ),
@@ -483,11 +494,13 @@ class MCMC:
         if isinstance(site_values, dict) and postprocess_fn is not identity:
             # jit with the model data as inputs (constants are slow on TPU)
             if self.postprocess_fn is None:
-                constrained = jit(
-                    lambda sites, a, kw: vmap(
-                        vmap(self.sampler.postprocess_fn(a, kw))
-                    )(sites)
-                )(site_values, self._args, self._kwargs)
+                dyn, meta = split_dynamic((self._args, self._kwargs))
+
+                def _pp(sites, dynamic):
+                    a, kw = merge_dynamic(dynamic, meta)
+                    return vmap(vmap(self.sampler.postprocess_fn(a, kw)))(sites)
+
+                constrained = jit(_pp)(site_values, dyn)
             else:
                 constrained = vmap(vmap(postprocess_fn))(site_values)
             states_by_field[self._sample_field] = constrained

@@ -1,33 +1,51 @@
 """MADE-style autoregressive network (Germain et al., arXiv:1502.03509),
-backing the IAF flow (reference: numpyro/nn/auto_reg_nn.py)."""
+backing the IAF flow.
+
+Role parity: numpyro/nn/auto_reg_nn.py, but stax-free: the network is a
+plain list of ``(weight, bias)`` pairs applied in an explicit loop, and the
+autoregressive masks are host-side numpy (so they never become baked
+device constants in jitted programs).  API: ``AutoregressiveNN(...)``
+returns a stax-compatible ``(init_fn, apply_fn)`` pair.
+"""
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
-from jax.example_libraries import stax
-
-from numpyro_tpu.nn.masked_dense import MaskedDense
-
-
-def sample_mask_indices(input_dim, hidden_dim):
-    """Evenly assign degrees 1..input_dim to hidden units."""
-    return jnp.round(jnp.linspace(1, input_dim, num=hidden_dim))
+from jax import random
+from jax.nn.initializers import glorot_normal, normal
 
 
-def create_mask(input_dim, hidden_dims, permutation, output_dim_multiplier):
-    """MADE masks for the given ordering; returns (layer masks, skip mask)."""
-    var_index = jnp.zeros(permutation.shape[0])
-    var_index = var_index.at[permutation].set(jnp.arange(input_dim))
-    input_indices = 1 + var_index
-    hidden_indices = [sample_mask_indices(input_dim - 1, h) for h in hidden_dims]
-    output_indices = jnp.tile(var_index + 1, output_dim_multiplier)
+def _build_masks(input_dim, hidden_dims, permutation, out_mult):
+    """Connectivity masks: hidden units pass degree >=, outputs require
+    strict > (so output i never sees input i).
 
-    mask_skip = output_indices[None, :] > input_indices[:, None]
-    masks = [hidden_indices[0][None, :] >= input_indices[:, None]]
-    for i in range(1, len(hidden_dims)):
-        masks.append(hidden_indices[i][None, :] >= hidden_indices[i - 1][:, None])
-    masks.append(output_indices[None, :] > hidden_indices[-1][:, None])
-    return masks, mask_skip
+    Input degree of position p is its rank (1-based) under ``permutation``;
+    hidden degrees spread evenly over 1..input_dim-1.  Masks stay host
+    numpy when the permutation is concrete; a traced permutation (e.g. the
+    IAF guide permuting under jit) switches the degree comparisons to jnp.
+    """
+    hidden_degs = [
+        np.round(np.linspace(1, max(input_dim - 1, 1), h)) for h in hidden_dims
+    ]
+    try:
+        perm = np.asarray(permutation)
+        rank = np.empty(input_dim)
+        rank[perm] = np.arange(input_dim)
+        xp = np
+    except Exception:  # traced permutation: build masks in the trace
+        rank = jnp.zeros(input_dim).at[permutation].set(jnp.arange(input_dim))
+        xp = jnp
+    in_deg = rank + 1.0
+    out_deg = xp.tile(in_deg, out_mult)
+    chain = [in_deg] + [xp.asarray(h) for h in hidden_degs]
+    masks = [
+        (b[None, :] >= a[:, None]).astype(xp.float32)
+        for a, b in zip(chain[:-1], chain[1:])
+    ]
+    masks.append((out_deg[None, :] > chain[-1][:, None]).astype(xp.float32))
+    skip = (out_deg[None, :] > in_deg[:, None]).astype(xp.float32)
+    return masks, skip
 
 
 def AutoregressiveNN(
@@ -36,59 +54,68 @@ def AutoregressiveNN(
     param_dims=[1, 1],
     permutation=None,
     skip_connections=False,
-    nonlinearity=stax.Relu,
+    nonlinearity=None,
 ):
-    """stax-style ``(init_fn, apply_fn)`` MADE network whose outputs respect
-    the autoregressive ordering (each output i depends only on inputs < i
-    under ``permutation``)."""
-    output_multiplier = sum(param_dims)
-    all_ones = (np.array(param_dims) == 1).all()
-    ends = np.cumsum(np.array(param_dims), axis=0)
-    starts = np.concatenate((np.zeros(1), ends[:-1]))
-    param_slices = [slice(int(s), int(e)) for s, e in zip(starts, ends)]
-
+    """Masked MLP whose k-th output block is autoregressive under
+    ``permutation``; ``apply_fn`` returns one array per entry of
+    ``param_dims`` (each of trailing shape ``(dim_k, input_dim)`` squeezed
+    when ``dim_k == 1``)."""
     for h in hidden_dims:
         if h < input_dim:
-            raise ValueError("Hidden dimension must not be less than input dimension.")
+            raise ValueError(
+                "Hidden dimension must not be less than input dimension."
+            )
     if permutation is None:
-        permutation = jnp.arange(input_dim)
+        permutation = np.arange(input_dim)
+    if nonlinearity is None:
+        activate = jax.nn.relu
+    elif isinstance(nonlinearity, tuple):
+        # stax-style (init, apply) pair
+        _, _stax_apply = nonlinearity
+        activate = lambda x: _stax_apply((), x)  # noqa: E731
+    else:
+        activate = nonlinearity
 
-    masks, mask_skip = create_mask(
-        input_dim=input_dim,
-        hidden_dims=hidden_dims,
-        permutation=permutation,
-        output_dim_multiplier=output_multiplier,
+    out_mult = int(sum(param_dims))
+    splits = np.cumsum(np.asarray(param_dims))[:-1]
+    masks, skip_mask = _build_masks(
+        input_dim, hidden_dims, permutation, out_mult
     )
 
-    main_layers = []
-    for i, mask in enumerate(masks):
-        main_layers.append(MaskedDense(mask))
-        if i < len(masks) - 1:
-            main_layers.append(nonlinearity)
+    w_init = glorot_normal()
+    b_init = normal()
 
-    if skip_connections:
-        net_init, net = stax.serial(
-            stax.FanOut(2),
-            stax.parallel(
-                stax.serial(*main_layers), MaskedDense(mask_skip, bias=False)
-            ),
-            stax.FanInSum,
+    def init_fn(rng_key, input_shape):
+        assert input_shape[-1] == input_dim
+        params = []
+        keys = random.split(rng_key, len(masks) + 1)
+        for mask, key in zip(masks, keys):
+            kw, kb = random.split(key)
+            params.append(
+                (w_init(kw, mask.shape), b_init(kb, (mask.shape[1],)))
+            )
+        if skip_connections:
+            params.append((w_init(keys[-1], skip_mask.shape), None))
+        return input_shape[:-1] + (out_mult * input_dim,), params
+
+    def apply_fn(params, x, **kwargs):
+        layers = params[: len(masks)]
+        h = x
+        for depth, ((w, b), mask) in enumerate(zip(layers, masks)):
+            h = h @ (w * jnp.asarray(mask)) + b
+            if depth < len(masks) - 1:
+                h = activate(h)
+        if skip_connections:
+            w_skip, _ = params[len(masks)]
+            h = h + x @ (w_skip * jnp.asarray(skip_mask))
+        blocks = jnp.moveaxis(
+            h.reshape(x.shape[:-1] + (out_mult, input_dim)), -2, 0
         )
-    else:
-        net_init, net = stax.serial(*main_layers)
+        if len(param_dims) == 1:
+            return blocks[0] if param_dims[0] == 1 else blocks
+        pieces = jnp.split(blocks, splits, axis=0)
+        return tuple(
+            p[0] if d == 1 else p for p, d in zip(pieces, param_dims)
+        )
 
-    def init_fun(rng_key, input_shape):
-        assert input_dim == input_shape[-1]
-        return net_init(rng_key, input_shape)
-
-    def apply_fun(params, inputs, **kwargs):
-        out = net(params, inputs, **kwargs)
-        out = jnp.reshape(out, inputs.shape[:-1] + (output_multiplier, input_dim))
-        out = jnp.moveaxis(out, -2, 0)
-        if all_ones:
-            out = tuple(out[i] for i in range(output_multiplier))
-        else:
-            out = tuple(out[s] for s in param_slices)
-        return out[0] if len(param_dims) == 1 else out
-
-    return init_fun, apply_fun
+    return init_fn, apply_fn

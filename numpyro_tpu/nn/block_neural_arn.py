@@ -1,163 +1,142 @@
-"""Block Neural Autoregressive network (De Cao, Titov & Aziz), backing the
-BNAF flow (reference: numpyro/nn/block_neural_arn.py).  Each layer is a
-block lower-triangular linear map with positive diagonal blocks (weight
-normalized); the per-block log-Jacobians accumulate through the network with
-``logmatmulexp``."""
+"""Block Neural Autoregressive network (De Cao, Titov & Aziz 2019),
+backing the BNAF flow.
+
+Role parity: numpyro/nn/block_neural_arn.py, but stax-free: the network is
+an explicit pipeline of layer records threading ``(x, block_logdet)``, with
+host-numpy block masks (never baked as device constants).  Each linear
+layer is block lower-triangular with positive (exp-parameterized,
+weight-normalized) diagonal blocks; per-block log-Jacobians chain through
+the depth with ``logmatmulexp``.
+"""
 
 import numpy as np
 
 import jax.numpy as jnp
 from jax import random
-from jax.example_libraries import stax
 from jax.nn import sigmoid, softplus
 from jax.nn.initializers import glorot_uniform, normal, uniform
 
-from numpyro_tpu.distributions.util import logmatmulexp, vec_to_tril_matrix
+from numpyro_tpu.distributions.util import logmatmulexp
 
 
-def BlockMaskedDense(num_blocks, in_factor, out_factor, bias=True, W_init=glorot_uniform()):
-    """Linear layer over block lower-triangular matrices with positive
-    diagonal blocks + weight normalization (arXiv:1602.07868)."""
-    input_dim, out_dim = num_blocks * in_factor, num_blocks * out_factor
-    # diagonal-block mask and strictly-lower-block mask
-    mask_d = np.identity(num_blocks)[..., None]
-    mask_d = np.tile(mask_d, (1, in_factor, out_factor)).reshape(input_dim, out_dim)
-    mask_o = vec_to_tril_matrix(
-        jnp.ones(num_blocks * (num_blocks - 1) // 2), diagonal=-1
-    ).T[..., None]
-    mask_o = jnp.tile(mask_o, (1, in_factor, out_factor)).reshape(input_dim, out_dim)
+def _block_masks(num_blocks, in_factor, out_factor):
+    """(diagonal-block mask, strictly-lower-block mask) as host numpy."""
+    rows, cols = np.arange(num_blocks), np.arange(num_blocks)
+    block_eq = rows[:, None] == cols[None, :]
+    block_lt = rows[:, None] > cols[None, :]
 
-    def init_fun(rng, input_shape):
-        assert input_dim == input_shape[-1]
-        *k1, k2, k3 = random.split(rng, num_blocks + 2)
-        W = jnp.zeros((input_dim, out_dim))
-        for i in range(num_blocks):
-            W = W.at[: (i + 1) * in_factor, i * out_factor : (i + 1) * out_factor].set(
-                W_init(k1[i], ((i + 1) * in_factor, out_factor))
-            )
-        ws = jnp.log(uniform(1.0)(k2, (out_dim,)))
-        if bias:
-            b = (uniform(1.0)(k3, (out_dim,)) - 0.5) * (2 / jnp.sqrt(out_dim))
-            params = (W, ws, b)
-        else:
-            params = (W, ws)
-        return input_shape[:-1] + (out_dim,), params
-
-    def apply_fun(params, inputs, **kwargs):
-        x, logdet = inputs
-        if bias:
-            W, ws, b = params
-        else:
-            W, ws = params
-        # exp on diagonal blocks keeps them positive; weight-normalize columns
-        w = jnp.exp(W) * mask_d + W * mask_o
-        w_norm = jnp.linalg.norm(w, axis=-2, keepdims=True)
-        w = jnp.exp(ws) * w / w_norm
-        out = jnp.dot(x, w)
-        if bias:
-            out = out + b
-        dense_logdet = ws + W - jnp.log(w_norm)
-        dense_logdet = dense_logdet[mask_d.astype(bool)].reshape(
-            num_blocks, in_factor, out_factor
+    def expand(block):
+        return np.kron(block, np.ones((in_factor, out_factor))).astype(
+            np.float32
         )
-        if logdet is None:
-            logdet = jnp.broadcast_to(dense_logdet, x.shape[:-1] + dense_logdet.shape)
-        else:
-            logdet = logmatmulexp(logdet, dense_logdet)
-        return out, logdet
 
-    return init_fun, apply_fun
+    return expand(block_eq), expand(block_lt)
+
+
+def _linear_layer(num_blocks, in_factor, out_factor, bias=True):
+    in_dim, out_dim = num_blocks * in_factor, num_blocks * out_factor
+    mask_diag, mask_low = _block_masks(num_blocks, in_factor, out_factor)
+    w_init = glorot_uniform()
+
+    def init(rng):
+        k_w, k_s, k_b = random.split(rng, 3)
+        # initialize only the allowed (lower-block-triangular) region
+        w = w_init(k_w, (in_dim, out_dim)) * jnp.asarray(mask_diag + mask_low)
+        log_scale = jnp.log(uniform(1.0)(k_s, (out_dim,)))
+        b = (
+            (uniform(1.0)(k_b, (out_dim,)) - 0.5) * (2 / np.sqrt(out_dim))
+            if bias
+            else None
+        )
+        return {"w": w, "log_scale": log_scale, "b": b}
+
+    def apply(p, x, logdet):
+        md, ml = jnp.asarray(mask_diag), jnp.asarray(mask_low)
+        # positive diagonal blocks via exp; weight-normalized columns
+        w = jnp.exp(p["w"]) * md + p["w"] * ml
+        col_norm = jnp.linalg.norm(w, axis=-2, keepdims=True)
+        w = jnp.exp(p["log_scale"]) * w / col_norm
+        y = x @ w
+        if p["b"] is not None:
+            y = y + p["b"]
+        # log of the (positive) diagonal-block jacobian entries
+        layer_ld = p["log_scale"] + p["w"] - jnp.log(col_norm)
+        layer_ld = layer_ld.reshape(num_blocks, in_factor, num_blocks, out_factor)
+        layer_ld = layer_ld[np.arange(num_blocks), :, np.arange(num_blocks), :]
+        if logdet is None:
+            logdet = jnp.broadcast_to(
+                layer_ld, x.shape[:-1] + layer_ld.shape
+            )
+        else:
+            logdet = logmatmulexp(logdet, layer_ld)
+        return y, logdet
+
+    return init, apply
+
+
+def _tanh_layer(min_grad=0.0):
+    """tanh (or tanh + min_grad * x) with its per-element log-Jacobian."""
+
+    def init(rng):
+        return ()
+
+    def apply(p, x, logdet):
+        base_ld = 2.0 * (np.log(2.0) - x - softplus(-2.0 * x))
+        if min_grad > 0:
+            y = jnp.tanh(x) + min_grad * x
+            ld = jnp.logaddexp(base_ld, np.log(min_grad))
+        else:
+            y = jnp.tanh(x)
+            ld = base_ld
+        ld = ld.reshape(logdet.shape[:-2] + (1, logdet.shape[-1]))
+        return y, logdet + ld
+
+    return init, apply
 
 
 def Tanh():
-    """tanh with its blockwise log-Jacobian."""
-
-    def init_fun(rng, input_shape):
-        return input_shape, ()
-
-    def apply_fun(params, inputs, **kwargs):
-        x, logdet = inputs
-        out = jnp.tanh(x)
-        tanh_logdet = -2 * (x + softplus(-2 * x) - jnp.log(2.0))
-        tanh_logdet = tanh_logdet.reshape(logdet.shape[:-2] + (1, logdet.shape[-1]))
-        return out, logdet + tanh_logdet
-
-    return init_fun, apply_fun
+    return _tanh_layer(0.0)
 
 
 def LeakyTanh(min_grad: float = 0.01):
-    """tanh(x) + c*x — keeps the flow surjective onto the reals."""
-
-    def init_fun(rng, input_shape):
-        return input_shape, ()
-
-    def apply_fun(params, inputs, **kwargs):
-        x, logdet = inputs
-        out = jnp.tanh(x) + min_grad * x
-        tanh_logdet = -2 * (x + softplus(-2 * x) - jnp.log(2.0))
-        act_logdet = jnp.logaddexp(tanh_logdet, jnp.log(min_grad))
-        act_logdet = act_logdet.reshape(logdet.shape[:-2] + (1, logdet.shape[-1]))
-        return out, logdet + act_logdet
-
-    return init_fun, apply_fun
-
-
-def FanInResidualNormal():
-    """Residual fan-in (second branch must be identity), tracking logdet."""
-
-    def init_fun(rng, input_shape):
-        return input_shape[0], ()
-
-    def apply_fun(params, inputs, **kwargs):
-        (fx, logdet), (x, _) = inputs
-        return fx + x, softplus(logdet)
-
-    return init_fun, apply_fun
-
-
-def FanInResidualGated(gate_init=normal(1.0)):
-    """Gated residual fan-in with a learnable interpolation gate."""
-
-    def init_fun(rng, input_shape):
-        return input_shape[0], gate_init(rng, ())
-
-    def apply_fun(params, inputs, **kwargs):
-        (fx, logdet), (x, _) = inputs
-        gate = sigmoid(params)
-        out = gate * fx + (1 - gate) * x
-        logdet = softplus(logdet + params) - softplus(params)
-        return out, logdet
-
-    return init_fun, apply_fun
+    return _tanh_layer(min_grad)
 
 
 def BlockNeuralAutoregressiveNN(
     input_dim, hidden_factors=[8, 8], residual=None, activation=None
 ):
-    """stax-style ``(init_fn, apply_fn)``: apply returns ``(y, logdet)``
-    where logdet has the input's shape."""
+    """stax-compatible ``(init_fn, apply_fn)``; ``apply_fn(params, x)``
+    returns ``(y, logdet)`` with ``logdet`` of ``x``'s shape."""
+    if residual not in (None, "normal", "gated"):
+        raise ValueError(f"unknown residual mode {residual!r}")
+    act = LeakyTanh() if activation is None else activation
     layers = []
-    in_factor = 1
-    activation = LeakyTanh() if activation is None else activation
-    for hidden_factor in hidden_factors:
-        layers.append(BlockMaskedDense(input_dim, in_factor, hidden_factor))
-        layers.append(activation)
-        in_factor = hidden_factor
-    layers.append(BlockMaskedDense(input_dim, in_factor, 1))
-    arn = stax.serial(*layers)
-    if residual is not None:
-        FanInResidual = (
-            FanInResidualGated if residual == "gated" else FanInResidualNormal
-        )
-        arn = stax.serial(
-            stax.FanOut(2), stax.parallel(arn, stax.Identity), FanInResidual()
-        )
+    widths = [1] + list(hidden_factors) + [1]
+    for a, b in zip(widths[:-1], widths[1:]):
+        layers.append(_linear_layer(input_dim, a, b))
+        layers.append(act)
+    layers = layers[:-1]  # no activation after the final block layer
 
-    def init_fun(rng, input_shape):
-        return arn[0](rng, input_shape)
+    def init_fn(rng, input_shape):
+        assert input_shape[-1] == input_dim
+        keys = random.split(rng, len(layers) + 1)
+        params = [lay[0](k) for lay, k in zip(layers, keys)]
+        if residual == "gated":
+            params.append(normal(1.0)(keys[-1], ()))
+        return input_shape[:-1] + (input_dim,), params
 
-    def apply_fun(params, inputs, **kwargs):
-        out, logdet = arn[1](params, (inputs, None), **kwargs)
-        return out, logdet.reshape(inputs.shape)
+    def apply_fn(params, x, **kwargs):
+        y, logdet = x, None
+        for lay, p in zip(layers, params):
+            y, logdet = lay[1](p, y, logdet)
+        if residual == "normal":
+            y = y + x
+            logdet = softplus(logdet)
+        elif residual == "gated":
+            gate_raw = params[-1]
+            gate = sigmoid(gate_raw)
+            y = gate * y + (1 - gate) * x
+            logdet = softplus(logdet + gate_raw) - softplus(gate_raw)
+        return y, logdet.reshape(x.shape)
 
-    return init_fun, apply_fun
+    return init_fn, apply_fn

@@ -1,13 +1,28 @@
-"""PytreeTrace — carry an effect-handler trace through jax control flow.
+"""PytreeTrace — carry an effect-handler trace across jax control flow.
 
-A recorded trace is a dict of site dicts; to move it across a ``lax.scan`` /
-``lax.cond`` boundary it must be a pytree.  Traced-array entries (values,
-distribution parameters, intermediates) become pytree leaves; everything
-else (names, kwargs, infer metadata) rides as static aux data
-(reference: numpyro/ops/pytree.py:8).
+Role parity: numpyro/ops/pytree.py.  A recorded trace (dict of site dicts)
+must cross ``lax.scan`` / ``lax.cond`` boundaries as a pytree; this class
+splits every site into its traced payload and its static description with
+an explicit per-field routing table instead of ad-hoc key checks.
 """
 
 from jax.tree_util import register_pytree_node_class
+
+# site entries that hold (possibly traced) arrays and must ride as leaves
+_DYNAMIC_KEYS = frozenset({"value", "intermediates", "args"})
+# entries that are dropped entirely at the boundary (host-only bookkeeping)
+_SKIPPED_KEYS = frozenset({"stop"})
+# site types that survive a control-flow boundary at all
+_CARRIED_TYPES = frozenset({"sample", "deterministic", "plate", "param"})
+
+
+def _scrub_static(key, entry):
+    """Strip entries that must not be treated as loop-invariant aux data."""
+    if key == "kwargs" and "rng_key" in entry:
+        entry = dict(entry, rng_key=None)
+    elif key == "infer" and "_scan_current_index" in entry:
+        entry = dict(entry, _scan_current_index=None)
+    return entry
 
 
 @register_pytree_node_class
@@ -16,43 +31,34 @@ class PytreeTrace:
         self.trace = trace
 
     def tree_flatten(self):
-        trace, aux_trace = {}, {}
+        order, dynamic, static = [], [], []
         for name, site in self.trace.items():
-            if site["type"] in ["sample", "deterministic", "plate", "param"]:
-                trace[name], aux_trace[name] = {}, {"_control_flow_done": True}
-                for key in site:
-                    if key == "fn":
-                        if site["type"] == "sample":
-                            trace[name][key] = site[key]
-                        elif site["type"] == "plate":
-                            aux_trace[name][key] = site[key]
-                    elif key in ["args", "value", "intermediates"]:
-                        trace[name][key] = site[key]
-                    # scanned sites carry a stop field (traced under block)
-                    elif key != "stop":
-                        if key == "kwargs":
-                            kwargs = site["kwargs"].copy()
-                            if "rng_key" in kwargs:
-                                # never trace rng keys through the scan carry
-                                kwargs["rng_key"] = None
-                            aux_trace[name][key] = kwargs
-                        elif key == "infer":
-                            infer = site["infer"].copy()
-                            if "_scan_current_index" in infer:
-                                infer["_scan_current_index"] = None
-                            aux_trace[name][key] = infer
-                        else:
-                            aux_trace[name][key] = site[key]
-        # dict flatten/unflatten does not preserve insertion order; keep it
-        site_names = list(trace.keys())
-        return (trace,), (aux_trace, site_names)
+            if site["type"] not in _CARRIED_TYPES:
+                continue
+            order.append(name)
+            dyn, aux = {}, {"_control_flow_done": True}
+            for key, entry in site.items():
+                if key in _SKIPPED_KEYS:
+                    continue
+                if key in _DYNAMIC_KEYS:
+                    dyn[key] = entry
+                elif key == "fn":
+                    # sample fns are pytrees (traced params); plate fns are
+                    # static callables
+                    (dyn if site["type"] == "sample" else aux)[key] = entry
+                else:
+                    aux[key] = _scrub_static(key, entry)
+            dynamic.append(dyn)
+            static.append(aux)
+        return (dynamic,), (tuple(order), tuple(static))
 
     @classmethod
     def tree_unflatten(cls, aux_data, children):
-        aux_trace, site_names = aux_data
-        (trace,) = children
-        trace_with_aux = {}
-        for name in site_names:
-            trace[name].update(aux_trace[name])
-            trace_with_aux[name] = trace[name]
-        return cls(trace_with_aux)
+        order, static = aux_data
+        (dynamic,) = children
+        return cls(
+            {
+                name: {**dyn, **aux}
+                for name, dyn, aux in zip(order, dynamic, static)
+            }
+        )

@@ -131,6 +131,29 @@ def not_jax_tracer(x):
     return not isinstance(x, jax.core.Tracer)
 
 
+def split_dynamic(tree):
+    """Partition a pytree into array leaves (to be traced through jit) and
+    everything else (python scalars, strings — kept static).
+
+    Model args must ride through compiled programs as inputs so data never
+    becomes a baked XLA constant, but python-scalar args (e.g. a scan
+    length) must NOT be traced — models branch on them.  Returns
+    ``(dynamic, meta)``; rebuild with :func:`merge_dynamic`.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    is_arr = [isinstance(x, (jax.Array, np.ndarray)) for x in leaves]
+    dynamic = [x for x, d in zip(leaves, is_arr) if d]
+    static = tuple(None if d else x for x, d in zip(leaves, is_arr))
+    return dynamic, (treedef, tuple(is_arr), static)
+
+
+def merge_dynamic(dynamic, meta):
+    treedef, is_arr, static = meta
+    it = iter(dynamic)
+    leaves = [next(it) if d else s for d, s in zip(is_arr, static)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def identity(x, *args, **kwargs):
     return x
 

@@ -52,8 +52,8 @@ ROUND1_BASELINE = 23.34
 
 import os
 N, D = 581_012, 55
-NUM_CHAINS = int(os.environ.get("BENCH_CHAINS", 768))
-NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
+NUM_CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
+NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 300))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1000))
 # warmup trees run deep before adaptation settles, so the warmup phase is
 # capped at depth 6 (a reference-supported option: max_tree_depth may be a

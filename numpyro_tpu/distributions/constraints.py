@@ -91,9 +91,40 @@ class Constraint:
     def __repr__(self):
         return self.__class__.__name__[1:].replace("Constraint", "")
 
-    # make constraint objects usable as pytree aux data
+    # Constraints are pytrees: parametric bounds are traced leaves so a
+    # distribution holding an interval/greater_than support flows through
+    # jit/vmap with the rest of its parameters.
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        from jax import tree_util
+
+        tree_util.register_pytree_node(
+            cls, cls._pytree_flatten, cls._pytree_unflatten
+        )
+
+    def _pytree_flatten(self):
+        params = getattr(self, "_params", ())
+        data = tuple(getattr(self, k) for k in params)
+        aux = tuple(
+            sorted(
+                ((k, v) for k, v in self.__dict__.items() if k not in params),
+                key=lambda kv: kv[0],
+            )
+        )
+        return data, (params, aux)
+
+    @classmethod
+    def _pytree_unflatten(cls, meta, data):
+        params, aux = meta
+        obj = cls.__new__(cls)
+        for k, v in zip(params, data):
+            setattr(obj, k, v)
+        for k, v in aux:
+            setattr(obj, k, v)
+        return obj
+
     def tree_flatten(self):  # pragma: no cover - compatibility hook
-        return (), ((), {})
+        return self._pytree_flatten()
 
 
 class ParametricConstraint(Constraint):

@@ -1308,8 +1308,14 @@ class LowRankMultivariateNormal(Distribution):
             self.cov_diag, axis=-2
         )
         Wt_Dinv_diff = jnp.squeeze(jnp.matmul(Wt_Dinv, diff[..., None]), -1)
+        # solve_triangular does not broadcast batch dims: align the factor
+        # with the (possibly sample-batched) right-hand side
+        chol = jnp.broadcast_to(
+            self._capacitance_tril,
+            Wt_Dinv_diff.shape[:-1] + self._capacitance_tril.shape[-2:],
+        )
         mahalanobis_tmp = solve_triangular(
-            self._capacitance_tril, Wt_Dinv_diff[..., None], lower=True
+            chol, Wt_Dinv_diff[..., None], lower=True
         )[..., 0]
         mahalanobis = (diff**2 / self.cov_diag).sum(-1) - (mahalanobis_tmp**2).sum(
             -1

@@ -1,16 +1,18 @@
 """Gaussian copula distributions — couple the last batch axis of a
-univariate marginal with a multivariate-normal correlation structure.
+univariate marginal through a multivariate-normal correlation structure.
 
-Reference surface: numpyro/distributions/copula.py:13-140.  Implemented
-fresh: the copula density is evaluated via the marginal cdf → normal
-quantile map, all batched elementwise math (VPU) plus one triangular solve
-in the MVN log_prob (MXU).
+Role parity: numpyro/distributions/copula.py:13-140.  The density is
+evaluated through the probability-integral transform: marginal cdf →
+standard-normal quantiles → correlated-MVN density, with the independent
+standard-normal density divided back out.  Everything is batched
+elementwise math (VPU) plus one triangular solve inside the MVN (MXU).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.special import ndtr, ndtri
 
 from . import constraints
 from .continuous import Beta, MultivariateNormal, Normal
@@ -21,12 +23,12 @@ __all__ = ["GaussianCopula", "GaussianCopulaBeta"]
 
 
 class GaussianCopula(Distribution):
-    """Couples ``marginal_dist``'s last batch axis with a Gaussian copula.
+    """Joint distribution with ``marginal_dist`` marginals (coupled along
+    their last batch axis) and Gaussian-copula dependence.
 
-    :param marginal_dist: univariate distribution whose last batch axis is
-        to be coupled.
+    :param marginal_dist: univariate distribution for each coordinate.
     :param correlation_matrix: correlation matrix of the coupling MVN.
-    :param correlation_cholesky: Cholesky factor alternative.
+    :param correlation_cholesky: Cholesky-factor alternative.
     """
 
     arg_constraints = {
@@ -51,36 +53,28 @@ class GaussianCopula(Distribution):
             covariance_matrix=correlation_matrix,
             scale_tril=correlation_cholesky,
         )
-        event_shape = self.base_dist.event_shape
-        batch_shape = lax.broadcast_shapes(
-            self.marginal_dist.batch_shape[:-1],
-            self.base_dist.batch_shape,
-        )
         super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
+            batch_shape=lax.broadcast_shapes(
+                marginal_dist.batch_shape[:-1], self.base_dist.batch_shape
+            ),
+            event_shape=self.base_dist.event_shape,
             validate_args=validate_args,
         )
 
+    def _to_quantiles(self, value):
+        """Per-coordinate standard-normal quantiles of the marginal cdf."""
+        return ndtri(clamp_probs(self.marginal_dist.cdf(value)))
+
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape
-        normal_samples = self.base_dist.expand(shape).sample(key)
-        cdf = Normal().cdf(normal_samples)
-        return self.marginal_dist.icdf(cdf)
+        gauss = self.base_dist.expand(sample_shape + self.batch_shape).sample(key)
+        return self.marginal_dist.icdf(ndtr(gauss))
 
     @validate_sample
     def log_prob(self, value):
-        # copula density: MVN log-density of the normal quantiles minus the
-        # independent standard-normal log-density, plus marginal log-probs.
-        marginal_lps = self.marginal_dist.log_prob(value)
-        probs = self.marginal_dist.cdf(value)
-        quantiles = Normal().icdf(clamp_probs(probs))
-        copula_lp = (
-            self.base_dist.log_prob(quantiles)
-            + 0.5 * (quantiles**2).sum(-1)
-            + 0.5 * jnp.log(2 * jnp.pi) * quantiles.shape[-1]
-        )
-        return copula_lp + marginal_lps.sum(axis=-1)
+        q = self._to_quantiles(value)
+        # joint = marginals x (correlated gaussian / independent gaussian)
+        dependence = self.base_dist.log_prob(q) - Normal().log_prob(q).sum(-1)
+        return dependence + self.marginal_dist.log_prob(value).sum(-1)
 
     @property
     def mean(self):
@@ -104,6 +98,8 @@ class GaussianCopula(Distribution):
 
 
 class GaussianCopulaBeta(GaussianCopula):
+    """Beta marginals under a Gaussian copula."""
+
     arg_constraints = {
         "concentration1": constraints.positive,
         "concentration0": constraints.positive,

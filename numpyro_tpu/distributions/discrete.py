@@ -666,11 +666,13 @@ class GeometricProbs(Distribution):
 
     @property
     def mean(self):
-        return (1.0 / self.probs - 1.0).astype(jnp.result_type(float))
+        return jnp.asarray(1.0 / self.probs - 1.0, jnp.result_type(float))
 
     @property
     def variance(self):
-        return ((1.0 / self.probs - 1.0) / self.probs).astype(jnp.result_type(float))
+        return jnp.asarray(
+            (1.0 / self.probs - 1.0) / self.probs, jnp.result_type(float)
+        )
 
 
 class GeometricLogits(Distribution):

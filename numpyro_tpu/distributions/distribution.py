@@ -20,7 +20,6 @@ log_prob/sample math, batched over the leading chain axis.
 from __future__ import annotations
 
 import functools
-from collections import OrderedDict
 from contextlib import contextmanager
 
 import numpy as np
@@ -107,10 +106,24 @@ class Distribution(metaclass=DistributionMeta):
             all_fields.update(b.__dict__.get("pytree_aux_fields", ()))
         return tuple(sorted(all_fields))
 
+    @classmethod
+    def _storable_data_fields(cls):
+        """Data fields that live in instance __dict__.  Plain properties
+        (derived values like BetaProportion.mean) are excluded; lazy
+        properties are read from __dict__ so flattening never triggers
+        their computation."""
+        fields = []
+        for k in cls.gather_pytree_data_fields():
+            attr = getattr(cls, k, None)
+            if isinstance(attr, property):
+                continue
+            fields.append(k)
+        return tuple(fields)
+
     def tree_flatten(self):
-        data_fields = type(self).gather_pytree_data_fields()
+        data_fields = type(self)._storable_data_fields()
         aux_fields = type(self).gather_pytree_aux_fields()
-        data = tuple(getattr(self, k, None) for k in data_fields)
+        data = tuple(self.__dict__.get(k) for k in data_fields)
         aux = tuple(getattr(self, k, None) for k in aux_fields)
         return data, (data_fields, aux_fields, aux)
 
@@ -118,11 +131,13 @@ class Distribution(metaclass=DistributionMeta):
     def tree_unflatten(cls, aux_data, params):
         data_fields, aux_fields, aux = aux_data
         self = cls.__new__(cls)
+        # write into __dict__ directly: descriptors (lazy_property) must not
+        # intercept reconstruction
         for k, v in zip(data_fields, params):
-            setattr(self, k, v)
+            self.__dict__[k] = v
         for k, v in zip(aux_fields, aux):
-            setattr(self, k, v)
-        # re-derive shapes if they were not stored (shouldn't happen)
+            if not isinstance(getattr(cls, k, None), property):
+                self.__dict__[k] = v
         return self
 
     @staticmethod
@@ -274,47 +289,46 @@ class ExpandedDistribution(Distribution):
 
     arg_constraints = {}
     pytree_data_fields = ("base_dist",)
-    pytree_aux_fields = ("_expanded_sizes", "_interstitial_sizes")
+    pytree_aux_fields = ("_fresh_axes",)
 
     def __init__(self, base_dist, batch_shape=()):
         if isinstance(base_dist, ExpandedDistribution):
-            batch_shape, _, _ = self._broadcast_shape(
-                base_dist.batch_shape, batch_shape
-            )
+            batch_shape = self._target_shape(base_dist.batch_shape, batch_shape)
             base_dist = base_dist.base_dist
         self.base_dist = base_dist
-        new_shape, expanded_sizes, interstitial_sizes = self._broadcast_shape(
-            base_dist.batch_shape, batch_shape
-        )
-        self._expanded_sizes = expanded_sizes
-        self._interstitial_sizes = interstitial_sizes
+        new_shape = self._target_shape(base_dist.batch_shape, batch_shape)
+        # axes (negative, batch-relative) that need FRESH randomness when
+        # sampling: new leading axes plus size-1 base axes grown to size > 1
+        pad = len(new_shape) - len(base_dist.batch_shape)
+        fresh = []
+        for pos, size in enumerate(new_shape):
+            rel = pos - len(new_shape)  # negative batch-axis index
+            base_size = (
+                base_dist.batch_shape[pos - pad] if pos >= pad else None
+            )
+            if base_size is None or (base_size == 1 and size != 1):
+                fresh.append((rel, size))
+        self._fresh_axes = tuple(fresh)
         super().__init__(new_shape, base_dist.event_shape)
 
     @staticmethod
-    def _broadcast_shape(existing_shape, new_shape):
-        if len(new_shape) < len(existing_shape):
+    def _target_shape(existing, requested):
+        if len(requested) < len(existing):
             raise ValueError(
-                f"Cannot broadcast distribution of shape {existing_shape} "
-                f"to shape {new_shape}"
+                f"Cannot broadcast distribution of shape {existing} "
+                f"to shape {requested}"
             )
-        reversed_shape = list(reversed(existing_shape))
-        expanded_sizes, interstitial_sizes = [], []
-        for i, size in enumerate(reversed(new_shape)):
-            if i >= len(reversed_shape):
-                reversed_shape.append(size)
-                expanded_sizes.append((-i - 1, size))
-            elif reversed_shape[i] == 1:
-                if size != 1:
-                    reversed_shape[i] = size
-                    interstitial_sizes.append((-i - 1, size))
-            elif reversed_shape[i] != size and size != 1:
+        pad = len(requested) - len(existing)
+        out = list(requested)
+        for pos, base_size in enumerate(existing):
+            req = requested[pad + pos]
+            if base_size not in (1, req) and req != 1:
                 raise ValueError(
-                    f"Cannot broadcast distribution of shape {existing_shape} "
-                    f"to shape {new_shape}"
+                    f"Cannot broadcast distribution of shape {existing} "
+                    f"to shape {requested}"
                 )
-        return tuple(reversed(reversed_shape)), OrderedDict(
-            expanded_sizes
-        ), OrderedDict(interstitial_sizes)
+            out[pad + pos] = max(base_size, req)
+        return tuple(out)
 
     @property
     def has_enumerate_support(self):
@@ -331,27 +345,20 @@ class ExpandedDistribution(Distribution):
     def support(self):
         return self.base_dist.support
 
-    def _compute_chunk_shape(self, sample_shape):
-        # sample from base with the expanded axes as part of sample_shape,
-        # then move interstitial axes into place.
-        interstitial_dims = tuple(self._interstitial_sizes.keys())
-        event_dim = len(self.event_shape)
-        interstitial_dims = tuple(i - event_dim for i in interstitial_dims)
-        interstitial_sizes = tuple(self._interstitial_sizes.values())
-        expanded_sizes = tuple(self._expanded_sizes.values())
-        batch_shape = expanded_sizes + interstitial_sizes
-        return interstitial_dims, batch_shape
-
     def _sample(self, sample_fn, key, sample_shape=()):
-        interstitial_dims, batch_shape = self._compute_chunk_shape(sample_shape)
-        samples = sample_fn(key, sample_shape + batch_shape)
-        interstitial_idx = len(sample_shape) + len(self._expanded_sizes)
-        interstitial_sample_dims = tuple(
-            range(interstitial_idx, interstitial_idx + len(self._interstitial_sizes))
-        )
-        for dim1, dim2 in zip(interstitial_dims, interstitial_sample_dims):
-            samples = jnp.swapaxes(samples, dim1, dim2)
-        return samples.reshape(sample_shape + self.batch_shape + self.event_shape)
+        # draw the fresh axes as an extra sample block (the base sampler
+        # only accepts a sample_shape prefix); fresh axes that replace a
+        # size-1 base axis are swapped into place (negative indices address
+        # the right-aligned base batch), and the leftover size-1 axes
+        # disappear in the final reshape
+        fresh_sizes = tuple(size for _, size in self._fresh_axes)
+        raw = sample_fn(key, sample_shape + fresh_sizes)
+        lead = len(sample_shape)
+        pad = len(self.batch_shape) - len(self.base_dist.batch_shape)
+        for j, (rel, _) in enumerate(self._fresh_axes):
+            if rel + len(self.batch_shape) >= pad:  # grown size-1 base axis
+                raw = jnp.swapaxes(raw, lead + j, rel - self.event_dim)
+        return raw.reshape(sample_shape + self.batch_shape + self.event_shape)
 
     def sample(self, key, sample_shape=()):
         return self._sample(self.base_dist.sample, key, sample_shape)
@@ -616,31 +623,41 @@ class TransformedDistribution(Distribution):
             intermediates.append([x_tmp, t_inter])
         return x, intermediates
 
+    def _inverse_chain(self, value, intermediates):
+        """Pairs (x, y, cached) for each transform, walking codomain->domain."""
+        chain = []
+        y = value
+        for idx in range(len(self.transforms) - 1, -1, -1):
+            t = self.transforms[idx]
+            if intermediates is None:
+                x, cached = t.inv(y), None
+            else:
+                x, cached = intermediates[idx]
+            chain.append((t, x, y, cached))
+            y = x
+        return chain, y
+
     @validate_sample
     def log_prob(self, value, intermediates=None):
-        if intermediates is not None:
-            if len(intermediates) != len(self.transforms):
-                raise ValueError("intermediates length mismatch")
-        event_dim = len(self.event_shape)
-        log_prob = 0.0
-        y = value
-        for i, transform in enumerate(reversed(self.transforms)):
-            inv_idx = len(self.transforms) - 1 - i
-            if intermediates is None:
-                x = transform.inv(y)
-                t_inter = None
-            else:
-                x = intermediates[inv_idx][0]
-                t_inter = intermediates[inv_idx][1]
-            t_log_det = transform.log_abs_det_jacobian(x, y, t_inter)
-            batch_ndim = event_dim - transform.codomain.event_dim
-            log_prob = log_prob - sum_rightmost(t_log_det, batch_ndim)
-            event_dim = transform.domain.event_dim + batch_ndim
-            y = x
-        log_prob = log_prob + sum_rightmost(
-            self.base_dist.log_prob(y), event_dim - len(self.base_dist.event_shape)
+        if intermediates is not None and len(intermediates) != len(
+            self.transforms
+        ):
+            raise ValueError("intermediates length mismatch")
+        chain, base_value = self._inverse_chain(value, intermediates)
+        # walk the jacobians, tracking how many of the current event dims
+        # each transform is batched over
+        event_dim = self.event_dim
+        total = 0.0
+        for t, x, y, cached in chain:
+            extra = event_dim - t.codomain.event_dim
+            total = total - sum_rightmost(
+                t.log_abs_det_jacobian(x, y, cached), extra
+            )
+            event_dim = t.domain.event_dim + extra
+        return total + sum_rightmost(
+            self.base_dist.log_prob(base_value),
+            event_dim - self.base_dist.event_dim,
         )
-        return log_prob
 
     @property
     def mean(self):

@@ -195,6 +195,7 @@ def test_log_prob_matches_scipy(spec):
     np.testing.assert_allclose(lp, expected, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("spec", SPECS, ids=IDS)
 def test_empirical_moments(spec):
     if not spec.moments:
@@ -211,6 +212,7 @@ def test_empirical_moments(spec):
     np.testing.assert_allclose(emp, mean, atol=5 * float(scale.max()) / np.sqrt(n) + 1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "spec", [s for s in SPECS if s.gof], ids=lambda s: repr(s)
 )

@@ -48,7 +48,24 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("case", CASES)
+# a representative cross-section stays in the fast suite; the rest are
+# integration coverage behind --runslow (each example costs ~30s of compile
+# on this 1-core box)
+FAST_CASES = {
+    CASES[0],   # eight_schools: NUTS + chains
+    CASES[2],   # hmm_enum: enumeration + scan
+    CASES[5],   # hmcecs_covtype: subsampled likelihood
+    CASES[18],  # dais_demo: SVI/autoguide path
+}
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        c if c in FAST_CASES else pytest.param(c, marks=pytest.mark.slow)
+        for c in CASES
+    ],
+)
 def test_example(case):
     parts = case.split()
     path = os.path.join(EXAMPLES_DIR, parts[0])

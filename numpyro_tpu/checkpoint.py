@@ -53,23 +53,46 @@ def save_checkpoint(path, state, *, async_save=False):
     return path
 
 
+def _rebuild_like(target, restored):
+    """Rebuild the target's pytree structure from restored leaves, checking
+    leaf count/shape/dtype so structural drift (version change, different
+    kernel fields) fails loudly instead of silently misassigning leaves."""
+    leaves, treedef = jax.tree.flatten(target)
+    restored_leaves = jax.tree.leaves(restored)
+    if len(restored_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(restored_leaves)} leaves but the target "
+            f"state has {len(leaves)}; the saved state's structure does not "
+            "match this kernel/version — re-create the checkpoint"
+        )
+    for i, (want, got) in enumerate(zip(leaves, restored_leaves)):
+        want_shape, got_shape = np.shape(want), np.shape(got)
+        if want_shape != got_shape:
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {got_shape} but the target "
+                f"expects {want_shape}; the saved state does not match"
+            )
+    return jax.tree.unflatten(treedef, restored_leaves)
+
+
 def restore_checkpoint(path, target):
     """Restore a state saved by :func:`save_checkpoint`.
 
     :param target: a prototype pytree with the desired structure/dtypes
         (e.g. the current ``mcmc.last_state``); required to rebuild
-        namedtuple structure.
+        namedtuple structure.  Leaf count and shapes are validated against
+        it before unflattening.
+
+    .. warning:: the pickle fallback executes code while loading — only
+        restore checkpoint files you trust (orbax, used when available,
+        does not have this property).
     """
     path = os.path.abspath(os.fspath(path))
     ocp = _orbax()
     if ocp is not None and os.path.isdir(path):
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(path, item=jax.device_get(target))
-        leaves, treedef = jax.tree.flatten(target)
-        restored_leaves = jax.tree.leaves(restored)
-        return jax.tree.unflatten(treedef, restored_leaves)
+        return _rebuild_like(target, restored)
     with open(path, "rb") as f:
         restored = pickle.load(f)
-    leaves, treedef = jax.tree.flatten(target)
-    restored_leaves = jax.tree.leaves(restored)
-    return jax.tree.unflatten(treedef, restored_leaves)
+    return _rebuild_like(target, restored)

@@ -112,34 +112,69 @@ def _promote_batch_shape_transformed(d: TransformedDistribution):
     return new_self
 
 
+def _mapped_size(d, axes):
+    for name, ax in axes.items():
+        if not isinstance(ax, int):
+            continue
+        value = getattr(d, name, None)
+        for leaf in jax.tree.leaves(value):
+            if jnp.ndim(leaf) > ax:
+                return jnp.shape(leaf)[ax]
+    return None
+
+
+def _child_spec(value, axis, size):
+    """Spec for a derived child (e.g. HalfNormal's internal Normal,
+    TransformedDistribution.base_dist): map every leaf whose mapped-axis
+    size matches the batch being vmapped, since derived parameters inherit
+    the broadcasted batch."""
+    return jax.tree.map(
+        lambda leaf: axis
+        if (jnp.ndim(leaf) > axis and jnp.shape(leaf)[axis] == size)
+        else None,
+        value,
+    )
+
+
 def vmap_over(d, **axes):
     """Build an ``in_axes`` specification pytree for ``jax.vmap`` matching a
-    distribution's pytree structure: named parameters get the given axis,
-    everything else ``None``.
+    *batched* distribution's pytree structure: named parameters get the
+    given axis; derived nested distributions (internal twins, transformed
+    bases) are mapped wherever their leaves carry the same batch axis;
+    everything else is ``None``.
 
     Example::
 
-        in_axes = vmap_over(dist.Normal(locs, scale), loc=0)
-        lps = jax.vmap(lambda d: d.log_prob(x), in_axes=(in_axes,))(batched_d)
+        batched = dist.Normal(locs, 1.0)          # locs: (B,)
+        in_axes = vmap_over(batched, loc=0)
+        lps = jax.vmap(lambda d: d.log_prob(x), in_axes=(in_axes,))(batched)
 
     Generic replacement for the reference's per-distribution dispatch table
     (numpyro/distributions/batch_util.py:1-500): the declarative
-    ``pytree_data_fields`` protocol makes one rule cover every distribution;
-    nested combinator fields accept nested specs (e.g.
-    ``vmap_over(ind, base_dist=vmap_over(ind.base_dist, loc=0))``).
+    ``pytree_data_fields`` protocol plus batch-size matching covers the
+    inventory with one rule; pass a nested spec explicitly (e.g.
+    ``base_dist=vmap_over(d.base_dist, loc=0)``) to override a child.
     """
-    data_fields = type(d).gather_pytree_data_fields()
     data, aux = d.tree_flatten()
+    size = _mapped_size(d, axes)
+    axis_given = next((a for a in axes.values() if a is not None), 0)
 
     replaced = []
     for name, value in zip(aux[0], data):
         if name in axes:
             spec = axes[name]
+            if isinstance(value, Distribution) and isinstance(spec, int):
+                # an int axis for a whole child: expand over its leaves
+                leaves = jax.tree.leaves(value)
+                child_size = jnp.shape(leaves[0])[spec] if leaves else None
+                spec = _child_spec(value, spec, child_size)
+        elif size is not None:
+            # derived fields (internal twins, transformed bases, cached
+            # supports) inherit the broadcasted batch: map every leaf whose
+            # mapped-axis size matches; pass an explicit None/axis for the
+            # field to override
+            spec = _child_spec(value, axis_given, size)
         else:
-            spec = None
-        if isinstance(value, Distribution) and not isinstance(spec, Distribution):
-            # nested distribution: spec may itself be a vmap_over result or None
-            if spec is None:
-                spec = jax.tree.map(lambda _: None, value)
+            spec = jax.tree.map(lambda _: None, value)
         replaced.append(spec)
     return type(d).tree_unflatten(aux, tuple(replaced))

@@ -158,7 +158,11 @@ class Uniform(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        shape = lax.broadcast_shapes(jnp.shape(value), self.batch_shape)
+        # broadcast against the live parameter shapes, not the cached
+        # batch_shape: under vmap_over the per-lane params are sliced while
+        # the aux batch_shape is stale
+        batch = lax.broadcast_shapes(jnp.shape(self.low), jnp.shape(self.high))
+        shape = lax.broadcast_shapes(jnp.shape(value), batch)
         return -jnp.broadcast_to(jnp.log(self.high - self.low), shape)
 
     def cdf(self, value):

@@ -145,7 +145,11 @@ class collapse(Messenger):
     """
 
     def __enter__(self):
-        self._lazy = {}  # id(placeholder) -> {"name", "fn", "used"}
+        # id(placeholder) -> {"placeholder", "name", "fn", "used"}; the
+        # record keeps the placeholder array itself alive so its id cannot
+        # be recycled onto an unrelated array, and lookups verify identity
+        # with `is` before matching
+        self._lazy = {}
         return super().__enter__()
 
     def __exit__(self, exc_type, exc_value, tb):
@@ -163,7 +167,10 @@ class collapse(Messenger):
     _COLLAPSIBLE_PRIORS = ("Beta", "Gamma", "Dirichlet", "Normal")
 
     def _find_placeholder(self, value):
-        return self._lazy.get(id(value))
+        rec = self._lazy.get(id(value))
+        if rec is not None and rec["placeholder"] is value:
+            return rec
+        return None
 
     def process_message(self, msg):
         import numpyro_tpu.distributions as dist
@@ -180,6 +187,7 @@ class collapse(Messenger):
             if type(base).__name__ in self._COLLAPSIBLE_PRIORS:
                 placeholder = jnp.full(fn.shape(), jnp.nan)
                 self._lazy[id(placeholder)] = {
+                    "placeholder": placeholder,
                     "name": msg["name"],
                     "fn": base,
                     "used": False,

@@ -536,12 +536,16 @@ class HMC(MCMCKernel):
         model_args=(),
         model_kwargs=None,
         collect_fields=("z", "diverging"),
+        progress=None,
     ):
         """Warmup + sampling for all chains as ONE compiled program with
         asynchronous transition overlap (see hmc_core.build_fused_run).
 
         Returns ``(fields, last_state)`` where every collected field has
-        shape ``(num_chains, num_collected, ...)``.
+        shape ``(num_chains, num_collected, ...)``.  ``progress`` is an
+        optional callback ``progress(phase, done, total)`` invoked after
+        every chunk (the chunked host loop gives natural reporting points —
+        no io_callback needed).
         """
         model_kwargs = {} if model_kwargs is None else model_kwargs
         assert not is_prng_key(rng_key), "fused_run expects a batch of keys"
@@ -683,6 +687,8 @@ class HMC(MCMCKernel):
             _sync(ws.z)
             warm_times.append(_time.time() - t1)
             done += step
+            if progress is not None:
+                progress("warmup", done, num_warmup)
         warmup_s = _time.time() - t0
 
         t0 = _time.time()
@@ -694,6 +700,8 @@ class HMC(MCMCKernel):
             ss = progs["sample"](ss, target, arg_dyn)
             _sync(ss.trans_idx)
             sample_times.append(_time.time() - t1)
+            if progress is not None:
+                progress("sample", target, num_samples)
         out = progs["finish"](ss, arg_dyn)
         _sync(out["samples_z"])
         self.last_fused_stats = {

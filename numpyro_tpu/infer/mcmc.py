@@ -103,7 +103,11 @@ class MCMC:
 
     :param chain_method: ``"vectorized"`` (default — all chains in one fused
         program), ``"parallel"`` (vectorized + sharded over the device mesh
-        axis ``"chains"``), ``"sequential"``, or a callable JAX transform.
+        axis ``"chains"``), ``"sequential"``, or a callable vmap/pmap-like
+        transform mapped over the chain axis.
+    :param jit_model_args: accepted for reference API parity but always on:
+        model data rides through every compiled program as traced inputs,
+        so re-running on new data of the same shapes never recompiles.
     :param matmul_precision: matmul precision the sampler program is traced
         under.  Defaults to ``"highest"`` because on TPU the MXU truncates
         f32 matmul inputs to bf16 by default, which corrupts log-density
@@ -161,9 +165,6 @@ class MCMC:
         # per-phase timers promised in SURVEY §5
         self.last_run_stats = {}
         self._set_collection_params()
-
-    def _get_cached_fns(self):
-        return None
 
     def _set_collection_params(
         self, lower=None, upper=None, phase=None
@@ -331,17 +332,38 @@ class MCMC:
         if self._can_fuse(collect_fields, init_state):
             if self.chain_method == "parallel":
                 rng_key = self._shard_over_chains(rng_key)
-            with jax.default_matmul_precision(self._matmul_precision):
-                fields, last_state = self.sampler.fused_run(
-                    rng_key,
-                    self.num_warmup,
-                    self.num_samples,
-                    thinning=self.thinning,
-                    init_params=init_params,
-                    model_args=args,
-                    model_kwargs=kwargs,
-                    collect_fields=collect_fields,
-                )
+            progress = None
+            bar = None
+            if self.progress_bar:
+                try:
+                    from tqdm.auto import tqdm
+
+                    bar = tqdm(total=self.num_warmup + self.num_samples)
+
+                    def progress(phase, done, total):
+                        base = 0 if phase == "warmup" else self.num_warmup
+                        bar.n = base + done
+                        bar.set_description(phase, refresh=False)
+                        bar.refresh()
+
+                except ImportError:  # pragma: no cover
+                    pass
+            try:
+                with jax.default_matmul_precision(self._matmul_precision):
+                    fields, last_state = self.sampler.fused_run(
+                        rng_key,
+                        self.num_warmup,
+                        self.num_samples,
+                        thinning=self.thinning,
+                        init_params=init_params,
+                        model_args=args,
+                        model_kwargs=kwargs,
+                        collect_fields=collect_fields,
+                        progress=progress,
+                    )
+            finally:
+                if bar is not None:
+                    bar.close()
             self._last_state = last_state
             self._postprocess_states(fields, None, collect_fields, by_field=True)
             jax.block_until_ready(
@@ -418,9 +440,34 @@ class MCMC:
                 # partitions every (C, ...) tensor in the program.
                 rng_key = self._shard_over_chains(rng_key)
             elif callable(self.chain_method):
-                raise NotImplementedError(
-                    "custom chain_method callables: wrap sampler.sample yourself"
+                # user-supplied vmap/pmap-like transform mapped over the
+                # chain axis (reference: numpyro/infer/mcmc.py:282-287)
+                if init_state is not None:
+                    raise ValueError(
+                        "post_warmup_state is not supported with a callable "
+                        "chain_method"
+                    )
+                states, last_state = self._mapped_chain_mcmc(
+                    self.chain_method,
+                    rng_key,
+                    init_params,
+                    args,
+                    kwargs,
+                    collect_fields,
+                    remove_sites,
                 )
+                self._last_state = last_state
+                postprocess_fn = (
+                    self.sampler.postprocess_fn(args, kwargs)
+                    if self.postprocess_fn is None
+                    else self.postprocess_fn
+                )
+                self._postprocess_states(states, postprocess_fn, collect_fields)
+                jax.block_until_ready(
+                    _get_value_from_state(last_state, self._sample_field)
+                )
+                self.last_run_stats["total_s"] = _time.time() - _t0
+                return
             # vectorized (and parallel) path: batched keys through one program
             states, last_state, postprocess_fn = self._single_chain_mcmc(
                 (rng_key, init_state, init_params),
@@ -442,12 +489,43 @@ class MCMC:
         phase = "warmup" if self._collection_params.get("phase") == "warmup" else "sample"
         self.last_run_stats[f"{phase}_s"] = _time.time() - _t0
 
+    def _mapped_chain_mcmc(
+        self, transform, keys, init_params, args, kwargs, collect_fields,
+        remove_sites,
+    ):
+        """Run one chain per lane of a user vmap/pmap-like transform."""
+        collect_fn = _collect_fn(collect_fields, remove_sites)
+        lower = self._collection_params["lower"]
+        upper = self._collection_params["upper"]
+
+        def one_chain(key, params_i):
+            state = self.sampler.init(
+                key, self.num_warmup, params_i, args, kwargs
+            )
+            return fori_collect(
+                lower,
+                upper,
+                lambda s: self.sampler.sample(s, args, kwargs),
+                state,
+                transform=collect_fn,
+                progbar=False,
+                return_last_val=True,
+                thinning=self.thinning,
+            )
+
+        if init_params is None:
+            collection, last_state = transform(
+                lambda k: one_chain(k, None)
+            )(keys)
+        else:
+            collection, last_state = transform(one_chain)(keys, init_params)
+        return collection, last_state
+
     def _can_fuse(self, collect_fields, init_state):
         return (
             getattr(self.sampler, "supports_fused_run", False)
             and self.num_chains >= 2
             and self.chain_method in ("vectorized", "parallel")
-            and not self.progress_bar
             and init_state is None
             and self._collection_params["lower"] == self.num_warmup
             and self._collection_params["upper"]
@@ -456,19 +534,31 @@ class MCMC:
         )
 
     def _shard_over_chains(self, rng_key):
+        import math as _math
+        import warnings
+
         n_dev = local_device_count()
         if n_dev <= 1:
             return rng_key
-        if self.num_chains % n_dev != 0:
-            import warnings
-
+        n_use = _math.gcd(self.num_chains, n_dev)
+        if n_use == 1:
             warnings.warn(
-                f"num_chains={self.num_chains} is not divisible by device "
-                f"count {n_dev}; falling back to single-device vectorized.",
+                f"num_chains={self.num_chains} shares no factor with device "
+                f"count {n_dev}; running single-device vectorized. Pick "
+                f"num_chains as a multiple of the device count to use every "
+                "device.",
                 stacklevel=2,
             )
             return rng_key
-        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
+        if n_use < n_dev:
+            warnings.warn(
+                f"num_chains={self.num_chains} is not divisible by device "
+                f"count {n_dev}; sharding over {n_use} devices instead. Pick "
+                "num_chains as a multiple of the device count to use every "
+                "device.",
+                stacklevel=2,
+            )
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_use]), ("chains",))
         sharding = NamedSharding(mesh, P("chains"))
         return jax.device_put(rng_key, sharding)
 

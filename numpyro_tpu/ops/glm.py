@@ -210,10 +210,15 @@ def _fused_batched(w, data):
     b_pad = max(8 * ((b + 7) // 8), 8)
     w_pad = jnp.zeros((b_pad, d_pad), dtype=jnp.float32)
     w_pad = w_pad.at[:b, :d].set(w)
-    if jax.devices()[0].platform == "tpu":
-        ll, g = _pallas_fused(w_pad, data)
-    else:
-        ll, g = _xla_fused(w_pad, data)
+    # branch on the LOWERING platform (not the default backend): a
+    # CPU-targeted jit on a TPU host must take the XLA path, and only the
+    # selected branch is lowered per platform
+    ll, g = jax.lax.platform_dependent(
+        w_pad,
+        data,
+        tpu=_pallas_fused,
+        default=_xla_fused,
+    )
     return ll[:b], g[:b, :d]
 
 

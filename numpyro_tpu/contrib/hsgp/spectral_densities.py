@@ -67,17 +67,19 @@ def diag_spectral_density_matern(nu, alpha, length, ell, m, dim):
 
 
 def modified_bessel_first_kind(v, z):
-    """I_v(z) for integer orders 0..max(v) via the stable log-series used by
-    the directional module (no tensorflow_probability dependency).  ``v``
-    must be statically shaped; its max order is a static int."""
+    """I_v(z) for integer orders 0..max(v) via the quadrature-matmul Bessel
+    block from the directional module (no tensorflow_probability
+    dependency).  ``v`` must be statically shaped; its max order is a
+    static int."""
     import numpy as np
 
-    from numpyro_tpu.distributions.directional import log_I1
+    from numpyro_tpu.distributions.directional import log_bessel_i_orders
 
     v = np.asarray(v)
     z = jnp.asarray(z, dtype=float)
     max_order = int(np.max(v))
-    all_orders = jnp.exp(log_I1(max_order, z.reshape(-1)))  # (orders+1, nz)
+    # (nz, orders+1) -> orders leading so we can gather per requested order
+    all_orders = jnp.exp(log_bessel_i_orders(max_order, z.reshape(-1))).T
     out = all_orders[v.reshape(-1), ...]
     return out.reshape(jnp.broadcast_shapes(jnp.shape(v), jnp.shape(z)))
 

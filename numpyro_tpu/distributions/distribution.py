@@ -371,6 +371,13 @@ class ExpandedDistribution(Distribution):
         log_prob = self.base_dist.log_prob(value)
         return jnp.broadcast_to(log_prob, shape)
 
+    def cdf(self, value):
+        # elementwise under broadcasting, so delegate straight to the base
+        return self.base_dist.cdf(value)
+
+    def icdf(self, q):
+        return self.base_dist.icdf(q)
+
     def enumerate_support(self, expand=True):
         samples = self.base_dist.enumerate_support(expand=False)
         enum_shape = samples.shape[:1]

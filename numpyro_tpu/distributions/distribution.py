@@ -1,6 +1,6 @@
 """Distribution base class + structural combinators.
 
-TPU-native re-design of the distribution layer of NumPyro (reference:
+TPU-native re-design of the distribution layer (reference:
 numpyro/distributions/distribution.py).  Key properties kept because they are
 what make a JAX-first PPL work, re-implemented fresh:
 
@@ -9,8 +9,9 @@ what make a JAX-first PPL work, re-implemented fresh:
   jit/vmap/scan/pjit boundaries — parameters are leaves, shapes are aux data.
 - batch_shape/event_shape algebra identical in semantics to
   torch.distributions, so models written against the reference port 1:1.
-- combinators (Independent / Expanded / Masked / Transformed / Folded) are
-  themselves distributions.
+- combinators (Independent / Expanded / Masked / Transformed / Folded) share a
+  single delegating wrapper base (`_Decorated`) rather than re-declaring the
+  forwarding boilerplate per class.
 
 Chain-massive note: distributions are *constructed inside traced model code*,
 so none of this Python machinery exists at runtime — XLA sees only the fused
@@ -19,7 +20,7 @@ log_prob/sample math, batched over the leading chain axis.
 
 from __future__ import annotations
 
-import functools
+import warnings
 from contextlib import contextmanager
 
 import numpy as np
@@ -30,10 +31,14 @@ from jax import lax, tree_util
 from jax.scipy.special import logsumexp
 
 from . import constraints
-from .transforms import ComposeTransform, Transform, biject_to
+from .transforms import ComposeTransform, Transform
 from .util import lazy_property, promote_shapes, sum_rightmost, validate_sample
 
 _VALIDATION_ENABLED = False
+
+
+def not_jax_tracer(x) -> bool:
+    return not isinstance(x, jax.core.Tracer)
 
 
 def enable_validation(is_validate: bool = True) -> None:
@@ -58,10 +63,9 @@ COERCIONS = []  # hook: enumeration machinery may intercept construction
 
 class DistributionMeta(type):
     def __call__(cls, *args, **kwargs):
-        for coerce_ in COERCIONS:
-            result = coerce_(cls, args, kwargs)
-            if result is not None:
-                return result
+        for hook in COERCIONS:
+            if (hit := hook(cls, args, kwargs)) is not None:
+                return hit
         return super().__call__(*args, **kwargs)
 
 
@@ -150,22 +154,23 @@ class Distribution(metaclass=DistributionMeta):
         if validate_args is not None:
             self._validate_args = validate_args
         if self._validate_args:
-            for param, constraint in self.arg_constraints.items():
-                if param not in self.__dict__ and isinstance(
-                    getattr(type(self), param, None), lazy_property
-                ):
-                    continue
-                if isinstance(constraint, constraints._Dependent):
-                    continue
-                value = getattr(self, param)
-                if value is None:
-                    continue
-                is_valid = constraint(value)
-                if not_jax_tracer(is_valid):
-                    if not np.all(np.asarray(is_valid)):
-                        raise ValueError(
-                            f"{type(self).__name__}: invalid {param} parameter"
-                        )
+            self._assert_param_constraints()
+
+    def _assert_param_constraints(self):
+        for name, constraint in self.arg_constraints.items():
+            if isinstance(constraint, constraints._Dependent):
+                continue
+            descriptor = getattr(type(self), name, None)
+            if isinstance(descriptor, lazy_property) and name not in self.__dict__:
+                continue  # don't force a lazy param just to validate it
+            value = getattr(self, name)
+            if value is None:
+                continue
+            ok = constraint(value)
+            if not_jax_tracer(ok) and not np.all(np.asarray(ok)):
+                raise ValueError(
+                    f"{type(self).__name__}: invalid {name} parameter"
+                )
 
     @property
     def batch_shape(self) -> tuple:
@@ -177,22 +182,24 @@ class Distribution(metaclass=DistributionMeta):
 
     @property
     def event_dim(self) -> int:
-        return len(self.event_shape)
+        return len(self._event_shape)
 
     @property
     def has_rsample(self) -> bool:
-        return set(self.reparametrized_params) == set(self.arg_constraints)
+        return set(self.arg_constraints).issubset(self.reparametrized_params)
 
     def rsample(self, key, sample_shape=()):
         if self.has_rsample:
             return self.sample(key, sample_shape)
-        raise NotImplementedError
+        raise NotImplementedError(
+            f"{type(self).__name__} is not fully reparametrized"
+        )
 
     def shape(self, sample_shape=()) -> tuple:
-        return tuple(sample_shape) + self.batch_shape + self.event_shape
+        return (*sample_shape, *self._batch_shape, *self._event_shape)
 
     def sample(self, key, sample_shape=()):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.sample")
 
     def sample_with_intermediates(self, key, sample_shape=()):
         """Sample returning latent intermediates (used by TransformedDistribution
@@ -202,74 +209,69 @@ class Distribution(metaclass=DistributionMeta):
     def __call__(self, *args, **kwargs):
         """Sampler entry point used by the effect-handler stack."""
         key = kwargs.pop("rng_key")
-        sample_intermediates = kwargs.pop("sample_intermediates", False)
-        if sample_intermediates:
+        if kwargs.pop("sample_intermediates", False):
             return self.sample_with_intermediates(key, *args, **kwargs)
         return self.sample(key, *args, **kwargs)
 
     def log_prob(self, value):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.log_prob")
 
     @property
     def mean(self):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.mean")
 
     @property
     def variance(self):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.variance")
 
     def cdf(self, value):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.cdf")
 
     def icdf(self, q):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.icdf")
 
     def entropy(self):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.entropy")
 
     def enumerate_support(self, expand=True):
-        raise NotImplementedError
+        raise NotImplementedError(f"{type(self).__name__}.enumerate_support")
 
     def _validate_sample(self, value):
-        mask = self.support(value)
-        if not_jax_tracer(mask):
-            if not np.all(np.asarray(mask)):
-                import warnings
-
-                warnings.warn(
-                    f"Out-of-support values provided to log_prob of "
-                    f"{type(self).__name__}",
-                    stacklevel=2,
-                )
-        return mask
+        ok = self.support(value)
+        if not_jax_tracer(ok) and not np.all(np.asarray(ok)):
+            warnings.warn(
+                f"Out-of-support values provided to log_prob of "
+                f"{type(self).__name__}",
+                stacklevel=2,
+            )
+        return ok
 
     # -- combinators --------------------------------------------------------
 
     def expand(self, batch_shape):
-        batch_shape = tuple(batch_shape)
-        if batch_shape == self.batch_shape:
+        requested = tuple(batch_shape)
+        if requested == self._batch_shape:
             return self
-        return ExpandedDistribution(self, batch_shape)
+        return ExpandedDistribution(self, requested)
 
     def expand_by(self, sample_shape):
-        return self.expand(tuple(sample_shape) + self.batch_shape)
+        return self.expand((*sample_shape, *self._batch_shape))
 
     def to_event(self, reinterpreted_batch_ndims=None):
         if reinterpreted_batch_ndims is None:
-            reinterpreted_batch_ndims = len(self.batch_shape)
+            reinterpreted_batch_ndims = len(self._batch_shape)
         if reinterpreted_batch_ndims == 0:
             return self
         return Independent(self, reinterpreted_batch_ndims)
 
     def mask(self, mask):
-        if mask is True:
-            return self
-        return MaskedDistribution(self, mask)
+        return self if mask is True else MaskedDistribution(self, mask)
 
     @property
     def is_discrete(self):
         return self.support.is_discrete
 
+    @classmethod
     def infer_shapes(cls, *args, **kwargs):  # pragma: no cover
         raise NotImplementedError
 
@@ -280,36 +282,72 @@ class Distribution(metaclass=DistributionMeta):
         )
 
 
-def not_jax_tracer(x) -> bool:
-    return not isinstance(x, jax.core.Tracer)
+class _Decorated(Distribution):
+    """Shared delegation base for combinators wrapping one `base_dist`.
 
-
-class ExpandedDistribution(Distribution):
-    """Broadcast a distribution to a larger batch shape (free at trace time)."""
+    Subclasses override only the behavior their decoration actually changes;
+    everything else forwards to the wrapped distribution.
+    """
 
     arg_constraints = {}
     pytree_data_fields = ("base_dist",)
+
+    @property
+    def has_enumerate_support(self):
+        return self.base_dist.has_enumerate_support
+
+    @property
+    def has_rsample(self):
+        return self.base_dist.has_rsample
+
+    @property
+    def support(self):
+        return self.base_dist.support
+
+    @property
+    def mean(self):
+        return self.base_dist.mean
+
+    @property
+    def variance(self):
+        return self.base_dist.variance
+
+    def sample(self, key, sample_shape=()):
+        return self.base_dist.sample(key, sample_shape)
+
+    def rsample(self, key, sample_shape=()):
+        return self.base_dist.rsample(key, sample_shape)
+
+    def enumerate_support(self, expand=True):
+        return self.base_dist.enumerate_support(expand=expand)
+
+
+class ExpandedDistribution(_Decorated):
+    """Broadcast a distribution to a larger batch shape (free at trace time)."""
+
     pytree_aux_fields = ("_fresh_axes",)
 
     def __init__(self, base_dist, batch_shape=()):
-        if isinstance(base_dist, ExpandedDistribution):
-            batch_shape = self._target_shape(base_dist.batch_shape, batch_shape)
+        # collapse nested expands so the wrapper stays one level deep
+        requested = tuple(batch_shape)
+        while isinstance(base_dist, ExpandedDistribution):
+            requested = self._target_shape(base_dist.batch_shape, requested)
             base_dist = base_dist.base_dist
         self.base_dist = base_dist
-        new_shape = self._target_shape(base_dist.batch_shape, batch_shape)
+        target = self._target_shape(base_dist.batch_shape, requested)
         # axes (negative, batch-relative) that need FRESH randomness when
         # sampling: new leading axes plus size-1 base axes grown to size > 1
-        pad = len(new_shape) - len(base_dist.batch_shape)
+        pad = len(target) - len(base_dist.batch_shape)
         fresh = []
-        for pos, size in enumerate(new_shape):
-            rel = pos - len(new_shape)  # negative batch-axis index
+        for pos, size in enumerate(target):
+            rel = pos - len(target)  # negative batch-axis index
             base_size = (
                 base_dist.batch_shape[pos - pad] if pos >= pad else None
             )
             if base_size is None or (base_size == 1 and size != 1):
                 fresh.append((rel, size))
         self._fresh_axes = tuple(fresh)
-        super().__init__(new_shape, base_dist.event_shape)
+        super().__init__(target, base_dist.event_shape)
 
     @staticmethod
     def _target_shape(existing, requested):
@@ -330,21 +368,6 @@ class ExpandedDistribution(Distribution):
             out[pad + pos] = max(base_size, req)
         return tuple(out)
 
-    @property
-    def has_enumerate_support(self):
-        return self.base_dist.has_enumerate_support
-
-    @property
-    def has_rsample(self):
-        return self.base_dist.has_rsample
-
-    def rsample(self, key, sample_shape=()):
-        return self._sample(self.base_dist.rsample, key, sample_shape)
-
-    @property
-    def support(self):
-        return self.base_dist.support
-
     def _sample(self, sample_fn, key, sample_shape=()):
         # draw the fresh axes as an extra sample block (the base sampler
         # only accepts a sample_shape prefix); fresh axes that replace a
@@ -363,13 +386,13 @@ class ExpandedDistribution(Distribution):
     def sample(self, key, sample_shape=()):
         return self._sample(self.base_dist.sample, key, sample_shape)
 
+    def rsample(self, key, sample_shape=()):
+        return self._sample(self.base_dist.rsample, key, sample_shape)
+
     def log_prob(self, value):
-        shape = lax.broadcast_shapes(
-            self.batch_shape,
-            jnp.shape(value)[: max(jnp.ndim(value) - self.event_dim, 0)],
-        )
-        log_prob = self.base_dist.log_prob(value)
-        return jnp.broadcast_to(log_prob, shape)
+        lead = max(jnp.ndim(value) - self.event_dim, 0)
+        out = lax.broadcast_shapes(self.batch_shape, jnp.shape(value)[:lead])
+        return jnp.broadcast_to(self.base_dist.log_prob(value), out)
 
     def cdf(self, value):
         # elementwise under broadcasting, so delegate straight to the base
@@ -388,25 +411,19 @@ class ExpandedDistribution(Distribution):
 
     @property
     def mean(self):
-        return jnp.broadcast_to(
-            self.base_dist.mean, self.batch_shape + self.event_shape
-        )
+        return jnp.broadcast_to(self.base_dist.mean, self.shape())
 
     @property
     def variance(self):
-        return jnp.broadcast_to(
-            self.base_dist.variance, self.batch_shape + self.event_shape
-        )
+        return jnp.broadcast_to(self.base_dist.variance, self.shape())
 
     def entropy(self):
         return jnp.broadcast_to(self.base_dist.entropy(), self.batch_shape)
 
 
-class Independent(Distribution):
+class Independent(_Decorated):
     """Reinterpret rightmost batch dims of a distribution as event dims."""
 
-    arg_constraints = {}
-    pytree_data_fields = ("base_dist",)
     pytree_aux_fields = ("reinterpreted_batch_ndims",)
 
     def __init__(self, base_dist, reinterpreted_batch_ndims, *, validate_args=None):
@@ -415,13 +432,11 @@ class Independent(Distribution):
                 "reinterpreted_batch_ndims exceeds batch shape ndims "
                 f"({reinterpreted_batch_ndims} > {len(base_dist.batch_shape)})"
             )
-        shape = base_dist.batch_shape + base_dist.event_shape
-        event_dim = reinterpreted_batch_ndims + len(base_dist.event_shape)
-        batch_shape = shape[: len(shape) - event_dim]
-        event_shape = shape[len(shape) - event_dim :]
+        joint = base_dist.batch_shape + base_dist.event_shape
+        split = len(joint) - reinterpreted_batch_ndims - base_dist.event_dim
         self.base_dist = base_dist
         self.reinterpreted_batch_ndims = reinterpreted_batch_ndims
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        super().__init__(joint[:split], joint[split:], validate_args=validate_args)
 
     @property
     def support(self):
@@ -430,127 +445,82 @@ class Independent(Distribution):
         )
 
     @property
-    def has_enumerate_support(self):
-        return self.base_dist.has_enumerate_support
-
-    @property
     def reparametrized_params(self):
         return self.base_dist.reparametrized_params
 
-    @property
-    def mean(self):
-        return self.base_dist.mean
-
-    @property
-    def variance(self):
-        return self.base_dist.variance
-
-    @property
-    def has_rsample(self):
-        return self.base_dist.has_rsample
-
-    def rsample(self, key, sample_shape=()):
-        return self.base_dist.rsample(key, sample_shape)
-
-    def sample(self, key, sample_shape=()):
-        return self.base_dist.sample(key, sample_shape)
-
     def log_prob(self, value):
-        log_prob = self.base_dist.log_prob(value)
-        return sum_rightmost(log_prob, self.reinterpreted_batch_ndims)
+        per_site = self.base_dist.log_prob(value)
+        return sum_rightmost(per_site, self.reinterpreted_batch_ndims)
 
     def entropy(self):
-        ent = self.base_dist.entropy()
-        return sum_rightmost(ent, self.reinterpreted_batch_ndims)
+        per_site = self.base_dist.entropy()
+        return sum_rightmost(per_site, self.reinterpreted_batch_ndims)
 
     def expand(self, batch_shape):
-        batch_shape = tuple(batch_shape)
-        base_batch = batch_shape + self.event_shape[: self.reinterpreted_batch_ndims]
-        return self.base_dist.expand(base_batch).to_event(
+        inner = tuple(batch_shape) + self.event_shape[: self.reinterpreted_batch_ndims]
+        return self.base_dist.expand(inner).to_event(
             self.reinterpreted_batch_ndims
         )
 
 
-class MaskedDistribution(Distribution):
+class MaskedDistribution(_Decorated):
     """Zero out log_prob where mask is False (used by plates/handlers)."""
 
-    arg_constraints = {}
-    pytree_data_fields = ("base_dist", "_mask")
+    pytree_data_fields = ("_mask",)
     pytree_aux_fields = ("_mask_is_bool",)
 
     def __init__(self, base_dist, mask):
-        if isinstance(mask, bool):
+        self._mask_is_bool = isinstance(mask, bool)
+        if self._mask_is_bool:
             self._mask = mask
-            self._mask_is_bool = True
         else:
-            batch_shape = lax.broadcast_shapes(
+            shape = lax.broadcast_shapes(
                 jnp.shape(mask), tuple(base_dist.batch_shape)
             )
-            if mask.shape != batch_shape:
-                mask = jnp.broadcast_to(mask, batch_shape)
-            if base_dist.batch_shape != batch_shape:
-                base_dist = base_dist.expand(batch_shape)
-            self._mask = mask.astype("bool")
-            self._mask_is_bool = False
+            self._mask = jnp.broadcast_to(mask.astype(bool), shape)
+            if base_dist.batch_shape != shape:
+                base_dist = base_dist.expand(shape)
         self.base_dist = base_dist
         super().__init__(base_dist.batch_shape, base_dist.event_shape)
 
-    @property
-    def has_enumerate_support(self):
-        return self.base_dist.has_enumerate_support
-
-    @property
-    def has_rsample(self):
-        return self.base_dist.has_rsample
-
-    def rsample(self, key, sample_shape=()):
-        return self.base_dist.rsample(key, sample_shape)
-
-    @property
-    def support(self):
-        return self.base_dist.support
-
-    def sample(self, key, sample_shape=()):
-        return self.base_dist.sample(key, sample_shape)
+    def _substitute_feasible(self, value):
+        """Swap masked-out entries for in-support fillers so the (unused)
+        masked log_prob cannot propagate nan through its gradient."""
+        try:
+            filler = self.base_dist.support.feasible_like(value)
+        except (ValueError, NotImplementedError):
+            return value
+        keep = self._mask
+        if self.event_dim:
+            keep = jnp.reshape(keep, jnp.shape(keep) + (1,) * self.event_dim)
+        return jnp.where(keep, value, filler)
 
     def log_prob(self, value):
         if self._mask_is_bool:
             if self._mask:
                 return self.base_dist.log_prob(value)
+            lead = max(jnp.ndim(value) - self.event_dim, 0)
             return jnp.zeros(
-                lax.broadcast_shapes(
-                    self.batch_shape,
-                    jnp.shape(value)[: max(jnp.ndim(value) - self.event_dim, 0)],
-                )
+                lax.broadcast_shapes(self.batch_shape, jnp.shape(value)[:lead])
             )
-        # replace invalid values with feasible ones so masked-out sites
-        # cannot produce nan gradients
-        try:
-            feasible = self.base_dist.support.feasible_like(value)
-        except (ValueError, NotImplementedError):
-            feasible = None
-        if feasible is not None:
-            value = jnp.where(
-                jnp.reshape(
-                    self._mask, jnp.shape(self._mask) + (1,) * self.event_dim
-                )
-                if self.event_dim
-                else self._mask,
-                value,
-                feasible,
-            )
+        value = self._substitute_feasible(value)
         return jnp.where(self._mask, self.base_dist.log_prob(value), 0.0)
 
-    def enumerate_support(self, expand=True):
-        return self.base_dist.enumerate_support(expand=expand)
 
-    @property
-    def mean(self):
-        return self.base_dist.mean
-
-    @property
-    def variance(self):
-        return self.base_dist.variance
+def _pushforward(base_dist, transforms):
+    """Resolve the (expanded / event-reinterpreted) base distribution and the
+    output batch/event split for `base_dist` pushed through `transforms`."""
+    chain = ComposeTransform(transforms)
+    out_shape = chain.forward_shape(base_dist.shape())
+    needed = chain.inverse_shape(out_shape)
+    if needed != base_dist.shape():
+        cut = len(needed) - base_dist.event_dim
+        base_dist = base_dist.expand(needed[:cut])
+    extra_event = chain.domain.event_dim - base_dist.event_dim
+    if extra_event > 0:
+        base_dist = base_dist.to_event(extra_event)
+    split = len(out_shape) - chain.codomain.event_dim
+    return base_dist, out_shape[:split], out_shape[split:]
 
 
 class TransformedDistribution(Distribution):
@@ -562,64 +532,39 @@ class TransformedDistribution(Distribution):
     def __init__(self, base_distribution, transforms, *, validate_args=None):
         if isinstance(transforms, Transform):
             transforms = [transforms]
-        elif isinstance(transforms, list):
-            if not all(isinstance(t, Transform) for t in transforms):
-                raise ValueError("transforms must be a Transform or list thereof")
-        else:
+        if not isinstance(transforms, list) or not all(
+            isinstance(t, Transform) for t in transforms
+        ):
             raise ValueError("transforms must be a Transform or list thereof")
         if isinstance(base_distribution, TransformedDistribution):
-            base_dist = base_distribution.base_dist
-            self.transforms = base_distribution.transforms + transforms
-        else:
-            base_dist = base_distribution
-            self.transforms = transforms
-        # shape computation
-        base_shape = base_dist.shape()
-        base_event_dim = base_dist.event_dim
-        transform = ComposeTransform(self.transforms)
-        domain_event_dim = transform.domain.event_dim
-        shape = transform.forward_shape(base_shape)
-        expanded_base_shape = transform.inverse_shape(shape)
-        if base_shape != expanded_base_shape:
-            base_batch_shape = expanded_base_shape[
-                : len(expanded_base_shape) - base_event_dim
-            ]
-            base_dist = base_dist.expand(base_batch_shape)
-        reinterpreted_batch_ndims = domain_event_dim - base_event_dim
-        if reinterpreted_batch_ndims > 0:
-            base_dist = base_dist.to_event(reinterpreted_batch_ndims)
-        self.base_dist = base_dist
-        codomain_event_dim = transform.codomain.event_dim
-        event_shape = shape[len(shape) - codomain_event_dim :]
-        batch_shape = shape[: len(shape) - codomain_event_dim]
+            transforms = base_distribution.transforms + transforms
+            base_distribution = base_distribution.base_dist
+        self.transforms = transforms
+        self.base_dist, batch_shape, event_shape = _pushforward(
+            base_distribution, transforms
+        )
         super().__init__(batch_shape, event_shape, validate_args=validate_args)
 
     @property
     def has_rsample(self):
         return self.base_dist.has_rsample
 
-    def rsample(self, key, sample_shape=()):
-        x = self.base_dist.rsample(key, sample_shape)
-        for transform in self.transforms:
-            x = transform(x)
-        return x
-
     @property
     def support(self):
-        codomain = self.transforms[-1].codomain
-        codomain_event_dim = codomain.event_dim
-        assert self.event_dim >= codomain_event_dim
-        if self.event_dim == codomain_event_dim:
-            return codomain
-        return constraints.independent(
-            codomain, self.event_dim - codomain_event_dim
-        )
+        last = self.transforms[-1].codomain
+        extra = self.event_dim - last.event_dim
+        return constraints.independent(last, extra) if extra else last
+
+    def _push(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
 
     def sample(self, key, sample_shape=()):
-        x = self.base_dist.sample(key, sample_shape)
-        for transform in self.transforms:
-            x = transform(x)
-        return x
+        return self._push(self.base_dist.sample(key, sample_shape))
+
+    def rsample(self, key, sample_shape=()):
+        return self._push(self.base_dist.rsample(key, sample_shape))
 
     def sample_with_intermediates(self, key, sample_shape=()):
         x = self.base_dist.sample(key, sample_shape)
@@ -668,11 +613,15 @@ class TransformedDistribution(Distribution):
 
     @property
     def mean(self):
-        raise NotImplementedError
+        raise NotImplementedError(
+            "mean of a generic pushforward is unavailable"
+        )
 
     @property
     def variance(self):
-        raise NotImplementedError
+        raise NotImplementedError(
+            "variance of a generic pushforward is unavailable"
+        )
 
 
 class FoldedDistribution(TransformedDistribution):
@@ -689,9 +638,12 @@ class FoldedDistribution(TransformedDistribution):
 
     @validate_sample
     def log_prob(self, value):
-        dim = max(len(self.batch_shape), jnp.ndim(value))
-        plus_minus = jnp.array([1.0, -1.0]).reshape((2,) + (1,) * dim)
-        return logsumexp(self.base_dist.log_prob(plus_minus * value), axis=0)
+        # p(|X| = v) = p(X = v) + p(X = -v): stack the two signs on a fresh
+        # leading axis and logsumexp it away
+        signs = jnp.array([1.0, -1.0]).reshape(
+            (2,) + (1,) * max(len(self.batch_shape), jnp.ndim(value))
+        )
+        return logsumexp(self.base_dist.log_prob(signs * value), axis=0)
 
 
 class Delta(Distribution):
@@ -703,32 +655,28 @@ class Delta(Distribution):
     pytree_data_fields = ("v", "log_density")
 
     def __init__(self, v=0.0, log_density=0.0, event_dim=0, *, validate_args=None):
-        if event_dim > jnp.ndim(v):
+        vshape = jnp.shape(v)
+        if event_dim > len(vshape):
             raise ValueError(
-                "Expected event_dim <= v.dim(), actual {} vs {}".format(
-                    event_dim, jnp.ndim(v)
-                )
+                f"Expected event_dim <= v.dim(), actual {event_dim} vs "
+                f"{len(vshape)}"
             )
-        batch_dim = jnp.ndim(v) - event_dim
-        batch_shape = jnp.shape(v)[:batch_dim]
-        event_shape = jnp.shape(v)[batch_dim:]
+        split = len(vshape) - event_dim
         self.v = v
-        self.log_density = promote_shapes(log_density, shape=batch_shape)[0]
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        (self.log_density,) = promote_shapes(log_density, shape=vshape[:split])
+        super().__init__(vshape[:split], vshape[split:], validate_args=validate_args)
 
     @property
     def support(self):
         return constraints.independent(constraints.real, self.event_dim)
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape + self.event_shape
-        return jnp.broadcast_to(self.v, shape)
+        return jnp.broadcast_to(self.v, self.shape(sample_shape))
 
     @validate_sample
     def log_prob(self, value):
-        log_prob = jnp.log(value == self.v)
-        log_prob = sum_rightmost(log_prob, len(self.event_shape))
-        return log_prob + self.log_density
+        hit = jnp.where(value == self.v, 0.0, -jnp.inf)
+        return sum_rightmost(hit, self.event_dim) + self.log_density
 
     @property
     def mean(self):
@@ -736,7 +684,7 @@ class Delta(Distribution):
 
     @property
     def variance(self):
-        return jnp.zeros(self.batch_shape + self.event_shape)
+        return jnp.zeros(self.shape())
 
 
 class Unit(Distribution):
@@ -748,17 +696,18 @@ class Unit(Distribution):
     pytree_data_fields = ("log_factor",)
 
     def __init__(self, log_factor, *, validate_args=None):
-        batch_shape = jnp.shape(log_factor)
-        event_shape = (0,)  # size-zero event so values are empty arrays
         self.log_factor = log_factor
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        # size-zero event so sampled values are empty arrays
+        super().__init__(
+            jnp.shape(log_factor), (0,), validate_args=validate_args
+        )
 
     def sample(self, key, sample_shape=()):
-        return jnp.empty(sample_shape + self.batch_shape + self.event_shape)
+        return jnp.empty(self.shape(sample_shape))
 
     def log_prob(self, value):
-        shape = lax.broadcast_shapes(self.batch_shape, jnp.shape(value)[:-1])
-        return jnp.broadcast_to(self.log_factor, shape)
+        out = lax.broadcast_shapes(self.batch_shape, jnp.shape(value)[:-1])
+        return jnp.broadcast_to(self.log_factor, out)
 
 
 class ImproperUniform(Distribution):
@@ -776,16 +725,17 @@ class ImproperUniform(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        batch_shape = jnp.shape(value)[: jnp.ndim(value) - len(self.event_shape)]
-        batch_shape = lax.broadcast_shapes(batch_shape, self.batch_shape)
-        return jnp.zeros(batch_shape)
+        lead = jnp.ndim(value) - self.event_dim
+        return jnp.zeros(
+            lax.broadcast_shapes(jnp.shape(value)[:lead], self.batch_shape)
+        )
 
     def _validate_sample(self, value):
-        mask = super(ImproperUniform, self)._validate_sample(value)
-        batch_dim = jnp.ndim(value) - len(self.event_shape)
-        if batch_dim < jnp.ndim(mask):
-            mask = mask.all(tuple(range(batch_dim - jnp.ndim(mask), 0)))
-        return mask
+        ok = super()._validate_sample(value)
+        lead = jnp.ndim(value) - self.event_dim
+        if lead < jnp.ndim(ok):
+            ok = ok.all(tuple(range(lead - jnp.ndim(ok), 0)))
+        return ok
 
     def sample(self, key, sample_shape=()):
         raise NotImplementedError(

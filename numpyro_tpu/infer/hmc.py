@@ -157,6 +157,7 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
         refine_step_size=True,
+        pooled_adaptation=False,
         model_args=(),
         model_kwargs=None,
         rng_key=None,
@@ -226,6 +227,7 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
             target_accept_prob=target_accept_prob,
             regularize_mass_matrix=regularize_mass_matrix,
             find_step_size=adapt_step_size and refine_step_size,
+            pool_chains=pooled_adaptation,
         )
         ctx["wa_update"] = wa_update
         adapt = wa_init(
@@ -388,6 +390,7 @@ class HMC(MCMCKernel):
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
         refine_step_size=True,
+        pooled_adaptation=False,
     ):
         if not (model is None) ^ (potential_fn is None):
             raise ValueError("Only one of `model` or `potential_fn` must be specified.")
@@ -417,6 +420,7 @@ class HMC(MCMCKernel):
         self._forward_mode_differentiation = forward_mode_differentiation
         self._regularize_mass_matrix = regularize_mass_matrix
         self._refine_step_size = refine_step_size
+        self._pooled_adaptation = pooled_adaptation
         self._init_fn = None
         self._sample_fn = None
         self._potential_fn_gen = None
@@ -501,6 +505,7 @@ class HMC(MCMCKernel):
             forward_mode_differentiation=self._forward_mode_differentiation,
             regularize_mass_matrix=self._regularize_mass_matrix,
             refine_step_size=self._refine_step_size,
+            pooled_adaptation=self._pooled_adaptation,
             model_args=model_args,
             model_kwargs=model_kwargs,
             rng_key=rng_key,
@@ -604,6 +609,7 @@ class HMC(MCMCKernel):
                 target_accept_prob=self._target_accept_prob,
                 regularize_mass_matrix=self._regularize_mass_matrix,
                 find_step_size=self._adapt_step_size and self._refine_step_size,
+                pool_chains=self._pooled_adaptation,
             )
             return pe_grad, run
 
@@ -780,6 +786,7 @@ class NUTS(HMC):
         forward_mode_differentiation=False,
         regularize_mass_matrix=True,
         refine_step_size=True,
+        pooled_adaptation=False,
     ):
         super().__init__(
             model=model,
@@ -797,5 +804,6 @@ class NUTS(HMC):
             forward_mode_differentiation=forward_mode_differentiation,
             regularize_mass_matrix=regularize_mass_matrix,
             refine_step_size=refine_step_size,
+            pooled_adaptation=pooled_adaptation,
         )
         self._max_tree_depth = max_tree_depth

@@ -919,6 +919,41 @@ def _welford_finalize(blocks, wf, regularize=True):
     )
 
 
+def _welford_pool(blocks, wf):
+    """Combine per-chain Welford states into one pooled estimate, broadcast
+    back over the chain axis (parallel-Welford merge: pooled m2 adds the
+    between-chain mean-spread term).  Under a GSPMD-sharded chain axis the
+    chain-mean reductions lower to psums over ICI — this is the multi-host
+    pooled-adaptation collective."""
+    means, m2s, count = wf
+    c = count.shape[0]
+    total = jnp.full_like(count, jnp.sum(count))
+    pooled_means, pooled_m2s = [], []
+    for dense, mean, m2 in zip(
+        blocks.dense, _as_parts(blocks, means), _as_parts(blocks, m2s)
+    ):
+        grand = jnp.mean(mean, axis=0, keepdims=True)  # equal per-chain counts
+        spread = mean - grand
+        n = count.reshape((c,) + (1,) * (m2.ndim - 1))
+        if dense:
+            between = jnp.einsum("ci,cj->cij", spread, spread)
+        else:
+            between = spread**2
+        m2_pooled = jnp.sum(m2 + n * between, axis=0, keepdims=True)
+        pooled_means.append(jnp.broadcast_to(grand, mean.shape))
+        pooled_m2s.append(jnp.broadcast_to(m2_pooled, m2.shape))
+    return (
+        _expose(blocks, pooled_means),
+        _expose(blocks, pooled_m2s),
+        total,
+    )
+
+
+def _pool_step_size(ss):
+    """Harmonic-mean pooled step size, broadcast over chains."""
+    return jnp.broadcast_to(1.0 / jnp.mean(1.0 / ss), ss.shape)
+
+
 def build_warmup(
     pe_grad,
     blocks,
@@ -932,12 +967,19 @@ def build_warmup(
     da_kappa=0.75,
     da_gamma=0.05,
     find_step_size=True,
+    pool_chains=False,
 ):
     """Returns (init_fn, update_fn) for chain-batched warmup adaptation.
 
     Parity target: numpyro/infer/hmc_util.py:518-707 (warmup_adapter), with
     per-chain dual averaging / Welford states and boolean window masks
     instead of a window-index register.
+
+    ``pool_chains=True`` opts into cross-chain pooled adaptation: one shared
+    step size driven by the mean accept statistic and one mass matrix from
+    the pooled Welford moments of every chain.  All pooling reductions are
+    plain chain-axis means/sums, so on a sharded chain mesh they compile to
+    ICI collectives and the scheme extends to multi-host unchanged.
     """
     in_middle, at_end = _window_masks(num_warmup)
 
@@ -957,11 +999,25 @@ def build_warmup(
                 pe_grad, blocks, keys, z, pe, grad, inv, sqrt, ss,
                 target=target_accept_prob,
             )
+            if pool_chains:
+                ss = _pool_step_size(ss)
         da = da_reset(ss)
         wf = _welford_init(blocks, c, dtype)
         return AdaptPanel(ss, inv, sqrt, sqrt_inv, *da, *wf, keys)
 
     def _da_update(adapt, accept_prob, is_last):
+        if pool_chains:
+            # every chain's dual-averaging state receives the same fleet
+            # statistic, so shared-init states stay bitwise identical.
+            # GEOMETRIC mean, not arithmetic: with an arithmetic mean, 7
+            # chains at 0.91 + 1 stuck chain at 0.0 average to exactly the
+            # 0.8 target — a stable equilibrium that never rescues the stuck
+            # chain.  The log-mean lets any near-zero accept veto equilibrium
+            # until that chain moves.
+            pooled = jnp.exp(
+                jnp.mean(jnp.log(jnp.maximum(accept_prob, 1e-6)))
+            )
+            accept_prob = jnp.broadcast_to(pooled, accept_prob.shape)
         g = target_accept_prob - accept_prob
         count = adapt.da_count + 1
         grad_avg = (1 - 1 / (count + da_t0)) * adapt.da_grad_avg + g / (
@@ -990,6 +1046,8 @@ def build_warmup(
         )
         if adapt_mass_matrix:
             wf = (adapt.wf_mean, adapt.wf_m2, adapt.wf_count)
+            if pool_chains:
+                wf = _welford_pool(blocks, wf)
             inv, sqrt, sqrt_inv = _welford_finalize(
                 blocks, wf, regularize=regularize_mass_matrix
             )
@@ -1000,6 +1058,8 @@ def build_warmup(
                     pe_grad_now, blocks, keys, z, pe, grad, inv, sqrt, ss,
                     target=target_accept_prob,
                 )
+                if pool_chains:
+                    ss = _pool_step_size(ss)
             da = da_reset(ss)
         else:
             da = (
@@ -1071,6 +1131,7 @@ def build_fused_run(
     target_accept_prob=0.8,
     regularize_mass_matrix=True,
     find_step_size=True,
+    pool_chains=False,
     progress_callback=None,
     progress_every=0,
 ):
@@ -1096,6 +1157,7 @@ def build_fused_run(
         target_accept_prob=target_accept_prob,
         regularize_mass_matrix=regularize_mass_matrix,
         find_step_size=find_step_size,
+        pool_chains=pool_chains,
     )
 
     def transition(keys, z, pe, grad, adapt, depth_cap):

@@ -97,7 +97,10 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     """
     import os
 
-    if jax.process_count() > 1:
+    # NB: probe via jax.distributed, NOT jax.process_count() — the latter
+    # initializes the XLA backend, which silently turns the subsequent
+    # distributed.initialize into a no-op single-process setup
+    if jax.distributed.is_initialized():
         return  # already initialized
     env_has_coordinator = (
         coordinator_address is not None or "COORDINATOR_ADDRESS" in os.environ

@@ -439,6 +439,9 @@ class HMCECS(HMCGibbs):
         self.inner_kernel._model = partial(
             _wrap_gibbs_state, self.inner_kernel._model
         )
+        # pristine wrapped model: init() layers the subsample estimator on
+        # top of THIS each time, so re-initialization stays idempotent
+        self._base_inner_model = self.inner_kernel._model
         self._num_blocks = num_blocks
         self._proxy = proxy
 
@@ -488,7 +491,7 @@ class HMCECS(HMCGibbs):
                 num_blocks=self._num_blocks,
             )
             self.inner_kernel._model = subsample_estimator(
-                self.inner_kernel._model,
+                self._base_inner_model,
                 self._subsample_plate_sizes,
                 proxy_fn,
             )

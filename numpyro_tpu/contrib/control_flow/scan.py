@@ -37,25 +37,6 @@ from numpyro_tpu.ops.pytree import PytreeTrace
 from numpyro_tpu.primitives import _PYRO_STACK, apply_stack
 
 
-def _replay_wrapper(replay_trace, trace, i, length):
-    """Slice the i-th step's values out of an outer (stacked) trace."""
-
-    def get_ith_value(site):
-        value_shape = jnp.shape(site["value"])
-        site_len = value_shape[0] if value_shape else 0
-        if (
-            site["name"] not in trace
-            or site_len != length
-            or site["type"] not in ("sample", "deterministic")
-        ):
-            return site
-        site = site.copy()
-        site["value"] = site["value"][i]
-        return site
-
-    return {k: get_ith_value(v) for k, v in replay_trace.items()}
-
-
 def _subs_wrapper(subs_map, i, length, site):
     """Adapt an outer substitute/condition map to per-step values."""
     if site["type"] != "sample":
@@ -422,9 +403,21 @@ def scan_wrapper(
                         seeded_fn, substitute_fn=subs_fn
                     )
                 elif subs_type == "replay":
-                    trace = handlers.trace(seeded_fn).get_trace(carry, x)
-                    replay_trace_i = _replay_wrapper(subs_map, trace, i, length)
-                    seeded_fn = handlers.replay(seeded_fn, trace=replay_trace_i)
+                    # Pull this step's values straight out of the stacked
+                    # outer trace instead of pre-tracing the body (which
+                    # would need rng keys the replaying caller may not
+                    # have — e.g. SteinLoss's log_q_j replay).
+                    replay_values = {
+                        name: site["value"]
+                        for name, site in subs_map.items()
+                        if site["type"] == "sample"
+                        and not site.get("is_observed", False)
+                        and site["value"] is not None
+                    }
+                    subs_fn = partial(_subs_wrapper, replay_values, i, length)
+                    seeded_fn = handlers.substitute(
+                        seeded_fn, substitute_fn=subs_fn
+                    )
 
             with handlers.trace() as trace:
                 carry, y = seeded_fn(carry, x)

@@ -114,11 +114,19 @@ class SteinVI:
             transforms[name] = transform
             unconstrained = transform.inv(value)
             # every guide param is replicated to the particle axis with
-            # jittered inits so the ensemble starts dispersed
-            noise = 0.1 * random.normal(
-                pkey, (self.num_stein_particles,) + jnp.shape(unconstrained)
-            )
-            params[name] = unconstrained[None] + noise
+            # jittered inits so the ensemble starts dispersed; params may be
+            # pytrees (e.g. flax module dicts), so jitter leaf-wise
+            leaves, treedef = jax.tree.flatten(unconstrained)
+            leaf_keys = random.split(pkey, max(len(leaves), 1))
+            jittered = [
+                leaf[None]
+                + 0.1
+                * random.normal(
+                    k, (self.num_stein_particles,) + jnp.shape(leaf)
+                )
+                for leaf, k in zip(leaves, leaf_keys)
+            ]
+            params[name] = jax.tree.unflatten(treedef, jittered)
             self._particle_param_names.add(name)
         self.particle_transforms = transforms
         return params
@@ -127,8 +135,10 @@ class SteinVI:
     def _calc_particle_info(particle_params):
         info, start = {}, 0
         for name in sorted(particle_params):
-            v = particle_params[name]
-            size = int(v.size // v.shape[0])
+            size = sum(
+                int(leaf.size // leaf.shape[0])
+                for leaf in jax.tree.leaves(particle_params[name])
+            )
             info[name] = (start, start + size)
             start += size
         return info

@@ -1,17 +1,19 @@
 """Init strategies: per-site functions returning initial latent values.
 
-Reference surface: numpyro/infer/initialization.py:14-154.
+Reference surface: numpyro/infer/initialization.py:14-154.  Restructured
+around a single currying decorator — each strategy states only its core
+rule; eligibility (continuous, unobserved sample sites) and the
+stored-value shortcut are factored out.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
+import warnings
 
 import jax.numpy as jnp
-from jax import random
 
 import numpyro_tpu.distributions as dist
-from numpyro_tpu.distributions.distribution import Distribution
 from numpyro_tpu.util import find_stack_level
 
 __all__ = [
@@ -24,111 +26,110 @@ __all__ = [
 ]
 
 
-def init_to_median(site=None, num_samples=15):
+def _strategy(rule):
+    """Make ``rule(site, **options)`` curryable as ``strategy(**options)``
+    and restrict it to continuous, unobserved sample sites."""
+
+    @functools.wraps(rule)
+    def apply(site=None, **options):
+        if site is None:
+            return functools.partial(apply, **options)
+        if (
+            site["type"] != "sample"
+            or site["is_observed"]
+            or site["fn"].support.is_discrete
+        ):
+            return None
+        return rule(site, **options)
+
+    return apply
+
+
+def _site_shapes(site):
+    """(rng_key, sample_shape, event+batch shape of one draw)."""
+    return (
+        site["kwargs"].get("rng_key"),
+        site["kwargs"].get("sample_shape"),
+        tuple(site["fn"].shape()),
+    )
+
+
+@_strategy
+def init_to_median(site, num_samples=15):
     """Initialize to the empirical prior median of ``num_samples`` draws."""
-    if site is None:
-        return partial(init_to_median, num_samples=num_samples)
-
-    if (
-        site["type"] == "sample"
-        and not site["is_observed"]
-        and not site["fn"].support.is_discrete
-    ):
-        if site["value"] is not None:
-            import warnings
-
-            warnings.warn(
-                f"init_to_median() skipping initialization of site '{site['name']}'"
-                " which already stores a value.",
-                stacklevel=find_stack_level(),
-            )
-            return site["value"]
-
-        rng_key = site["kwargs"].get("rng_key")
-        sample_shape = site["kwargs"].get("sample_shape")
-        try:
-            samples = site["fn"](
-                sample_shape=(num_samples,) + sample_shape, rng_key=rng_key
-            )
-            return jnp.median(samples, axis=0)
-        except NotImplementedError:
-            return init_to_uniform(site)
+    if site["value"] is not None:
+        warnings.warn(
+            f"init_to_median() skipping initialization of site '{site['name']}'"
+            " which already stores a value.",
+            stacklevel=find_stack_level(),
+        )
+        return site["value"]
+    rng_key, sample_shape, _ = _site_shapes(site)
+    try:
+        draws = site["fn"](
+            rng_key=rng_key, sample_shape=(num_samples,) + sample_shape
+        )
+    except NotImplementedError:
+        return init_to_uniform(site)
+    return jnp.median(draws, axis=0)
 
 
-def init_to_mean(site=None):
+@_strategy
+def init_to_mean(site):
     """Initialize to the prior mean; falls back to median when undefined."""
-    if site is None:
-        return partial(init_to_mean)
-
-    if (
-        site["type"] == "sample"
-        and not site["is_observed"]
-        and not site["fn"].support.is_discrete
-    ):
-        if site["value"] is not None:
-            return site["value"]
-        try:
-            value = site["fn"].mean
-            sample_shape = site["kwargs"].get("sample_shape")
-            if sample_shape:
-                value = jnp.broadcast_to(value, sample_shape + jnp.shape(value))
-            if isinstance(value, jnp.ndarray) and jnp.any(jnp.isnan(value)):
-                raise NotImplementedError
-            return value
-        except NotImplementedError:
-            return init_to_median(site)
+    if site["value"] is not None:
+        return site["value"]
+    try:
+        mean = site["fn"].mean
+        if isinstance(mean, jnp.ndarray) and jnp.any(jnp.isnan(mean)):
+            raise NotImplementedError
+    except NotImplementedError:
+        return init_to_median(site)
+    _, sample_shape, _ = _site_shapes(site)
+    if sample_shape:
+        mean = jnp.broadcast_to(mean, sample_shape + jnp.shape(mean))
+    return mean
 
 
 def init_to_sample(site=None):
-    """Initialize to a prior sample."""
+    """Initialize to a single prior sample."""
     if site is None:
-        return partial(init_to_sample)
+        return init_to_sample
     return init_to_median(site, num_samples=1)
 
 
-def init_to_uniform(site=None, radius=2.0):
+@_strategy
+def init_to_uniform(site, radius=2.0):
     """Initialize to Uniform(-radius, radius) in unconstrained space —
     the NUTS default (Stan-compatible)."""
-    if site is None:
-        return partial(init_to_uniform, radius=radius)
+    if site["value"] is not None:
+        return site["value"]
+    from numpyro_tpu.distributions import biject_to
 
-    if (
-        site["type"] == "sample"
-        and not site["is_observed"]
-        and not site["fn"].support.is_discrete
-    ):
-        if site["value"] is not None:
-            return site["value"]
-
-        from numpyro_tpu.distributions import biject_to
-
-        rng_key = site["kwargs"].get("rng_key")
-        sample_shape = site["kwargs"].get("sample_shape")
-
-        # shapes are static — no need to draw a prior sample (which improper
-        # priors cannot do anyway)
-        prototype_shape = tuple(site["fn"].shape())
-        transform = biject_to(site["fn"].support)
-        unconstrained_shape = transform.inverse_shape(prototype_shape)
-        unconstrained_samples = dist.Uniform(-radius, radius).sample(
-            rng_key, sample_shape=sample_shape + unconstrained_shape
-        )
-        return transform(unconstrained_samples)
+    rng_key, sample_shape, draw_shape = _site_shapes(site)
+    # shapes are static, so no prior draw is needed (improper priors could
+    # not provide one anyway): sample the unconstrained box directly and
+    # push it through the support bijector
+    to_support = biject_to(site["fn"].support)
+    box = dist.Uniform(-radius, radius).sample(
+        rng_key, sample_shape + to_support.inverse_shape(draw_shape)
+    )
+    return to_support(box)
 
 
 def init_to_feasible(site=None):
     """Initialize to an arbitrary feasible point (uniform radius 0)."""
     if site is None:
-        return partial(init_to_feasible)
+        return init_to_feasible
     return init_to_uniform(site, radius=0.0)
 
 
 def init_to_value(site=None, values={}):
     """Initialize to given values; missing sites fall back to uniform."""
     if site is None:
-        return partial(init_to_value, values=values)
-
+        return functools.partial(init_to_value, values=values)
     if site["type"] == "sample" and not site["is_observed"]:
-        if site["name"] in values:
+        try:
             return values[site["name"]]
-        return init_to_uniform(site)
+        except KeyError:
+            return init_to_uniform(site)

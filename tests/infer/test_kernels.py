@@ -120,3 +120,23 @@ def test_multichain_inits_are_dispersed():
     state = kernel.init(keys, 10, None, (), {})
     x0 = np.asarray(state.z["x"])
     assert np.unique(x0[:, 0]).size == 4
+
+
+@pytest.mark.parametrize("dense_mass", [True, False])
+def test_sa_vectorized_chains(dense_mass):
+    def pot(z):
+        return 0.5 * jnp.sum(((z - TRUE_MEAN) / TRUE_STD) ** 2)
+
+    m = MCMC(
+        SA(potential_fn=pot, adapt_state_size=16, dense_mass=dense_mass),
+        num_warmup=1000,
+        num_samples=4000,
+        num_chains=4,
+        chain_method="vectorized",
+        progress_bar=False,
+    )
+    m.run(random.PRNGKey(0), init_params=jnp.zeros((4, 2)))
+    s = np.asarray(m.get_samples())
+    assert s.shape == (16000, 2)
+    assert abs(s.mean() - TRUE_MEAN) < 0.2
+    assert abs(s.std() - TRUE_STD) < 0.3

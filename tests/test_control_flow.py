@@ -140,3 +140,23 @@ def test_cond_substitute():
     with handlers.seed(rng_seed=0):
         v = handlers.substitute(cmodel, data={"x": 3.21})()
     np.testing.assert_allclose(float(v), 3.21)
+
+
+def test_scan_replay_unseeded():
+    # SteinLoss replays an unseeded guide against a previous trace; the scan
+    # replay path must not require rng keys (regression: the old path
+    # pre-traced the body to discover sites, sampling with key=None).
+    tr = handlers.trace(handlers.seed(gaussian_hmm, 0)).get_trace(np.arange(10.0))
+    ld_replay, replay_tr = log_density(
+        handlers.replay(gaussian_hmm, tr), (np.arange(10.0),), {}, {}
+    )
+    ld_direct, _ = log_density(
+        gaussian_hmm,
+        (np.arange(10.0),),
+        {},
+        {"x_0": tr["x_0"]["value"], "x": tr["x"]["value"]},
+    )
+    np.testing.assert_allclose(float(ld_replay), float(ld_direct), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(replay_tr["x"]["value"]), np.asarray(tr["x"]["value"])
+    )

@@ -45,6 +45,13 @@ CASES = [
     "mortality.py --num-warmup 50 --num-samples 50 --num-ages 6 --num-times 4",
     "ssbvm_mixture.py --num-warmup 40 --num-samples 40 --num-data 80",
     "thompson_sampling.py --num-rounds 2",
+    "sparse_regression.py --num-data 50 --num-dims 8 --num-warmup 80 "
+    "--num-samples 80",
+    "cvae.py --num-iters 40 --batch-size 32",
+    "prodlda.py --num-docs 120 --vocab 40 --num-topics 3 --doc-len 40 "
+    "--hidden 32 --num-iters 150",
+    "stein_dmm.py --num-iters 20 --num-seqs 12 --seq-len 10 --num-particles 3",
+    "gaussian_shells.py --num-live 100 --max-samples 2000 --num-draws 400",
 ]
 
 

@@ -1,0 +1,56 @@
+"""TFP bridge tests — exercised only when tensorflow_probability (jax
+substrate) is installed (pattern: reference test/contrib/test_tfp.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax import random
+
+tfp = pytest.importorskip("tensorflow_probability.substrates.jax")
+
+import numpyro_tpu
+from numpyro_tpu.contrib.tfp.distributions import TFPDistribution
+from numpyro_tpu.infer import MCMC, NUTS
+
+
+def test_tfp_distribution_in_model():
+    tfd = tfp.distributions
+
+    def model(y):
+        mu = numpyro_tpu.sample("mu", TFPDistribution[tfd.Normal](0.0, 10.0))
+        with numpyro_tpu.plate("N", y.shape[0]):
+            numpyro_tpu.sample(
+                "y", TFPDistribution[tfd.Normal](mu, 1.0), obs=y
+            )
+
+    y = 2.0 + random.normal(random.PRNGKey(0), (100,))
+    m = MCMC(NUTS(model), num_warmup=300, num_samples=300, progress_bar=False)
+    m.run(random.PRNGKey(1), y)
+    assert abs(np.asarray(m.get_samples()["mu"]).mean() - 2.0) < 0.4
+
+
+def test_tfp_distribution_attrs():
+    tfd = tfp.distributions
+    d = TFPDistribution[tfd.Beta](2.0, 3.0)
+    assert d.batch_shape == ()
+    x = d.sample(random.PRNGKey(0), (7,))
+    assert x.shape == (7,)
+    np.testing.assert_allclose(d.mean, 2.0 / 5.0, rtol=1e-5)
+
+
+def test_tfp_kernel_smoke():
+    from numpyro_tpu.contrib.tfp.mcmc import HamiltonianMonteCarlo
+
+    def model():
+        numpyro_tpu.sample(
+            "x", TFPDistribution[tfp.distributions.Normal](0.0, 1.0)
+        )
+
+    kernel = HamiltonianMonteCarlo(
+        model, step_size=0.5, num_leapfrog_steps=3
+    )
+    m = MCMC(kernel, num_warmup=100, num_samples=500, progress_bar=False)
+    m.run(random.PRNGKey(0))
+    x = np.asarray(m.get_samples()["x"])
+    assert abs(x.mean()) < 0.3

@@ -8,6 +8,7 @@ log-prob computation — abstract interpretation only, no array math runs.
 from __future__ import annotations
 
 import itertools
+from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
 
@@ -94,38 +95,37 @@ def get_dependencies(model, model_args=None, model_kwargs=None):
         partial(_site_log_probs, model, model_args, model_kwargs), **samples
     )
 
-    prior_dependencies = {n: {n: set()} for n in plates}
-    for i, downstream in enumerate(sample_sites):
-        upstreams = [
-            u
-            for u in sample_sites[:i]
-            if not u["is_observed"] and u["fn_name"] != "Unit"
-        ]
-        if not upstreams:
-            continue
-        provenance = sample_deps[downstream["name"]]
-        for upstream in upstreams:
-            if upstream["name"] in provenance:
-                prior_dependencies[downstream["name"]][upstream["name"]] = set()
+    # prior graph: site d depends on every earlier latent whose value flowed
+    # into d's log-prob (self-edges are kept by convention)
+    site_order = [msg["name"] for msg in sample_sites]
+    latents_before = {}
+    seen = []
+    for msg in sample_sites:
+        latents_before[msg["name"]] = list(seen)
+        if not msg["is_observed"] and msg["fn_name"] != "Unit":
+            seen.append(msg["name"])
+    prior_dependencies = {
+        d: {d: set(), **{u: set() for u in latents_before[d] if u in sample_deps[d]}}
+        for d in site_order
+    }
 
-    # reverse for the posterior, keeping only latent downstream nodes
+    # posterior graph: reverse prior edges into latent nodes, then moralize
+    # (Webb et al. 2018): each pair of co-parents of d gains an edge carrying
+    # the plates over which the dependence is elementwise-dense
     posterior_dependencies = {n: {} for n in plates if n not in observed}
+    pos = {name: i for i, name in enumerate(site_order)}
     for d, upstreams in prior_dependencies.items():
-        for u, p in upstreams.items():
-            if u not in observed:
-                posterior_dependencies[u][d] = p.copy()
-
-    # moralize: connect co-parents within each Markov blanket
-    order = {msg["name"]: i for i, msg in enumerate(reversed(sample_sites))}
-    for d, upstreams in prior_dependencies.items():
-        upstreams = {u: p for u, p in upstreams.items() if u not in observed}
-        for u1, p1 in upstreams.items():
-            for u2, p2 in upstreams.items():
-                if order[u1] <= order[u2]:
-                    p12 = posterior_dependencies[u2].setdefault(u1, set())
-                    p12 |= plates[u1] & plates[u2] - plates[d]
-                    p12 |= plates[u2] & p1
-                    p12 |= plates[u1] & p2
+        latent_ups = {u: p for u, p in upstreams.items() if u not in observed}
+        for u, p in latent_ups.items():
+            posterior_dependencies[u][d] = p.copy()
+        for u1, p1 in latent_ups.items():
+            for u2, p2 in latent_ups.items():
+                if pos[u1] < pos[u2]:
+                    continue
+                dense = posterior_dependencies[u2].setdefault(u1, set())
+                dense |= (plates[u1] & plates[u2]) - plates[d]
+                dense |= plates[u2] & p1
+                dense |= plates[u1] & p2
 
     return {
         "prior_dependencies": prior_dependencies,
@@ -142,39 +142,35 @@ def get_model_relations(model, model_args=None, model_kwargs=None):
     model_kwargs = model_kwargs or {}
 
     trace = _abstract_trace(model, model_args, model_kwargs)
-    obs_sites = [
-        name
-        for name, site in trace.items()
-        if site["type"] == "sample" and site["is_observed"]
-    ]
-    sample_dist = {
-        name: site["fn_name"]
-        for name, site in trace.items()
-        if site["type"] in ("sample", "deterministic")
-    }
-    sample_plates = {
-        name: [frame.name for frame in site["cond_indep_stack"]]
-        for name, site in trace.items()
-        if site["type"] in ("sample", "deterministic")
-    }
+    obs_sites, sample_dist, sample_plates = [], {}, {}
+    for name, site in trace.items():
+        if site["type"] == "sample" and site["is_observed"]:
+            obs_sites.append(name)
+        if site["type"] in ("sample", "deterministic"):
+            sample_dist[name] = site["fn_name"]
+            sample_plates[name] = [f.name for f in site["cond_indep_stack"]]
     plate_samples = {
         k: {name for name, ps in sample_plates.items() if k in ps}
         for k, site in trace.items()
         if site["type"] == "plate"
     }
 
-    def _split_interleaved(plate_samples):
-        # plates that partially overlap get a __CLONE marker (display only)
+    # partially-overlapping plates cannot nest in a diagram; carve the
+    # overlap out of one of them under a __CLONE display marker, repeating
+    # until every pair is nested or disjoint
+    changed = True
+    while changed:
+        changed = False
         for p, pv in plate_samples.items():
             for q, qv in plate_samples.items():
                 if pv & qv and pv - qv and qv - pv:
-                    out = plate_samples.copy()
-                    out[q] = pv & qv
-                    out[q + "__CLONE"] = qv - pv
-                    return _split_interleaved(out)
-        return plate_samples
+                    plate_samples[q] = pv & qv
+                    plate_samples[q + "__CLONE"] = qv - pv
+                    changed = True
+                    break
+            if changed:
+                break
 
-    plate_samples = _split_interleaved(plate_samples)
     plate_samples = {
         k: [name for name in trace if name in v] for k, v in plate_samples.items()
     }
@@ -212,19 +208,15 @@ def get_model_relations(model, model_args=None, model_kwargs=None):
     }
     deps = eval_provenance(get_log_probs, **samples, **params)
 
-    sample_sample = {
-        name: [v for v in sample_dist if v in deps[name] and v != name]
-        for name in sample_dist
+    sample_sample, sample_param = {}, {}
+    for name in sample_dist:
+        sample_sample[name] = [
+            v for v in sample_dist if v in deps[name] and v != name
+        ]
+        sample_param[name] = [v for v in deps[name] if v in params]
+    param_constraint = {
+        p: str(trace[p]["kwargs"].get("constraint", "")) for p in params
     }
-    sample_param = {
-        name: [v for v in deps[name] if v in params] for name in sample_dist
-    }
-    param_constraint = {}
-    for param in params:
-        if "constraint" in trace[param]["kwargs"]:
-            param_constraint[param] = str(trace[param]["kwargs"]["constraint"])
-        else:
-            param_constraint[param] = ""
 
     return {
         "sample_sample": sample_sample,
@@ -236,64 +228,82 @@ def get_model_relations(model, model_args=None, model_kwargs=None):
     }
 
 
+@dataclass
+class _Node:
+    """One rendered vertex: a random variable, deterministic, or param."""
+
+    observed: bool = False
+    dist_name: str | None = None
+    constraint: str = ""
+
+    @property
+    def shape(self):
+        return "ellipse" if self.dist_name else "box"
+
+    @property
+    def fill(self):
+        return "grey" if self.observed else "white"
+
+
+@dataclass
+class GraphSpec:
+    """Display-level intermediate form of a model diagram
+    (role parity: reference infer/inspect.py:428 dict spec)."""
+
+    membership: dict  # plate name (None = top level) -> list of node names
+    parent: dict  # plate -> enclosing plate or None
+    nodes: dict  # node name -> _Node
+    edges: list  # (source, target) pairs
+
+
 def generate_graph_specification(model_relations, render_params=False):
-    """Convert model relations into plate/node/edge structures for rendering
-    (reference: infer/inspect.py:428)."""
-    plate_groups = dict(model_relations["plate_sample"])
-    plate_rvs = {rv for rvs in plate_groups.values() for rv in rvs}
-    plate_groups[None] = [
-        rv for rv in model_relations["sample_sample"] if rv not in plate_rvs
-    ]
+    """Convert model relations into a :class:`GraphSpec`."""
+    rels = model_relations
+    membership = dict(rels["plate_sample"])
+    plated = {rv for rvs in membership.values() for rv in rvs}
+    membership[None] = [rv for rv in rels["sample_sample"] if rv not in plated]
 
-    params = set()
-    if render_params:
-        for params_list in model_relations["sample_param"].values():
-            params.update(params_list)
-        plate_groups[None].extend(params)
-
-    node_data = {}
-    for rv in model_relations["sample_sample"]:
-        node_data[rv] = {
-            "is_observed": rv in model_relations["observed"],
-            "distribution": model_relations["sample_dist"][rv],
-        }
-    if render_params:
-        for param, constraint in model_relations["param_constraint"].items():
-            node_data[param] = {
-                "is_observed": False,
-                "constraint": constraint,
-                "distribution": None,
-            }
-
-    plate_data = {}
-    for plate1, plate2 in itertools.combinations(plate_groups, 2):
-        if plate1 is None or plate2 is None:
-            continue
-        if set(plate_groups[plate1]) < set(plate_groups[plate2]):
-            plate_data[plate1] = {"parent": plate2}
-        elif set(plate_groups[plate1]) >= set(plate_groups[plate2]):
-            plate_data[plate2] = {"parent": plate1}
-    for plate in plate_groups:
-        if plate is not None and plate not in plate_data:
-            plate_data[plate] = {"parent": None}
-
-    edge_list = []
-    for target, source_list in model_relations["sample_sample"].items():
-        edge_list.extend((source, target) for source in source_list)
-    if render_params:
-        for target, source_list in model_relations["sample_param"].items():
-            edge_list.extend((source, target) for source in source_list)
-
-    return {
-        "plate_groups": plate_groups,
-        "plate_data": plate_data,
-        "node_data": node_data,
-        "edge_list": edge_list,
+    nodes = {
+        rv: _Node(observed=rv in rels["observed"], dist_name=rels["sample_dist"][rv])
+        for rv in rels["sample_sample"]
     }
 
+    edges = [
+        (src, dst)
+        for dst, srcs in rels["sample_sample"].items()
+        for src in srcs
+    ]
+    if render_params:
+        used_params = sorted(
+            {p for ps in rels["sample_param"].values() for p in ps}
+        )
+        membership[None].extend(used_params)
+        for p in used_params:
+            nodes[p] = _Node(constraint=rels["param_constraint"][p])
+        edges += [
+            (src, dst)
+            for dst, srcs in rels["sample_param"].items()
+            for src in srcs
+        ]
 
-def render_graph(graph_specification, render_distributions=False):
-    """Build a graphviz.Digraph from a graph specification."""
+    # nesting: a plate nests inside any plate whose variable set strictly
+    # contains its own (supersets win by iteration order, matching display
+    # expectations for equal sets)
+    parent = {p: None for p in membership if p is not None}
+    for a, b in itertools.combinations(membership, 2):
+        if a is None or b is None:
+            continue
+        a_rvs, b_rvs = set(membership[a]), set(membership[b])
+        if a_rvs < b_rvs:
+            parent[a] = b
+        elif a_rvs >= b_rvs:
+            parent[b] = a
+
+    return GraphSpec(membership, parent, nodes, edges)
+
+
+def render_graph(spec, render_distributions=False):
+    """Build a graphviz.Digraph from a :class:`GraphSpec`."""
     try:
         import graphviz
     except ImportError as e:  # pragma: no cover
@@ -302,60 +312,43 @@ def render_graph(graph_specification, render_distributions=False):
             "(`pip install graphviz`)."
         ) from e
 
-    plate_groups = graph_specification["plate_groups"]
-    plate_data = graph_specification["plate_data"]
-    node_data = graph_specification["node_data"]
-    edge_list = graph_specification["edge_list"]
+    def fill(g, plate):
+        for name in spec.membership[plate]:
+            node = spec.nodes[name]
+            g.node(
+                name, label=name, shape=node.shape, style="filled",
+                fillcolor=node.fill,
+            )
+
+    def build_cluster(plate):
+        """Subgraph for one plate with its children nested inside."""
+        g = graphviz.Digraph(name=f"cluster_{plate}")
+        g.attr(label=plate.split("__CLONE")[0], labeljust="r", labelloc="b")
+        fill(g, plate)
+        for child in spec.parent:
+            if spec.parent[child] == plate:
+                g.subgraph(build_cluster(child))
+        return g
 
     graph = graphviz.Digraph()
-    plate_graphs = {
-        plate: graphviz.Digraph(name=f"cluster_{plate}")
-        for plate in plate_groups
-        if plate is not None
-    }
-    for plate, g in plate_graphs.items():
-        g.attr(label=plate.split("__CLONE")[0], labeljust="r", labelloc="b")
-
-    def _add_nodes(g, plate):
-        for rv in plate_groups[plate]:
-            color = "grey" if node_data[rv]["is_observed"] else "white"
-            if node_data[rv]["distribution"]:
-                shape = "ellipse"
-            else:
-                shape = "box"
-            g.node(rv, label=rv, shape=shape, style="filled", fillcolor=color)
-
-    _add_nodes(graph, None)
-    for plate, g in plate_graphs.items():
-        _add_nodes(g, plate)
-
-    # nest plate subgraphs according to parent relations
-    roots = [p for p, d in plate_data.items() if d["parent"] is None]
-    children = {
-        p: [q for q, d in plate_data.items() if d["parent"] == p]
-        for p in plate_data
-    }
-
-    def _attach(parent_graph, plate):
-        g = plate_graphs[plate]
-        for child in children.get(plate, []):
-            _attach(g, child)
-        parent_graph.subgraph(g)
-
-    for plate in roots:
-        _attach(graph, plate)
-
-    for source, target in edge_list:
-        graph.edge(source, target)
+    fill(graph, None)
+    for plate, enclosing in spec.parent.items():
+        if enclosing is None:
+            graph.subgraph(build_cluster(plate))
+    for src, dst in spec.edges:
+        graph.edge(src, dst)
 
     if render_distributions:
         legend = r"\l".join(
-            f"{rv} ~ {d['distribution']}"
-            for rv, d in node_data.items()
-            if d["distribution"]
+            f"{name} ~ {node.dist_name}"
+            for name, node in spec.nodes.items()
+            if node.dist_name
         )
-        graph.node("distribution_description_node", label=legend + r"\l", shape="plaintext")
-
+        graph.node(
+            "distribution_description_node",
+            label=legend + r"\l",
+            shape="plaintext",
+        )
     return graph
 
 
@@ -369,15 +362,17 @@ def render_model(
 ):
     """Render a model's plate/dependency diagram via graphviz
     (reference: infer/inspect.py:603)."""
-    relations = get_model_relations(model, model_args=model_args, model_kwargs=model_kwargs)
-    graph_spec = generate_graph_specification(relations, render_params=render_params)
-    graph = render_graph(graph_spec, render_distributions=render_distributions)
+    relations = get_model_relations(
+        model, model_args=model_args, model_kwargs=model_kwargs
+    )
+    spec = generate_graph_specification(relations, render_params=render_params)
+    graph = render_graph(spec, render_distributions=render_distributions)
     if filename is not None:
-        filename = Path(filename)
+        target = Path(filename)
         graph.render(
-            filename.with_suffix(""),
+            target.with_suffix(""),
             view=False,
             cleanup=True,
-            format=filename.suffix[1:],
+            format=target.suffix[1:],
         )
     return graph

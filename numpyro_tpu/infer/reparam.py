@@ -1,5 +1,9 @@
 """Reparameterizers — used via the ``reparam`` handler to transform model
 geometry (reference surface: numpyro/infer/reparam.py).
+
+Each reparameterizer is called as ``reparam(name, fn, obs) -> (new_fn,
+value)``: returning ``(None, value)`` replaces the site with a
+deterministic value computed from auxiliary sample sites it introduced.
 """
 
 from __future__ import annotations
@@ -24,6 +28,18 @@ __all__ = [
 ]
 
 
+def _base_support(fn):
+    s = fn.support
+    return s.base_constraint if isinstance(s, constraints.independent) else s
+
+
+def _reject_obs(reparam, obs):
+    if obs is not None:
+        raise AssertionError(
+            f"{type(reparam).__name__} does not support observe statements"
+        )
+
+
 class Reparam(ABC):
     """Base: called as reparam(name, fn, obs) -> (new_fn, value)."""
 
@@ -31,45 +47,46 @@ class Reparam(ABC):
     def __call__(self, name, fn, obs):
         return fn, obs
 
-    def _unwrap(self, fn):
-        """Unwrap Independent/Expanded wrappers, returning (base_fn, expand_shape, event_dim)."""
-        shape = fn.shape()
-        event_dim = fn.event_dim
-        while isinstance(fn, (dist.Independent, dist.ExpandedDistribution)):
-            fn = fn.base_dist
-        return fn, shape, event_dim
+    @staticmethod
+    def _peel(fn):
+        """Strip Independent/Expanded wrappers; returns (base, rewrap)
+        where ``rewrap`` restores the original batch/event structure."""
+        full_shape, event_dim = fn.shape(), fn.event_dim
 
-    def _wrap(self, fn, expand_shape, event_dim):
-        """Re-apply Independent/Expanded wrappers."""
-        if fn.shape() != expand_shape:
-            fn = fn.expand(expand_shape[: len(expand_shape) - fn.event_dim])
-        if fn.event_dim < event_dim:
-            fn = fn.to_event(event_dim - fn.event_dim)
-        assert fn.event_dim == event_dim
-        return fn
+        def rewrap(new_fn):
+            if new_fn.shape() != full_shape:
+                new_fn = new_fn.expand(
+                    full_shape[: len(full_shape) - new_fn.event_dim]
+                )
+            if new_fn.event_dim < event_dim:
+                new_fn = new_fn.to_event(event_dim - new_fn.event_dim)
+            assert new_fn.event_dim == event_dim
+            return new_fn
+
+        base = fn
+        while isinstance(base, (dist.Independent, dist.ExpandedDistribution)):
+            base = base.base_dist
+        return base, rewrap
 
 
 class LocScaleReparam(Reparam):
-    """Decenter a loc-scale distribution: interpolates between centered
-    (centered=1) and non-centered (centered=0) parameterizations
-    (reference: reparam.py:64)."""
+    """Decenter a loc-scale family: ``centered`` in [0, 1] interpolates from
+    fully non-centered (0) to the original parameterization (1); ``None``
+    learns a per-coordinate value as a param site (reference: reparam.py:64).
+    """
 
     def __init__(self, centered=None, shape_params=()):
-        assert centered is None or (0 <= centered <= 1) if isinstance(
-            centered, (int, float)
-        ) else True
+        if isinstance(centered, (int, float)):
+            assert 0 <= centered <= 1
         self.centered = centered
         self.shape_params = shape_params
 
     def __call__(self, name, fn, obs):
-        assert obs is None, "LocScaleReparam does not support observe statements"
-        support = fn.support
-        if isinstance(support, constraints.independent):
-            support = support.base_constraint
-        if support is not constraints.real:
+        _reject_obs(self, obs)
+        if _base_support(fn) is not constraints.real:
             raise ValueError(
                 f"LocScaleReparam only supports real-valued distributions, "
-                f"but got site {name} with support {support}."
+                f"but got site {name} with support {fn.support}."
             )
         centered = self.centered
         if centered is None:
@@ -80,101 +97,89 @@ class LocScaleReparam(Reparam):
             )
         if isinstance(centered, (int, float)) and centered == 1.0:
             return fn, obs
-        event_shape = fn.event_shape
-        fn, expand_shape, event_dim = self._unwrap(fn)
-        params = {k: getattr(fn, k) for k in self.shape_params}
-        if isinstance(centered, (int, float)) and centered == 0.0:
-            params["loc"] = jnp.zeros_like(fn.loc)
-            params["scale"] = jnp.ones_like(fn.scale)
-        else:
-            params["loc"] = fn.loc * centered
-            params["scale"] = fn.scale**centered
-        decentered_fn = self._wrap(type(fn)(**params), expand_shape, event_dim)
 
-        # draw decentered noise
-        decentered_value = numpyro_tpu.sample(f"{name}_decentered", decentered_fn)
-
-        # recenter
-        delta = decentered_value - centered * fn.loc
-        value = fn.loc + jnp.power(fn.scale, 1 - centered) * delta
-        return None, value
+        base, rewrap = self._peel(fn)
+        aux_params = {k: getattr(base, k) for k in self.shape_params}
+        fully = isinstance(centered, (int, float)) and centered == 0.0
+        aux_params["loc"] = (
+            jnp.zeros_like(base.loc) if fully else base.loc * centered
+        )
+        aux_params["scale"] = (
+            jnp.ones_like(base.scale) if fully else base.scale**centered
+        )
+        noise = numpyro_tpu.sample(
+            f"{name}_decentered", rewrap(type(base)(**aux_params))
+        )
+        # invert the partial standardization
+        residual = noise - centered * base.loc
+        return None, base.loc + base.scale ** (1 - centered) * residual
 
 
 class TransformReparam(Reparam):
-    """Reparameterize a TransformedDistribution via its base
-    (reference: reparam.py:148)."""
+    """Split a TransformedDistribution into a base draw plus deterministic
+    pushforward (reference: reparam.py:148)."""
 
     def __call__(self, name, fn, obs):
-        assert obs is None, "TransformReparam does not support observe statements"
-        fn, expand_shape, event_dim = self._unwrap(fn)
-        assert isinstance(fn, dist.TransformedDistribution)
-
-        # draw the base
-        x = numpyro_tpu.sample(f"{name}_base", fn.base_dist)
-        # transform
-        for t in fn.transforms:
+        _reject_obs(self, obs)
+        base, _ = self._peel(fn)
+        assert isinstance(base, dist.TransformedDistribution)
+        x = numpyro_tpu.sample(f"{name}_base", base.base_dist)
+        for t in base.transforms:
             x = t(x)
         return None, x
 
 
 class ExplicitReparam(Reparam):
-    """Reparameterize through an explicit bijection (reference: reparam.py:359)."""
+    """Reparameterize through a user-supplied bijection
+    (reference: reparam.py:359)."""
 
     def __init__(self, transform):
         self.transform = transform
 
     def __call__(self, name, fn, obs):
-        assert obs is None, "ExplicitReparam does not support observe statements"
-        transformed = dist.TransformedDistribution(fn, self.transform.inv)
-        x = numpyro_tpu.sample(f"{name}_base", transformed)
+        _reject_obs(self, obs)
+        pulled_back = dist.TransformedDistribution(fn, self.transform.inv)
+        x = numpyro_tpu.sample(f"{name}_base", pulled_back)
         return None, self.transform(x)
 
 
 class ProjectedNormalReparam(Reparam):
-    """Auxiliary-normal reparam of ProjectedNormal (reference: reparam.py:188)."""
+    """Auxiliary-normal reparam of ProjectedNormal
+    (reference: reparam.py:188)."""
 
     def __call__(self, name, fn, obs):
-        assert obs is None, "ProjectedNormalReparam does not support observe statements"
-        fn, expand_shape, event_dim = self._unwrap(fn)
-        assert isinstance(fn, dist.ProjectedNormal)
-
-        # draw the auxiliary gaussian
-        new_fn = dist.Normal(fn.concentration, 1.0).to_event(1)
+        _reject_obs(self, obs)
+        base, rewrap = self._peel(fn)
+        assert isinstance(base, dist.ProjectedNormal)
+        gauss = dist.Normal(base.concentration, 1.0).to_event(1)
         x = numpyro_tpu.sample(
-            f"{name}_normal",
-            self._wrap(new_fn, expand_shape, event_dim),
-            infer={"is_auxiliary": True},
+            f"{name}_normal", rewrap(gauss), infer={"is_auxiliary": True}
         )
         from numpyro_tpu.distributions.util import safe_normalize
 
-        value = safe_normalize(x)
-        return None, value
+        return None, safe_normalize(x)
 
 
 class CircularReparam(Reparam):
-    """Map VonMises sites onto the real line (reference: reparam.py:329)."""
+    """Map VonMises sites onto the real line; the density enters through an
+    explicit factor on the wrapped value (reference: reparam.py:329)."""
 
     def __call__(self, name, fn, obs):
-        support = fn.support
-        if isinstance(support, constraints.independent):
-            support = support.base_constraint
-        assert support is constraints.circular
-
-        value = numpyro_tpu.sample(
+        assert _base_support(fn) is constraints.circular
+        line_value = numpyro_tpu.sample(
             f"{name}_unwrapped",
             dist.ImproperUniform(constraints.real, fn.batch_shape, fn.event_shape),
             obs=obs,
         )
-        value = jnp.remainder(value + math.pi, 2 * math.pi) - math.pi
-
-        # simulate the log prob through a factor
-        numpyro_tpu.factor(f"{name}_factor", fn.log_prob(value))
-        return None, value
+        wrapped = jnp.remainder(line_value + math.pi, 2 * math.pi) - math.pi
+        numpyro_tpu.factor(f"{name}_factor", fn.log_prob(wrapped))
+        return None, wrapped
 
 
 class NeuTraReparam(Reparam):
     """Neural-transport reparameterization through a fitted AutoContinuous
-    guide (reference: reparam.py:214)."""
+    guide: one shared base-space latent is pushed through the learned flow,
+    and every model site reads its slice (reference: reparam.py:214)."""
 
     def __init__(self, guide, params):
         self.guide = guide
@@ -185,7 +190,7 @@ class NeuTraReparam(Reparam):
             raise ValueError(
                 "NeuTraReparam only supports AutoContinuous guides"
             ) from e
-        self._x_unconstrained = {}
+        self._pending_sites = {}
 
     def _reparam_config(self, site):
         if (
@@ -203,44 +208,40 @@ class NeuTraReparam(Reparam):
     def __call__(self, name, fn, obs):
         if name not in self.guide.prototype_trace:
             return fn, obs
-        assert obs is None, "NeuTraReparam does not support observe statements"
+        _reject_obs(self, obs)
 
-        log_density = 0.0
-        if not self._x_unconstrained:  # On first sample site.
-            # Sample a shared latent.
-            z_unconstrained = numpyro_tpu.sample(
+        flow_logdet = 0.0
+        if not self._pending_sites:
+            # first reparameterized site: draw the shared latent and run
+            # the transport once; later sites just consume their slice
+            z = numpyro_tpu.sample(
                 f"{name}_shared_latent",
                 self.guide.get_base_dist().mask(False),
                 infer={"is_auxiliary": True},
             )
+            x = self.transform(z)
+            flow_logdet = self.transform.log_abs_det_jacobian(z, x)
+            self._pending_sites = self.guide._unpack_latent(x)
 
-            # Differentiably transform.
-            x_unconstrained = self.transform(z_unconstrained)
-            log_density = self.transform.log_abs_det_jacobian(
-                z_unconstrained, x_unconstrained
-            )
-            self._x_unconstrained = self.guide._unpack_latent(x_unconstrained)
-
-        # Extract a single site's value from the shared latent.
-        unconstrained_value = self._x_unconstrained.pop(name)
-        transform = biject_to(fn.support)
-        value = transform(unconstrained_value)
-        logdet = transform.log_abs_det_jacobian(unconstrained_value, value)
+        unconstrained = self._pending_sites.pop(name)
+        to_support = biject_to(fn.support)
+        value = to_support(unconstrained)
+        logdet = to_support.log_abs_det_jacobian(unconstrained, value)
         from numpyro_tpu.distributions.util import sum_rightmost
 
         logdet = sum_rightmost(
             logdet, jnp.ndim(logdet) - jnp.ndim(value) + len(fn.event_shape)
         )
-        log_density = log_density + fn.log_prob(value) + logdet
-        numpyro_tpu.factor(f"{name}_log_prob", log_density)
+        numpyro_tpu.factor(
+            f"{name}_log_prob", flow_logdet + fn.log_prob(value) + logdet
+        )
         return None, value
 
     def transform_sample(self, latent):
         """Push base-space draws (e.g. `*_shared_latent` MCMC samples)
         through the learned transport; returns constrained site values
         (reference: reparam.py:301)."""
-        x_unconstrained = self.transform(latent)
-        unpacked = self.guide._unpack_latent(x_unconstrained)
+        unpacked = self.guide._unpack_latent(self.transform(latent))
         return {
             name: biject_to(self.guide.prototype_trace[name]["fn"].support)(value)
             for name, value in unpacked.items()

@@ -28,27 +28,31 @@ SVIState = namedtuple("SVIState", ["optim_state", "mutable_state", "rng_key"])
 SVIRunResult = namedtuple("SVIRunResult", ["params", "state", "losses"])
 
 
-def _make_loss_fn(
-    elbo,
-    rng_key,
-    constrain_fn,
-    model,
-    guide,
-    args,
-    kwargs,
-    static_kwargs,
-    mutable_state=None,
-):
-    def loss_fn(params):
-        params = constrain_fn(params)
-        if mutable_state is not None:
-            params.update(mutable_state)
-        result = elbo.loss_with_mutable_state(
-            rng_key, params, model, guide, *args, **kwargs, **static_kwargs
-        )
-        return result["loss"], result["mutable_state"]
+def _classify_site(site, loss, params, inv_transforms, mutable, overrides):
+    """Record one traced site into the SVI parameter/mutable registries."""
+    if site["type"] == "param":
+        constraint = site["kwargs"].pop("constraint", constraints.real)
+        with handlers.block():
+            transform = biject_to(constraint)
+        name = site["name"]
+        inv_transforms[name] = transform
+        value = overrides.get(name, site["value"])
+        params[name] = transform.inv(value)
+    elif site["type"] == "mutable":
+        mutable[site["name"]] = site["value"]
+    elif (
+        site["type"] == "sample"
+        and not site["is_observed"]
+        and site["fn"].support.is_discrete
+        and not loss.can_infer_discrete
+    ):
+        import warnings
 
-    return loss_fn
+        warnings.warn(
+            f"Currently, SVI with {type(loss).__name__} loss does not"
+            f" support models with discrete latent variables ({site['name']})",
+            stacklevel=2,
+        )
 
 
 class SVI:
@@ -85,91 +89,64 @@ class SVI:
             )
         ).get_trace(*args, **kwargs, **self.static_kwargs)
 
-        params = {}
-        inv_transforms = {}
-        mutable_state = {}
+        params, inv_transforms, mutable_state = {}, {}, {}
         for site in list(model_trace.values()) + list(guide_trace.values()):
-            if site["type"] == "param":
-                constraint = site["kwargs"].pop("constraint", constraints.real)
-                with handlers.block():
-                    transform = biject_to(constraint)
-                inv_transforms[site["name"]] = transform
-                if site["name"] in init_guide_params:
-                    site_value = init_guide_params[site["name"]]
-                else:
-                    site_value = site["value"]
-                params[site["name"]] = transform.inv(site_value)
-            elif site["type"] == "mutable":
-                mutable_state[site["name"]] = site["value"]
-            elif (
-                site["type"] == "sample"
-                and (not site["is_observed"])
-                and site["fn"].support.is_discrete
-                and not self.loss.can_infer_discrete
-            ):
-                import warnings
+            _classify_site(
+                site, self.loss, params, inv_transforms, mutable_state,
+                init_guide_params,
+            )
 
-                warnings.warn(
-                    f"Currently, SVI with {type(self.loss).__name__} loss does not"
-                    f" support models with discrete latent variables ({site['name']})",
-                    stacklevel=2,
-                )
-
-        if not mutable_state:
-            mutable_state = None
         self.constrain_fn = partial(transform_fn, inv_transforms)
         # make sure we get valid (unconstrained) params after init
-        params = jax.tree.map(lambda x: jnp.asarray(x), params)
-        return SVIState(self.optim.init(params), mutable_state, rng_key)
+        params = jax.tree.map(jnp.asarray, params)
+        return SVIState(
+            self.optim.init(params), mutable_state or None, rng_key
+        )
 
     def get_params(self, svi_state):
         """Constrained-space params from an SVIState."""
         params = self.constrain_fn(self.optim.get_params(svi_state.optim_state))
         return params
 
-    def update(self, svi_state, *args, forward_mode_differentiation=False, **kwargs):
-        """One optimization step; returns (new_state, loss)."""
-        rng_key, rng_key_step = random.split(svi_state.rng_key)
-        loss_fn = _make_loss_fn(
-            self.loss,
-            rng_key_step,
-            self.constrain_fn,
-            self.model,
-            self.guide,
-            args,
-            kwargs,
-            self.static_kwargs,
-            mutable_state=svi_state.mutable_state,
+    def _advance(self, svi_state, args, kwargs, fwd_mode, stable):
+        rng_key, step_key = random.split(svi_state.rng_key)
+        held_mutable = svi_state.mutable_state
+
+        def loss_fn(unconstrained):
+            site_values = self.constrain_fn(unconstrained)
+            if held_mutable is not None:
+                site_values.update(held_mutable)
+            out = self.loss.loss_with_mutable_state(
+                step_key, site_values, self.model, self.guide,
+                *args, **kwargs, **self.static_kwargs,
+            )
+            return out["loss"], out["mutable_state"]
+
+        step = (
+            self.optim.eval_and_stable_update
+            if stable
+            else self.optim.eval_and_update
         )
-        (loss_val, mutable_state), optim_state = self.optim.eval_and_update(
+        (loss_val, mutable_state), optim_state = step(
             loss_fn,
             svi_state.optim_state,
-            forward_mode_differentiation=forward_mode_differentiation,
+            forward_mode_differentiation=fwd_mode,
         )
         return SVIState(optim_state, mutable_state, rng_key), loss_val
+
+    def update(self, svi_state, *args, forward_mode_differentiation=False, **kwargs):
+        """One optimization step; returns (new_state, loss)."""
+        return self._advance(
+            svi_state, args, kwargs, forward_mode_differentiation, stable=False
+        )
 
     def stable_update(
         self, svi_state, *args, forward_mode_differentiation=False, **kwargs
     ):
         """Like update, but keeps the previous state on non-finite loss."""
-        rng_key, rng_key_step = random.split(svi_state.rng_key)
-        loss_fn = _make_loss_fn(
-            self.loss,
-            rng_key_step,
-            self.constrain_fn,
-            self.model,
-            self.guide,
-            args,
-            kwargs,
-            self.static_kwargs,
-            mutable_state=svi_state.mutable_state,
+        return self._advance(
+            svi_state, args, kwargs, forward_mode_differentiation, stable=True
         )
-        (loss_val, mutable_state), optim_state = self.optim.eval_and_stable_update(
-            loss_fn,
-            svi_state.optim_state,
-            forward_mode_differentiation=forward_mode_differentiation,
-        )
-        return SVIState(optim_state, mutable_state, rng_key), loss_val
 
     def run(
         self,

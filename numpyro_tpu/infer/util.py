@@ -51,75 +51,78 @@ ModelInfo = namedtuple(
 ParamInfo = namedtuple("ParamInfo", ["z", "potential_energy", "z_grad"])
 
 
-def log_density(model, model_args, model_kwargs, params):
-    """Sum of scaled log-probs of all sample sites given substituted params.
-
-    Returns (log_joint, model_trace).
-    """
-    model = handlers.substitute(model, data=params)
-    model_trace = handlers.trace(model).get_trace(*model_args, **model_kwargs)
-    log_joint = jnp.zeros(())
-    for site in model_trace.values():
-        if site["type"] == "sample":
-            value = site["value"]
-            intermediates = site["intermediates"]
-            scale = site["scale"]
-            if intermediates:
-                log_prob = site["fn"].log_prob(value, intermediates)
-            else:
-                guide_shape = jnp.shape(value)
-                model_shape = tuple(
-                    site["fn"].shape()
-                )
-                try:
-                    jnp.broadcast_shapes(guide_shape, model_shape)
-                except ValueError:
-                    raise ValueError(
-                        f"Model and guide shapes disagree at site: '{site['name']}': "
-                        f"{model_shape} vs {guide_shape}"
-                    )
-                log_prob = site["fn"].log_prob(value)
-
-            if (scale is not None) and (not is_identically_one(scale)):
-                log_prob = scale * log_prob
-
-            log_prob = jnp.sum(log_prob)
-            log_joint = log_joint + log_prob
-    return log_joint, model_trace
-
-
-def compute_log_probs(model, model_args, model_kwargs, params, batch_ndims=0):
-    """Per-site (optionally per-batch) log probs; returns (dict, trace)."""
-    model = handlers.substitute(model, data=params)
-    model_trace = handlers.trace(model).get_trace(*model_args, **model_kwargs)
-    log_probs = {}
-    for site in model_trace.values():
-        if site["type"] == "sample":
-            value = site["value"]
-            intermediates = site["intermediates"]
-            scale = site["scale"]
-            if intermediates:
-                log_prob = site["fn"].log_prob(value, intermediates)
-            else:
-                log_prob = site["fn"].log_prob(value)
-            if (scale is not None) and (not is_identically_one(scale)):
-                log_prob = scale * log_prob
-            if batch_ndims == 0:
-                log_prob = jnp.sum(log_prob)
-            else:
-                log_prob = sum_rightmost(
-                    log_prob, jnp.ndim(log_prob) - batch_ndims
-                )
-            log_probs[site["name"]] = log_prob
-    return log_probs, model_trace
-
-
 def is_identically_one(x):
     if isinstance(x, (int, float)):
         return x == 1
     if not_jax_tracer(x) and np.ndim(x) == 0:
         return bool(np.asarray(x) == 1)
     return False
+
+
+def _site_log_prob(site, *, check_shapes=False):
+    """Scaled elementwise log-prob of one traced sample site.
+
+    The single implementation behind log_density / compute_log_probs /
+    get_importance_trace — transformed-sample intermediates and plate
+    subsample scales are handled here once.
+    """
+    value = site["value"]
+    if site["intermediates"]:
+        lp = site["fn"].log_prob(value, site["intermediates"])
+    else:
+        if check_shapes:
+            fn_shape = tuple(site["fn"].shape())
+            try:
+                jnp.broadcast_shapes(jnp.shape(value), fn_shape)
+            except ValueError:
+                raise ValueError(
+                    f"Model and guide shapes disagree at site: "
+                    f"'{site['name']}': {fn_shape} vs {jnp.shape(value)}"
+                )
+        lp = site["fn"].log_prob(value)
+    scale = site["scale"]
+    if scale is not None and not is_identically_one(scale):
+        lp = scale * lp
+    return lp
+
+
+def _traced_log_probs(model, model_args, model_kwargs, params, **lp_kwargs):
+    """(site name -> elementwise scaled log-prob, trace) for all sample
+    sites of the substituted model."""
+    model = handlers.substitute(model, data=params)
+    trace = handlers.trace(model).get_trace(*model_args, **model_kwargs)
+    lps = {
+        name: _site_log_prob(site, **lp_kwargs)
+        for name, site in trace.items()
+        if site["type"] == "sample"
+    }
+    return lps, trace
+
+
+def log_density(model, model_args, model_kwargs, params):
+    """Sum of scaled log-probs of all sample sites given substituted params.
+
+    Returns (log_joint, model_trace).
+    """
+    lps, trace = _traced_log_probs(
+        model, model_args, model_kwargs, params, check_shapes=True
+    )
+    log_joint = jnp.zeros(())
+    for lp in lps.values():
+        log_joint = log_joint + jnp.sum(lp)
+    return log_joint, trace
+
+
+def compute_log_probs(model, model_args, model_kwargs, params, batch_ndims=0):
+    """Per-site (optionally per-batch) log probs; returns (dict, trace)."""
+    lps, trace = _traced_log_probs(model, model_args, model_kwargs, params)
+    reduced = {
+        name: jnp.sum(lp)
+        if batch_ndims == 0
+        else sum_rightmost(lp, jnp.ndim(lp) - batch_ndims)
+        for name, lp in lps.items()
+    }
+    return reduced, trace
 
 
 class _without_rsample_stop_gradient(Messenger):
@@ -143,18 +146,8 @@ def get_importance_trace(model, guide, args, kwargs, params):
     model_trace = handlers.trace(model).get_trace(*args, **kwargs)
     for tr in (guide_trace, model_trace):
         for site in tr.values():
-            if site["type"] == "sample":
-                if "log_prob" not in site:
-                    value = site["value"]
-                    intermediates = site["intermediates"]
-                    scale = site["scale"]
-                    if intermediates:
-                        log_prob = site["fn"].log_prob(value, intermediates)
-                    else:
-                        log_prob = site["fn"].log_prob(value)
-                    if (scale is not None) and (not is_identically_one(scale)):
-                        log_prob = scale * log_prob
-                    site["log_prob"] = log_prob
+            if site["type"] == "sample" and "log_prob" not in site:
+                site["log_prob"] = _site_log_prob(site)
     return model_trace, guide_trace
 
 
@@ -283,105 +276,97 @@ def find_valid_initial_params(
     init_strategy = (
         init_strategy if isinstance(init_strategy, partial) else init_strategy()
     )
-    # init_to_uniform draws directly in unconstrained space — no model trace
-    # per rejection iteration, and per-chain keys apply even when the model
-    # closure carries its own inner seed (reference: infer/util.py:377-431)
+    # init_to_uniform can draw directly in unconstrained space — no model
+    # trace per rejection iteration, and per-chain keys apply even when the
+    # model closure carries its own inner seed
     from numpyro_tpu.infer.initialization import init_to_uniform as _itu
 
-    if getattr(init_strategy, "func", None) is _itu:
-        radius = init_strategy.keywords.get("radius", 2.0)
-    else:
-        radius = None
+    uniform_radius = (
+        init_strategy.keywords.get("radius", 2.0)
+        if getattr(init_strategy, "func", None) is _itu
+        and prototype_params is not None
+        else None
+    )
 
-    def cond_fn(state):
-        i, _, _, is_valid = state
-        return (i < 100) & (~is_valid)
-
-    def body_fn(state):
-        i, key, _, _ = state
-        key, subkey = random.split(key)
-
-        if radius is not None and prototype_params is not None:
-            # draw uniformly in unconstrained space, shaped like the prototype
-            params = {}
-            for k, v in prototype_params.items():
-                params[k] = random.uniform(
-                    subkey, jnp.shape(v), minval=-radius, maxval=radius
+    def draw_candidate(key):
+        """One candidate latent dict in unconstrained space."""
+        if uniform_radius is not None:
+            leaves, treedef = jax.tree.flatten(prototype_params)
+            draws = [
+                random.uniform(
+                    k, jnp.shape(leaf), minval=-uniform_radius, maxval=uniform_radius
                 )
-                key, subkey = random.split(key)
-        else:
-            # trace the model with the init strategy to get initial
-            # constrained values, then unconstrain
-            seeded_model = handlers.substitute(
-                handlers.seed(model, subkey), substitute_fn=init_strategy
-            )
-            model_trace = handlers.trace(seeded_model).get_trace(
-                *model_args, **model_kwargs
-            )
-            constrained_values, inv_transforms = {}, {}
-            for k, v in model_trace.items():
-                if (
-                    v["type"] == "sample"
-                    and not v["is_observed"]
-                    and not v["fn"].support.is_discrete
-                ):
-                    constrained_values[k] = v["value"]
-                    with handlers.block():
-                        inv_transforms[k] = biject_to(v["fn"].support)
-            params = transform_fn(
-                inv_transforms,
-                {k: v for k, v in constrained_values.items()},
-                invert=True,
-            )
-        potential_fn = partial(
+                for k, leaf in zip(random.split(key, len(leaves)), leaves)
+            ]
+            return jax.tree.unflatten(treedef, draws)
+        # otherwise: trace under the strategy, then pull each constrained
+        # draw back through its support bijector
+        strategized = handlers.substitute(
+            handlers.seed(model, key), substitute_fn=init_strategy
+        )
+        trace = handlers.trace(strategized).get_trace(*model_args, **model_kwargs)
+        out = {}
+        for name, site in trace.items():
+            if (
+                site["type"] == "sample"
+                and not site["is_observed"]
+                and not site["fn"].support.is_discrete
+            ):
+                with handlers.block():
+                    out[name] = biject_to(site["fn"].support).inv(site["value"])
+        return out
+
+    def score_candidate(params):
+        """(pe, grad-or-None, finite?) for one candidate."""
+        pe_fn = partial(
             potential_energy, model, model_args, model_kwargs, enum=enum
         )
-        if validate_grad:
-            if forward_mode_differentiation:
-                pe = potential_fn(params)
-                z_grad = jacfwd(potential_fn)(params)
-            else:
-                pe, z_grad = value_and_grad(potential_fn)(params)
-            z_grad_flat = ravel_pytree(z_grad)[0]
-            is_valid = jnp.isfinite(pe) & jnp.all(jnp.isfinite(z_grad_flat))
+        if not validate_grad:
+            pe = pe_fn(params)
+            return pe, None, jnp.isfinite(pe)
+        if forward_mode_differentiation:
+            pe, grad = pe_fn(params), jacfwd(pe_fn)(params)
         else:
-            pe = potential_fn(params)
-            is_valid = jnp.isfinite(pe)
-            z_grad = None
+            pe, grad = value_and_grad(pe_fn)(params)
+        finite = jnp.isfinite(pe) & jnp.all(
+            jnp.isfinite(ravel_pytree(grad)[0])
+        )
+        return pe, grad, finite
 
-        return i + 1, key, (params, pe, z_grad), is_valid
+    def attempt(state):
+        tries, key, _, _ = state
+        key, sub = random.split(key)
+        params = draw_candidate(sub)
+        pe, grad, ok = score_candidate(params)
+        return tries + 1, key, (params, pe, grad), ok
 
-    def _find_valid_params(rng_key, exit_early=False):
-        prototype_grads = prototype_params if validate_grad else None
-        init_state = (
+    def search(key, exit_early=False):
+        seed_state = (
             0,
-            rng_key,
-            (prototype_params, jnp.zeros(()), prototype_grads),
+            key,
+            (
+                prototype_params,
+                jnp.zeros(()),
+                prototype_params if validate_grad else None,
+            ),
             jnp.asarray(False),
         )
-        if exit_early and not_jax_tracer(rng_key):
-            # early return if valid params found (host loop, compile once)
-            _, _, (init_params, pe, z_grad), is_valid = init_state = body_fn(
-                init_state
-            )
-            if not_jax_tracer(is_valid):
-                if device_get(is_valid):
-                    return (init_params, pe, z_grad), is_valid
-
-        _, _, (init_params, pe, z_grad), is_valid = lax.while_loop(
-            cond_fn, body_fn, init_state
+        if exit_early and not_jax_tracer(key):
+            # first try outside the loop: the common case needs no retries
+            # and can return without compiling the while_loop at all
+            seed_state = attempt(seed_state)
+            ok = seed_state[3]
+            if not_jax_tracer(ok) and device_get(ok):
+                return seed_state[2], ok
+        _, _, found, ok = lax.while_loop(
+            lambda s: (s[0] < 100) & ~s[3], attempt, seed_state
         )
-        return (init_params, pe, z_grad), is_valid
+        return found, ok
 
-    # batched over the leading dim of rng_key: one fused program for all chains
+    # batched over the leading dim of rng_key: one fused program per chain
     if is_prng_key(rng_key):
-        (init_params, pe, z_grad), is_valid = _find_valid_params(
-            rng_key, exit_early=True
-        )
-    else:
-        (init_params, pe, z_grad), is_valid = lax.map(_find_valid_params, rng_key)
-
-    return (init_params, pe, z_grad), is_valid
+        return search(rng_key, exit_early=True)
+    return lax.map(search, rng_key)
 
 
 def _get_model_transforms(model, model_args=(), model_kwargs=None):
@@ -673,48 +658,29 @@ class Predictive:
             raise ValueError(
                 "Either posterior_samples or num_samples must be specified."
             )
-        if posterior_samples is not None and num_samples is not None:
-            sample_len = len(next(iter(posterior_samples.values()), np.empty((0,))))
+        if batch_ndims is None:
+            batch_ndims = (
+                1 if (posterior_samples is not None or guide is not None) else 0
+            )
+        posterior_samples = posterior_samples or {}
 
-        batch_ndims = (
-            batch_ndims
-            if batch_ndims is not None
-            else 1
-            if (posterior_samples is not None or guide is not None)
-            else 0
-        )
-
-        posterior_samples = {} if posterior_samples is None else posterior_samples
-
-        prototype_site = batch_shape = batch_size = None
-        for name, sample in posterior_samples.items():
-            if batch_shape is not None and sample.shape[:batch_ndims] != batch_shape:
-                raise ValueError(
-                    f"Batch shapes at site {name} and {prototype_site} "
-                    f"should be the same, but got "
-                    f"{sample.shape[:batch_ndims]} and {batch_shape}"
+        batch_shape = _common_batch_shape(posterior_samples, batch_ndims)
+        if batch_shape is not None:
+            batch_size = int(np.prod(batch_shape))
+            if num_samples is not None and num_samples != batch_size:
+                warnings.warn(
+                    f"Sample's batch dimension size {batch_size} is different "
+                    f"from the provided {num_samples} num_samples argument. "
+                    f"Defaulting to {batch_size}.",
+                    UserWarning,
+                    stacklevel=2,
                 )
-            else:
-                prototype_site = name
-                batch_shape = sample.shape[:batch_ndims]
-                batch_size = int(np.prod(batch_shape))
-                if (num_samples is not None) and (num_samples != batch_size):
-                    warnings.warn(
-                        "Sample's batch dimension size {} is different from the "
-                        "provided {} num_samples argument. Defaulting to {}.".format(
-                            batch_size, num_samples, batch_size
-                        ),
-                        UserWarning,
-                        stacklevel=2,
-                    )
-                num_samples = batch_size
-
-        if num_samples is None:
+            num_samples = batch_size
+        elif num_samples is None:
             raise ValueError(
                 "No sample sites in posterior samples to infer `num_samples`."
             )
-
-        if batch_shape is None:
+        else:
             batch_shape = (1,) * (batch_ndims - 1) + (num_samples,)
 
         if return_sites is not None:
@@ -777,48 +743,43 @@ class Predictive:
             raise NotImplementedError
 
 
+def _common_batch_shape(samples, batch_ndims):
+    """The shared leading batch shape of a sample dict (None if empty);
+    raises if sites disagree."""
+    shape, witness = None, None
+    for name, value in samples.items():
+        here = jnp.shape(value)[:batch_ndims]
+        if shape is not None and here != shape:
+            raise ValueError(
+                f"Batch shapes at site {name} and {witness} should be the "
+                f"same, but got {here} and {shape}"
+            )
+        shape, witness = here, name
+    return shape
+
+
 def log_likelihood(
     model, posterior_samples, *args, parallel=False, batch_ndims=1, **kwargs
 ):
     """Per-observation log-probs of observed sites over posterior samples
     (reference: infer/util.py:1094-1147)."""
-    batch_size = int(
-        np.prod(
-            jax.tree.flatten(
-                jax.tree.map(lambda x: jnp.shape(x)[:batch_ndims], posterior_samples)
-            )[0][0:batch_ndims]
-        )
-    ) if posterior_samples else 1
 
     def single_loglik(samples):
-        substituted_model = (
+        substituted = (
             handlers.substitute(model, samples) if isinstance(samples, dict) else model
         )
-        model_trace = handlers.trace(substituted_model).get_trace(*args, **kwargs)
+        trace = handlers.trace(substituted).get_trace(*args, **kwargs)
         return {
             name: site["fn"].log_prob(site["value"])
-            for name, site in model_trace.items()
+            for name, site in trace.items()
             if site["type"] == "sample" and site["is_observed"]
         }
 
-    prototype_site = batch_shape = None
-    for name, sample in posterior_samples.items():
-        if batch_shape is not None and jnp.shape(sample)[:batch_ndims] != batch_shape:
-            raise ValueError(
-                f"Batch shapes at site {name} and {prototype_site} "
-                f"should be the same, but got "
-                f"{sample.shape[:batch_ndims]} and {batch_shape}"
-            )
-        else:
-            prototype_site = name
-            batch_shape = jnp.shape(sample)[:batch_ndims]
-
-    if batch_shape is None:  # posterior_samples is an empty dict
+    batch_shape = _common_batch_shape(posterior_samples, batch_ndims)
+    if batch_shape is None:  # no posterior draws: a single prior evaluation
         batch_shape = (1,) * batch_ndims
         posterior_samples = np.zeros(batch_shape)
-
-    batch_size = int(np.prod(batch_shape))
-    chunk_size = batch_size if parallel else 1
+    chunk_size = int(np.prod(batch_shape)) if parallel else 1
     return soft_vmap(single_loglik, posterior_samples, len(batch_shape), chunk_size)
 
 

@@ -60,8 +60,8 @@ def test_get_model_relations_and_graph_spec():
     assert rel["plate_sample"] == {"N": ["obs"]}
     assert rel["observed"] == ["obs"]
     spec = generate_graph_specification(rel)
-    assert ("m", "sd") in spec["edge_list"]
-    assert spec["node_data"]["obs"]["is_observed"]
+    assert ("m", "sd") in spec.edges
+    assert spec.nodes["obs"].observed
 
 
 def test_render_model_if_graphviz():

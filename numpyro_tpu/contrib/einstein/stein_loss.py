@@ -15,7 +15,16 @@ from numpyro_tpu import handlers
 from numpyro_tpu.infer.util import log_density
 
 
+def _joint_ld(program, seeded_args, overrides):
+    """log density of `program` with `overrides` substituted in."""
+    args, kwargs, base_params = seeded_args
+    ld, trace = log_density(program, args, kwargs, {**base_params, **overrides})
+    return ld, trace
+
+
 class SteinLoss:
+    """Monte-Carlo mixture-ELBO estimator over the Stein particle cloud."""
+
     def __init__(self, elbo_num_particles=1, stein_num_particles=1):
         self.elbo_num_particles = elbo_num_particles
         self.stein_num_particles = stein_num_particles
@@ -34,70 +43,59 @@ class SteinLoss:
         param_map,
     ):
         """Mixture ELBO for one particle, MC-averaged over elbo draws."""
+        ctx = (model_args, model_kwargs, param_map)
+        log_m = jnp.log(self.stein_num_particles)
 
-        def single_draw_elbo(rng_key):
-            guide_key, model_key = random.split(rng_key, 2)
+        def one_draw(draw_key):
+            q_key, p_key = random.split(draw_key)
 
-            # draw z from q_i
-            _, tri = log_density(
-                handlers.seed(guide, guide_key),
-                model_args,
-                model_kwargs,
-                {**param_map, **selected_particle},
+            # z ~ q_i, recorded in the guide trace
+            _, guide_tr = _joint_ld(
+                handlers.seed(guide, q_key), ctx, selected_particle
             )
+            replayed = handlers.replay(guide, guide_tr)
 
-            def log_q_j(pj):
-                ld, _ = log_density(
-                    handlers.replay(guide, tri),
-                    model_args,
-                    model_kwargs,
-                    {**param_map, **unravel_pytree(pj)},
-                )
-                return ld
+            # mixture density: logsumexp over every particle's q_j(z)
+            comp_lds = vmap(
+                lambda flat_j: _joint_ld(replayed, ctx, unravel_pytree(flat_j))[0]
+            )(flat_particles)
+            mixture_ld = logsumexp(comp_lds) - log_m
 
-            log_mix_q = logsumexp(vmap(log_q_j)(flat_particles)) - jnp.log(
-                self.stein_num_particles
+            joint_ld, _ = _joint_ld(
+                handlers.replay(handlers.seed(model, p_key), guide_tr),
+                ctx,
+                selected_particle,
             )
-            log_p, _ = log_density(
-                handlers.replay(handlers.seed(model, model_key), tri),
-                model_args,
-                model_kwargs,
-                {**param_map, **selected_particle},
-            )
-            return log_p - log_mix_q
+            return joint_ld - mixture_ld
 
-        keys = random.split(rng_key, self.elbo_num_particles)
-        return vmap(single_draw_elbo)(keys).mean()
+        draw_keys = random.split(rng_key, self.elbo_num_particles)
+        return jnp.mean(vmap(one_draw)(draw_keys))
 
     def loss(self, rng_key, param_map, model, guide, particles, *args, **kwargs):
         """Full mixture ELBO averaged over randomly-assigned particles."""
         from numpyro_tpu.contrib.einstein.stein_util import batch_ravel_pytree
 
         if not particles:
-            raise ValueError("Stein mixture undefined for empty guide.")
-        flat_particles, unravel_pytree, _ = batch_ravel_pytree(
-            particles, nbatch_dims=1
-        )
-        select_key, score_key = random.split(rng_key)
-        assigns = random.randint(
-            select_key,
-            (self.elbo_num_particles,),
-            minval=0,
-            maxval=self.stein_num_particles,
-        )
-        score_keys = random.split(score_key, self.elbo_num_particles)
-        elbos = vmap(
-            lambda key, assign: self.particle_loss(
-                rng_key=key,
-                model=model,
-                guide=guide,
-                selected_particle=unravel_pytree(flat_particles[assign]),
-                unravel_pytree=unravel_pytree,
-                flat_particles=flat_particles,
-                select_index=assign,
-                model_args=args,
-                model_kwargs=kwargs,
-                param_map=param_map,
+            raise ValueError("Stein mixture needs at least one particle.")
+        flat, unravel_one, _ = batch_ravel_pytree(particles, nbatch_dims=1)
+
+        pick_key, mc_key = random.split(rng_key)
+        n_draws = self.elbo_num_particles
+        picks = random.randint(pick_key, (n_draws,), 0, self.stein_num_particles)
+
+        def scored(draw_key, pick):
+            return self.particle_loss(
+                draw_key,
+                model,
+                guide,
+                unravel_one(flat[pick]),
+                unravel_one,
+                flat,
+                pick,
+                args,
+                kwargs,
+                param_map,
             )
-        )(score_keys, assigns)
+
+        elbos = vmap(scored)(random.split(mc_key, n_draws), picks)
         return -jnp.mean(elbos)

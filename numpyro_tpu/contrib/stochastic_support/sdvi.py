@@ -4,28 +4,28 @@ one guide per SLP, weighted by its ELBO
 
 from __future__ import annotations
 
-import jax
+from jax.scipy.special import logsumexp
 import jax.numpy as jnp
 
 from numpyro_tpu.contrib.stochastic_support.dcc import (
     SDVIResult,
     StochasticSupportInference,
 )
-from numpyro_tpu.handlers import condition
-from numpyro_tpu.infer import (
-    ELBO,
-    SVI,
-    Trace_ELBO,
-    TraceEnum_ELBO,
-    TraceGraph_ELBO,
-    TraceMeanField_ELBO,
-)
+from numpyro_tpu import handlers, infer
 from numpyro_tpu.infer.autoguide import AutoNormal
 
-VALID_ELBOS = (Trace_ELBO, TraceMeanField_ELBO, TraceEnum_ELBO, TraceGraph_ELBO)
+_ELBO_WHITELIST = (
+    infer.Trace_ELBO,
+    infer.TraceMeanField_ELBO,
+    infer.TraceEnum_ELBO,
+    infer.TraceGraph_ELBO,
+)
 
 
 class SDVI(StochasticSupportInference):
+    """Fits an independent guide to each straight-line program, then weighs
+    the SLP posteriors by softmax of their final ELBOs."""
+
     def __init__(
         self,
         model,
@@ -38,38 +38,49 @@ class SDVI(StochasticSupportInference):
         num_slp_samples=1_000,
         max_slps=124,
     ):
-        self.guide_init = guide_init
+        if loss is None:
+            loss = infer.Trace_ELBO()
+        elif not isinstance(loss, _ELBO_WHITELIST):
+            allowed = ", ".join(cls.__name__ for cls in _ELBO_WHITELIST)
+            raise ValueError(f"loss must be an instance of: ({allowed})")
+        self.loss = loss
         self.optimizer = optimizer
+        self.guide_init = guide_init
         self.svi_num_steps = svi_num_steps
         self.svi_progress_bar = svi_progress_bar
-        loss = Trace_ELBO() if loss is None else loss
-        if not isinstance(loss, VALID_ELBOS):
-            err = ", ".join(x.__name__ for x in VALID_ELBOS)
-            raise ValueError(f"loss must be an instance of: ({err})")
-        self.loss = loss
         self.combine_elbo_particles = combine_elbo_particles
         super().__init__(model, num_slp_samples, max_slps)
 
+    def _pin_branches(self, branching_trace):
+        """The SLP-restricted model: discrete branch choices pinned."""
+        return handlers.condition(self.model, branching_trace)
+
     def _run_inference(self, rng_key, branching_trace, *args, **kwargs):
-        slp_model = condition(self.model, branching_trace)
-        guide = self.guide_init(slp_model)
-        svi = SVI(slp_model, guide, self.optimizer, self.loss)
-        svi_result = svi.run(
+        pinned = self._pin_branches(branching_trace)
+        guide = self.guide_init(pinned)
+        fit = infer.SVI(pinned, guide, self.optimizer, self.loss).run(
             rng_key,
             self.svi_num_steps,
             *args,
             progress_bar=self.svi_progress_bar,
             **kwargs,
         )
-        return guide, svi_result.params
+        return guide, fit.params
 
     def _combine_inferences(self, rng_key, guides, branching_traces, *args, **kwargs):
-        elbos = {}
-        for bt, (guide, param_map) in guides.items():
-            slp_model = condition(self.model, branching_traces[bt])
-            elbos[bt] = -Trace_ELBO(
-                num_particles=self.combine_elbo_particles
-            ).loss(rng_key, param_map, slp_model, guide, *args, **kwargs)
-        normalizer = jax.scipy.special.logsumexp(jnp.array(list(elbos.values())))
-        slp_weights = {k: jnp.exp(v - normalizer) for k, v in elbos.items()}
-        return SDVIResult(guides, slp_weights)
+        estimator = infer.Trace_ELBO(num_particles=self.combine_elbo_particles)
+        names, elbo_vals = list(guides), []
+        for bt in names:
+            guide, param_map = guides[bt]
+            neg_elbo = estimator.loss(
+                rng_key,
+                param_map,
+                self._pin_branches(branching_traces[bt]),
+                guide,
+                *args,
+                **kwargs,
+            )
+            elbo_vals.append(-neg_elbo)
+        stacked = jnp.stack(elbo_vals)
+        weights = jnp.exp(stacked - logsumexp(stacked))
+        return SDVIResult(guides, dict(zip(names, weights)))

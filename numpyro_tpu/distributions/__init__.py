@@ -1,227 +1,64 @@
 """numpyro_tpu.distributions — TPU-native distributions library (L1).
 
-API parity target: numpyro/distributions/__init__.py:114-215.
+API parity target: numpyro/distributions/__init__.py:114-215. The public
+inventory is declared as a per-module name table and materialised into the
+package namespace in one pass.
 """
 
+from importlib import import_module
+
 from . import constraints, transforms
-from .continuous import (
-    AsymmetricLaplace,
-    AsymmetricLaplaceQuantile,
-    Beta,
-    BetaProportion,
-    CAR,
-    Cauchy,
-    Chi2,
-    CirculantNormal,
-    Dirichlet,
-    EulerMaruyama,
-    Exponential,
-    Gamma,
-    GaussianRandomWalk,
-    GaussianStateSpace,
-    Gompertz,
-    Gumbel,
-    HalfCauchy,
-    HalfNormal,
-    InverseGamma,
-    Kumaraswamy,
-    Laplace,
-    Levy,
-    LKJ,
-    LKJCholesky,
-    Logistic,
-    LogNormal,
-    LogUniform,
-    LowRankMultivariateNormal,
-    MatrixNormal,
-    MultivariateNormal,
-    MultivariateStudentT,
-    Normal,
-    Pareto,
-    RelaxedBernoulli,
-    RelaxedBernoulliLogits,
-    SoftLaplace,
-    StudentT,
-    Uniform,
-    Weibull,
-    Wishart,
-    WishartCholesky,
-    ZeroSumNormal,
-)
-from .copula import GaussianCopula, GaussianCopulaBeta
-from .discrete import (
-    Bernoulli,
-    BernoulliLogits,
-    BernoulliProbs,
-    Binomial,
-    BinomialLogits,
-    BinomialProbs,
-    Categorical,
-    CategoricalLogits,
-    CategoricalProbs,
-    DiscreteUniform,
-    Geometric,
-    GeometricLogits,
-    GeometricProbs,
-    Multinomial,
-    MultinomialLogits,
-    MultinomialProbs,
-    NegativeBinomial2,
-    OrderedLogistic,
-    Poisson,
-    ZeroInflatedDistribution,
-    ZeroInflatedLogits,
-    ZeroInflatedNegativeBinomial2,
-    ZeroInflatedPoisson,
-    ZeroInflatedProbs,
-)
-from .distribution import (
-    Delta,
-    Distribution,
-    ExpandedDistribution,
-    FoldedDistribution,
-    ImproperUniform,
-    Independent,
-    MaskedDistribution,
-    TransformedDistribution,
-    Unit,
-    enable_validation,
-    validation_enabled,
-)
+from .distribution import enable_validation, validation_enabled
 from .kl import kl_divergence, register_kl
 from .transforms import biject_to
-from .truncated import (
-    DoublyTruncatedPowerLaw,
-    LeftTruncatedDistribution,
-    LowerTruncatedPowerLaw,
-    RightTruncatedDistribution,
-    TruncatedCauchy,
-    TruncatedDistribution,
-    TruncatedNormal,
-    TruncatedPolyaGamma,
-    TwoSidedTruncatedDistribution,
-)
-from .directional import (
-    ProjectedNormal,
-    SineBivariateVonMises,
-    SineSkewed,
-    VonMises,
-)
-from .conjugate import (
-    BetaBinomial,
-    DirichletMultinomial,
-    GammaPoisson,
-    NegativeBinomial,
-    NegativeBinomialLogits,
-    NegativeBinomialProbs,
-)
-from .mixtures import Mixture, MixtureGeneral, MixtureSameFamily
+
+_INVENTORY = {
+    "continuous": """
+        AsymmetricLaplace AsymmetricLaplaceQuantile Beta BetaProportion CAR
+        Cauchy Chi2 CirculantNormal Dirichlet EulerMaruyama Exponential Gamma
+        GaussianRandomWalk GaussianStateSpace Gompertz Gumbel HalfCauchy
+        HalfNormal InverseGamma Kumaraswamy Laplace Levy LKJ LKJCholesky
+        Logistic LogNormal LogUniform LowRankMultivariateNormal MatrixNormal
+        MultivariateNormal MultivariateStudentT Normal Pareto RelaxedBernoulli
+        RelaxedBernoulliLogits SoftLaplace StudentT Uniform Weibull Wishart
+        WishartCholesky ZeroSumNormal
+    """,
+    "discrete": """
+        Bernoulli BernoulliLogits BernoulliProbs Binomial BinomialLogits
+        BinomialProbs Categorical CategoricalLogits CategoricalProbs
+        DiscreteUniform Geometric GeometricLogits GeometricProbs Multinomial
+        MultinomialLogits MultinomialProbs NegativeBinomial2 OrderedLogistic
+        Poisson ZeroInflatedDistribution ZeroInflatedLogits
+        ZeroInflatedNegativeBinomial2 ZeroInflatedPoisson ZeroInflatedProbs
+    """,
+    "distribution": """
+        Delta Distribution ExpandedDistribution FoldedDistribution
+        ImproperUniform Independent MaskedDistribution TransformedDistribution
+        Unit
+    """,
+    "truncated": """
+        DoublyTruncatedPowerLaw LeftTruncatedDistribution
+        LowerTruncatedPowerLaw RightTruncatedDistribution TruncatedCauchy
+        TruncatedDistribution TruncatedNormal TruncatedPolyaGamma
+        TwoSidedTruncatedDistribution
+    """,
+    "directional": "ProjectedNormal SineBivariateVonMises SineSkewed VonMises",
+    "conjugate": """
+        BetaBinomial DirichletMultinomial GammaPoisson NegativeBinomial
+        NegativeBinomialLogits NegativeBinomialProbs
+    """,
+    "copula": "GaussianCopula GaussianCopulaBeta",
+    "mixtures": "Mixture MixtureGeneral MixtureSameFamily",
+}
 
 __all__ = [
-    "AsymmetricLaplace",
-    "AsymmetricLaplaceQuantile",
-    "Bernoulli",
-    "BernoulliLogits",
-    "BernoulliProbs",
-    "Beta",
-    "BetaBinomial",
-    "BetaProportion",
-    "biject_to",
-    "Binomial",
-    "BinomialLogits",
-    "BinomialProbs",
-    "CAR",
-    "Categorical",
-    "CategoricalLogits",
-    "CategoricalProbs",
-    "Cauchy",
-    "Chi2",
-    "CirculantNormal",
-    "constraints",
-    "Delta",
-    "Dirichlet",
-    "DirichletMultinomial",
-    "DiscreteUniform",
-    "Distribution",
-    "DoublyTruncatedPowerLaw",
-    "enable_validation",
-    "EulerMaruyama",
-    "ExpandedDistribution",
-    "Exponential",
-    "FoldedDistribution",
-    "Gamma",
-    "GammaPoisson",
-    "GaussianCopula",
-    "GaussianCopulaBeta",
-    "GaussianRandomWalk",
-    "GaussianStateSpace",
-    "Geometric",
-    "GeometricLogits",
-    "GeometricProbs",
-    "Gompertz",
-    "Gumbel",
-    "HalfCauchy",
-    "HalfNormal",
-    "ImproperUniform",
-    "Independent",
-    "InverseGamma",
-    "kl_divergence",
-    "Kumaraswamy",
-    "Laplace",
-    "LeftTruncatedDistribution",
-    "Levy",
-    "LKJ",
-    "LKJCholesky",
-    "Logistic",
-    "LogNormal",
-    "LogUniform",
-    "LowerTruncatedPowerLaw",
-    "LowRankMultivariateNormal",
-    "MaskedDistribution",
-    "MatrixNormal",
-    "Mixture",
-    "MixtureGeneral",
-    "MixtureSameFamily",
-    "Multinomial",
-    "MultinomialLogits",
-    "MultinomialProbs",
-    "MultivariateNormal",
-    "MultivariateStudentT",
-    "NegativeBinomial",
-    "NegativeBinomial2",
-    "NegativeBinomialLogits",
-    "NegativeBinomialProbs",
-    "Normal",
-    "OrderedLogistic",
-    "Pareto",
-    "Poisson",
-    "ProjectedNormal",
-    "register_kl",
-    "RelaxedBernoulli",
-    "RelaxedBernoulliLogits",
-    "RightTruncatedDistribution",
-    "SineBivariateVonMises",
-    "SineSkewed",
-    "SoftLaplace",
-    "StudentT",
-    "transforms",
-    "TransformedDistribution",
-    "TruncatedCauchy",
-    "TruncatedDistribution",
-    "TruncatedNormal",
-    "TruncatedPolyaGamma",
-    "TwoSidedTruncatedDistribution",
-    "Uniform",
-    "Unit",
-    "validation_enabled",
-    "VonMises",
-    "Weibull",
-    "Wishart",
-    "WishartCholesky",
-    "ZeroInflatedDistribution",
-    "ZeroInflatedLogits",
-    "ZeroInflatedNegativeBinomial2",
-    "ZeroInflatedPoisson",
-    "ZeroInflatedProbs",
-    "ZeroSumNormal",
+    "biject_to", "constraints", "enable_validation", "kl_divergence",
+    "register_kl", "transforms", "validation_enabled",
 ]
+for _mod_name, _names in _INVENTORY.items():
+    _mod = import_module(f".{_mod_name}", __name__)
+    for _name in _names.split():
+        globals()[_name] = getattr(_mod, _name)
+        __all__.append(_name)
+__all__.sort(key=str.lower)
+del _mod_name, _names, _mod, _name

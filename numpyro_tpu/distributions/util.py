@@ -1,8 +1,12 @@
 """Shared numeric helpers for the distributions layer.
 
-Fresh TPU-first implementations of the utility surface of
+TPU-first implementations of the utility surface of
 numpyro/distributions/util.py — shape promotion, masked scaling, stable
-special-function kernels.  Everything is jit/vmap-safe jnp code.
+special-function kernels.  The discrete samplers (binomial, von Mises) are
+designed batched-first: one whole-array rejection loop with per-lane accept
+masks, instead of the reference's per-element vmapped scalar loops — on TPU
+a vmapped scalar `while_loop` serializes, while the masked-lane form keeps
+every iteration a full-width vector op.
 """
 
 from __future__ import annotations
@@ -13,44 +17,39 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax, random, vmap
+from jax import lax, random
 from jax.scipy.linalg import solve_triangular
+from jax.scipy.special import gammainc, gammaln
 
 # matrix/vector helpers ------------------------------------------------------
 
 
 def promote_shapes(*args, shape=()):
     """Left-pad arg shapes so they broadcast against each other and ``shape``."""
-    if len(args) < 2 and not shape:
+    if shape == () and len(args) < 2:
         return args
-    shapes = [jnp.shape(arg) for arg in args]
-    num_dims = len(lax.broadcast_shapes(shape, *shapes))
-    return [
-        jnp.reshape(arg, (1,) * (num_dims - len(s)) + s) if len(s) < num_dims else arg
-        for arg, s in zip(args, shapes)
-    ]
+    arg_shapes = [jnp.shape(a) for a in args]
+    rank = len(lax.broadcast_shapes(shape, *arg_shapes))
+    out = []
+    for a, s in zip(args, arg_shapes):
+        pad = rank - len(s)
+        out.append(a if pad == 0 else jnp.reshape(a, (1,) * pad + s))
+    return out
 
 
 def sum_rightmost(x, dim):
-    if dim == 0:
-        return x
-    return jnp.sum(x, axis=tuple(range(-dim, 0)))
+    return jnp.sum(x, axis=tuple(range(-dim, 0))) if dim else x
 
 
 def scale_and_mask(x, scale=None, mask=None):
     """Scale a log-prob tensor, respecting a boolean mask (0 where masked)."""
-    if mask is None:
-        if scale is None:
-            return x
-        return x * scale
-    if scale is None:
-        return jnp.where(mask, x, 0.0)
-    return jnp.where(mask, x * scale, 0.0)
+    scaled = x if scale is None else x * scale
+    return scaled if mask is None else jnp.where(mask, scaled, 0.0)
 
 
 def matrix_to_tril_vec(x, diagonal=0):
-    idxs = jnp.tril_indices(x.shape[-1], diagonal)
-    return x[..., idxs[0], idxs[1]]
+    rows, cols = jnp.tril_indices(x.shape[-1], diagonal)
+    return x[..., rows, cols]
 
 
 def vec_to_tril_matrix(t, diagonal=0):
@@ -60,18 +59,22 @@ def vec_to_tril_matrix(t, diagonal=0):
 
 
 def cholesky_of_inverse(matrix):
-    """Cholesky of matrix inverse via triangular solve (stable, batched)."""
-    tril_inv = jnp.swapaxes(
-        jnp.linalg.cholesky(matrix[..., ::-1, ::-1])[..., ::-1, ::-1], -2, -1
-    )
-    identity = jnp.broadcast_to(jnp.identity(matrix.shape[-1]), tril_inv.shape)
-    return solve_triangular(tril_inv, identity, lower=True)
+    """Cholesky of matrix inverse via triangular solve (stable, batched).
+
+    Flipping both axes turns the Cholesky of the reversed matrix into an
+    upper-triangular factor of the original, whose transpose-solve against I
+    yields chol(M^-1) without ever forming the inverse."""
+    flipped = jnp.linalg.cholesky(matrix[..., ::-1, ::-1])
+    upper = jnp.swapaxes(flipped[..., ::-1, ::-1], -2, -1)
+    eye = jnp.broadcast_to(jnp.identity(matrix.shape[-1]), upper.shape)
+    return solve_triangular(upper, eye, lower=True)
 
 
 def add_diag(matrix, diag):
     """matrix + diag(diag) for batched square matrices."""
-    idx = jnp.arange(matrix.shape[-1])
-    return matrix.at[..., idx, idx].add(diag[..., None] if jnp.ndim(diag) == 0 else diag)
+    k = matrix.shape[-1]
+    bumps = jnp.asarray(diag)[..., None] if jnp.ndim(diag) == 0 else diag
+    return matrix.at[..., jnp.arange(k), jnp.arange(k)].add(bumps)
 
 
 # lazy_property ---------------------------------------------------------------
@@ -89,20 +92,20 @@ class lazy_property:
     def __get__(self, instance, obj_type=None):
         if instance is None:
             return self
-        value = self.wrapped(instance)
-        setattr(instance, self.wrapped.__name__, value)
-        return value
+        computed = self.wrapped(instance)
+        instance.__dict__[self.wrapped.__name__] = computed
+        return computed
 
 
 def validate_sample(log_prob_fn):
     @functools.wraps(log_prob_fn)
     def wrapper(self, *args, **kwargs):
-        log_prob = log_prob_fn(self, *args, **kwargs)
+        out = log_prob_fn(self, *args, **kwargs)
         if self._validate_args:
-            value = kwargs["value"] if "value" in kwargs else args[0]
-            mask = self._validate_sample(value)
-            log_prob = jnp.where(mask, log_prob, -jnp.inf)
-        return log_prob
+            sample = kwargs.get("value", args[0] if args else None)
+            in_support = self._validate_sample(sample)
+            out = jnp.where(in_support, out, -jnp.inf)
+        return out
 
     return wrapper
 
@@ -111,16 +114,16 @@ def is_prng_key(key) -> bool:
     try:
         if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
             return key.shape == ()
-        return key.shape == (2,) and key.dtype == np.uint32
+        return key.dtype == np.uint32 and key.shape == (2,)
     except AttributeError:
         return False
 
 
 def assert_one_of(**kwargs):
-    specified = [k for k, v in kwargs.items() if v is not None]
-    if len(specified) != 1:
+    given = [name for name, val in kwargs.items() if val is not None]
+    if len(given) != 1:
         raise ValueError(
-            f"Exactly one of {list(kwargs)} must be specified; got {specified}"
+            f"Exactly one of {list(kwargs)} must be specified; got {given}"
         )
 
 
@@ -129,222 +132,183 @@ def assert_one_of(**kwargs):
 
 def binary_cross_entropy_with_logits(x, y):
     # -y * log sigmoid(x) - (1 - y) * log sigmoid(-x), stably
-    return jnp.clip(x, 0) + jnp.log1p(jnp.exp(-jnp.abs(x))) - x * y
+    return jnp.logaddexp(0.0, -jnp.abs(x)) + jnp.maximum(x, 0.0) - x * y
 
 
 def clamp_probs(probs):
-    finfo = jnp.finfo(jnp.result_type(probs, float))
-    return jnp.clip(probs, finfo.tiny, 1.0 - finfo.eps)
+    eps = jnp.finfo(jnp.result_type(probs, float))
+    return jnp.clip(probs, eps.tiny, 1.0 - eps.eps)
 
 
 def logits_to_probs(logits, is_binary=False):
-    if is_binary:
-        return jax.nn.sigmoid(logits)
-    return jax.nn.softmax(logits, axis=-1)
+    fn = jax.nn.sigmoid if is_binary else functools.partial(jax.nn.softmax, axis=-1)
+    return fn(logits)
 
 
 def probs_to_logits(probs, is_binary=False):
-    ps_clamped = clamp_probs(probs)
-    if is_binary:
-        return jnp.log(ps_clamped) - jnp.log1p(-ps_clamped)
-    return jnp.log(ps_clamped)
+    safe = clamp_probs(probs)
+    return jnp.log(safe) - jnp.log1p(-safe) if is_binary else jnp.log(safe)
 
 
 def multigammaln(a, d):
-    constant = 0.25 * d * (d - 1) * jnp.log(jnp.pi)
-    res = jnp.sum(
-        jax.scipy.special.gammaln(
-            jnp.expand_dims(a, axis=-1) - 0.5 * jnp.arange(d)
-        ),
-        axis=-1,
-    )
-    return res + constant
+    offsets = 0.5 * jnp.arange(d)
+    terms = gammaln(jnp.expand_dims(a, -1) - offsets).sum(-1)
+    return terms + 0.25 * d * (d - 1) * jnp.log(jnp.pi)
 
 
 def betainc(a, b, x):
     return jax.scipy.special.betainc(a, b, x)
 
 
-def betaincinv(a, b, y):
-    # Newton iterations on a bracketed bisection start; jax has no betaincinv.
-    # Initialize with the mean then run fixed-count bisection (jit-friendly).
-    def cond_fn(val):
-        return val[4] < 60
+def _bisect_inverse(fn, target, lo, hi, iters):
+    """Invert a monotone CDF by fixed-count bisection (jit-friendly: the
+    trip count is static, the bracket state is whole-array)."""
 
-    def body_fn(val):
-        lo, hi, a_, b_, it = val
+    def halve(_, bracket):
+        lo, hi = bracket
         mid = 0.5 * (lo + hi)
-        f = betainc(a_, b_, mid) - y
-        lo = jnp.where(f < 0, mid, lo)
-        hi = jnp.where(f < 0, hi, mid)
-        return lo, hi, a_, b_, it + 1
+        below = fn(mid) < target
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
 
-    a, b, y = jnp.broadcast_arrays(a, b, y)
-    lo = jnp.zeros_like(y)
-    hi = jnp.ones_like(y)
-    lo, hi, _, _, _ = lax.while_loop(cond_fn, body_fn, (lo, hi, a, b, 0))
+    lo, hi = lax.fori_loop(0, iters, halve, (lo, hi))
     return 0.5 * (lo + hi)
+
+
+def betaincinv(a, b, y):
+    # jax has no betaincinv; the unit interval brackets the root for free
+    a, b, y = jnp.broadcast_arrays(a, b, y)
+    return _bisect_inverse(
+        lambda x: betainc(a, b, x), y, jnp.zeros_like(y), jnp.ones_like(y), 60
+    )
 
 
 def gammaincinv(a, y):
-    def cond_fn(val):
-        return val[3] < 120
-
-    def body_fn(val):
-        lo, hi, a_, it = val
-        mid = 0.5 * (lo + hi)
-        f = jax.scipy.special.gammainc(a_, mid) - y
-        lo = jnp.where(f < 0, mid, lo)
-        hi = jnp.where(f < 0, hi, mid)
-        return lo, hi, a_, it + 1
-
     a, y = jnp.broadcast_arrays(a, y)
-    lo = jnp.zeros_like(y)
-    hi = jnp.full_like(y, 1e6)
-    lo, hi, _, _ = lax.while_loop(cond_fn, body_fn, (lo, hi, a, 0))
-    return 0.5 * (lo + hi)
+    return _bisect_inverse(
+        lambda x: gammainc(a, x), y, jnp.zeros_like(y), jnp.full_like(y, 1e6), 120
+    )
 
 
 def stirling_approx_tail(k):
-    precomputed = jnp.array(
-        [
-            0.08106146679532726,
-            0.04134069595540929,
-            0.02767792568499834,
-            0.02079067210376509,
-            0.01664469118982119,
-            0.01387612882307075,
-            0.01189670994589177,
-            0.01041126526197209,
-            0.009255462182712733,
-            0.008330563433362871,
-        ]
-    )
-    kp1 = k + 1
-    kp1sq = (k + 1) ** 2
-    tail_general = (1.0 / 12 - (1.0 / 360 - 1.0 / 1260 / kp1sq) / kp1sq) / kp1
-    return jnp.where(k < 10, precomputed[jnp.clip(k, 0, 9).astype(int)], tail_general)
+    """tail(k) = log k! - [0.5 log(2π) + (k+½) log(k+1) - (k+1)].
+
+    Evaluated exactly through ``gammaln`` for small k (where the subtraction
+    is well-conditioned) and by the asymptotic series elsewhere — no lookup
+    table needed."""
+    kp1 = k + 1.0
+    exact = gammaln(kp1) - (k + 0.5) * jnp.log(kp1) + kp1 - 0.9189385332046727
+    inv_sq = 1.0 / jnp.square(kp1)
+    series = (1.0 / 12.0 - (1.0 / 360.0 - inv_sq / 1260.0) * inv_sq) / kp1
+    return jnp.where(k < 10, exact, series)
 
 
-def _binomial_btrs(key, p, n):
-    """Transformed-rejection binomial sampler (Hormann 1993) for n*p >= 10.
+# -- batched binomial sampling ------------------------------------------------
+#
+# Algorithm parity with the reference (numpyro/distributions/util.py:108-228):
+# Hormann's BTRS transformed rejection for np >= 10, geometric-jump inversion
+# below.  Design difference: both run as ONE whole-array while_loop with a
+# per-lane done mask (lanes destined for the other sampler start out done),
+# so no per-element key splitting or vmap-of-while_loop appears anywhere.
 
-    Written as a single bounded while_loop so it fuses into the surrounding
-    sampling program.
+
+def _btrs_batched(key, p, n, shape):
+    """Hormann (1993) transformed rejection with squeeze, all lanes at once.
+
+    Lanes with n*p < 10 are born accepted (their value comes from inversion).
+    Accept proposal k iff ``v * alpha / g(u) <= f(k) / f(mode)`` where g is
+    the dominating density's derivative term; the density ratio is evaluated
+    through the symmetric half-term ``lf(j) = (j+½)log(j+1) +
+    (n-j+½)log(n-j+1) + tail(j) + tail(n-j)`` so that
+    ``log f(k) - log f(m) = lf(m) - lf(k) + (k-m) log odds``.
     """
-
-    def _btrs_body(val):
-        _, key, _, _ = val
-        key, key_u, key_v = random.split(key, 3)
-        u = random.uniform(key_u)
-        v = random.uniform(key_v)
-        u = u - 0.5
-        k = jnp.floor(
-            (2 * tr_params.a / (0.5 - jnp.abs(u)) + tr_params.b) * u + tr_params.c
-        ).astype(n.dtype)
-        return k, key, u, v
-
-    def _btrs_cond(val):
-        k, key, u, v = val
-        early_accept = (jnp.abs(u) <= tr_params.u_r) & (v <= tr_params.v_r)
-        out_of_range = (k < 0) | (k > n)
-
-        def accept_fn(k, u, v):
-            log_v = jnp.log(v)
-            m = jnp.floor((n + 1) * p).astype(n.dtype)
-            log_accept = (
-                (m + 0.5) * (jnp.log((m + 1) / (n - m + 1)) + tr_params.log_p)
-                + (n + 1) * jnp.log((n - m + 1) / (n - k + 1))
-                + (k + 0.5) * (jnp.log((n - k + 1) / (k + 1)) + tr_params.log_p)
-                + stirling_approx_tail(k)
-                + stirling_approx_tail(n - k)
-                - stirling_approx_tail(m)
-                - stirling_approx_tail(n - m)
-            )
-            return log_v <= log_accept
-
-        accept = ~out_of_range & (early_accept | accept_fn(k, u, v))
-        return ~accept
-
-    from collections import namedtuple
-
-    TRParams = namedtuple(
-        "TRParams", ["a", "b", "c", "u_r", "v_r", "log_p", "log1_p"]
-    )
-    q = 1.0 - p
-    stddev = jnp.sqrt(n * p * q)
-    b = 1.15 + 2.53 * stddev
+    use = n * p >= 10.0
+    # per-lane envelope constants (Hormann Table 1)
+    spread = jnp.sqrt(n * p * (1.0 - p))
+    b = 1.15 + 2.53 * spread
     a = -0.0873 + 0.0248 * b + 0.01 * p
-    c = n * p + 0.5
-    v_r = 0.92 - 4.2 / b
-    u_r = 0.43
-    log_p = jnp.log(p)
-    log1_p = jnp.log1p(-p)
-    tr_params = TRParams(a, b, c, u_r, v_r, log_p, log1_p)
+    center = n * p + 0.5
+    v_cut = 0.92 - 4.2 / b
+    alpha = (2.83 + 5.1 / b) * spread
+    mode = jnp.floor((n + 1.0) * p)
+    log_odds = jnp.log(p) - jnp.log1p(-p)
 
-    ret = lax.while_loop(
-        _btrs_cond,
-        _btrs_body,
-        (-1 * jnp.ones_like(n), key, jnp.zeros_like(p), jnp.zeros_like(p)),
-    )
-    return ret[0]
-
-
-def _binomial_inversion(key, p, n):
-    """Geometric-jump inversion sampler for small n*p."""
-
-    def _binom_inv_body_fn(val):
-        i, key, geom_acc = val
-        key, key_u = random.split(key)
-        u = random.uniform(key_u)
-        geom = jnp.ceil(jnp.log(u) / log1_p)
-        geom_acc = geom_acc + geom
-        return i + 1, key, geom_acc
-
-    def _binom_inv_cond_fn(val):
-        i, _, geom_acc = val
-        return geom_acc <= n
-
-    log1_p = jnp.log1p(-p)
-    ret = lax.while_loop(
-        _binom_inv_cond_fn,
-        _binom_inv_body_fn,
-        (jnp.asarray(-1.0), key, jnp.asarray(0.0)),
-    )
-    return jnp.clip(ret[0], 0.0, n)
-
-
-def _binomial_dispatch(key, p, n):
-    def dispatch(key, p, n):
-        is_le_mid = p <= 0.5
-        pq = jnp.where(is_le_mid, p, 1 - p)
-        mu = n * pq
-        k = lax.cond(
-            mu < 10,
-            lambda args: _binomial_inversion(*args),
-            lambda args: _binomial_btrs(*args).astype(jnp.result_type(float)),
-            (key, pq, n),
+    def lf(j):
+        return (
+            (j + 0.5) * jnp.log1p(j)
+            + (n - j + 0.5) * jnp.log1p(n - j)
+            + stirling_approx_tail(j)
+            + stirling_approx_tail(n - j)
         )
-        return jnp.where(is_le_mid, k, n - k)
 
-    # handle degenerate cases without branching inside the sampler
-    n = jnp.asarray(n, dtype=jnp.result_type(float))
-    p_ok = (p > 0) & (p < 1) & (n > 0)
-    safe_p = jnp.where(p_ok, p, 0.5)
-    safe_n = jnp.where(n > 0, n, 1.0)
-    k = dispatch(key, safe_p, safe_n)
-    k = jnp.where(p_ok, k, jnp.where(p >= 1, n, 0.0))
-    return k
+    lf_mode = lf(mode)
+
+    def propose(state):
+        key, k, pending = state
+        key, sub = random.split(key)
+        u, v = random.uniform(sub, (2,) + shape)
+        u = u - 0.5
+        us = 0.5 - jnp.abs(u)
+        k_new = jnp.floor((2.0 * a / us + b) * u + center)
+        in_range = (k_new >= 0.0) & (k_new <= n)
+        # squeeze: cheap accept region needing no log evaluation
+        squeeze = (us >= 0.07) & (v <= v_cut)
+        log_ratio = lf_mode - lf(k_new) + (k_new - mode) * log_odds
+        envelope = jnp.log(v * alpha) - jnp.log(a / jnp.square(us) + b)
+        ok = in_range & (squeeze | (envelope <= log_ratio))
+        k = jnp.where(pending & ok, k_new, k)
+        return key, k, pending & ~ok
+
+    def unsettled(state):
+        return jnp.any(state[2])
+
+    init = (key, jnp.zeros(shape, p.dtype), use)
+    return lax.while_loop(unsettled, propose, init)[1]
+
+
+def _inversion_batched(key, p, n, shape):
+    """Sum geometric gaps until they pass n; the count of completed gaps is
+    Binomial(n, p).  Every lane advances together; finished lanes idle."""
+    use = n * p < 10.0
+    log_q = jnp.log1p(-p)
+
+    def jump(state):
+        key, hops, total, pending = state
+        key, sub = random.split(key)
+        u = random.uniform(sub, shape)
+        gap = jnp.ceil(jnp.log1p(-u) / log_q)
+        total = jnp.where(pending, total + gap, total)
+        hops = jnp.where(pending & (total <= n), hops + 1.0, hops)
+        return key, hops, total, pending & (total <= n)
+
+    def unsettled(state):
+        return jnp.any(state[3])
+
+    zeros = jnp.zeros(shape, p.dtype)
+    out = lax.while_loop(unsettled, jump, (key, zeros, zeros, use))
+    return jnp.clip(out[1], 0.0, n)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _binomial(key, p, n, shape):
     shape = shape or lax.broadcast_shapes(jnp.shape(p), jnp.shape(n))
-    p = jnp.reshape(jnp.broadcast_to(p, shape), -1)
-    n = jnp.reshape(jnp.broadcast_to(n, shape), -1)
-    key = random.split(key, jnp.size(p))
-    ret = vmap(_binomial_dispatch)(key, p, n)
-    return jnp.reshape(ret, shape)
+    fdtype = jnp.result_type(float)
+    p = jnp.broadcast_to(p, shape).astype(fdtype)
+    n = jnp.broadcast_to(n, shape).astype(fdtype)
+
+    # work on q = min(p, 1-p); mirror the count back at the end
+    flip = p > 0.5
+    q = jnp.where(flip, 1.0 - p, p)
+    # ~(q > 0) also catches NaN p, which must map to 0 like the reference
+    degenerate = ~(q > 0.0) | (n <= 0.0)
+    q_safe = jnp.where(degenerate, 0.25, q)
+    n_safe = jnp.where(n <= 0.0, 1.0, n)
+
+    key_big, key_small = random.split(key)
+    k_big = _btrs_batched(key_big, q_safe, n_safe, shape)
+    k_small = _inversion_batched(key_small, q_safe, n_safe, shape)
+    k = jnp.where(n_safe * q_safe >= 10.0, k_big, k_small)
+    k = jnp.where(degenerate, 0.0, k)
+    return jnp.where(flip, n - k, k)
 
 
 def binomial(key, p, n=1, shape=()):
@@ -355,9 +319,9 @@ def binomial(key, p, n=1, shape=()):
 def _categorical(key, p, shape):
     # invert the CDF on uniform draws; fully batched, no host control flow
     shape = shape or p.shape[:-1]
-    s = jnp.cumsum(p, axis=-1)
-    r = random.uniform(key, shape=shape + (1,)) * s[..., -1:]
-    return jnp.sum(s < r, axis=-1).astype(jnp.result_type(int))
+    cdf = jnp.cumsum(p, axis=-1)
+    draw = random.uniform(key, shape=shape + (1,)) * cdf[..., -1:]
+    return jnp.sum(cdf < draw, axis=-1).astype(jnp.result_type(int))
 
 
 def categorical(key, p, shape=()):
@@ -368,89 +332,71 @@ def multinomial(key, p, n, shape=(), total_count_max=None):
     if total_count_max is None:
         if isinstance(n, jax.core.Tracer):
             raise ValueError(
-                "Please specify total_count_max when total_count is a traced value"
+                "total_count_max is required when total_count is traced"
             )
         n_max = int(np.max(jax.device_get(n)))
     else:
         n_max = total_count_max
+    k = jnp.shape(p)[-1]
     shape = shape or lax.broadcast_shapes(jnp.shape(p)[:-1], jnp.shape(n))
     if n_max == 0:
-        return jnp.zeros(shape + jnp.shape(p)[-1:], dtype=jnp.result_type(int))
-    # one-hot accumulate n_max categorical draws, masking beyond each count
-    excess = jnp.concatenate(
-        [
-            jnp.expand_dims(n_max - n.astype(p.dtype), -1),
-            jnp.zeros(jnp.shape(n) + (jnp.shape(p)[-1] - 1,)),
-        ],
-        -1,
-    )
-    samples = categorical(key, p, (n_max,) + shape)
-    mask = jnp.arange(n_max).reshape((n_max,) + (1,) * len(shape)) < jnp.broadcast_to(
-        n, shape
-    )
-    samples_one_hot = jax.nn.one_hot(samples, jnp.shape(p)[-1], dtype=p.dtype)
-    counts = jnp.sum(
-        samples_one_hot * jnp.expand_dims(mask.astype(p.dtype), -1), axis=0
-    )
+        return jnp.zeros(shape + (k,), dtype=jnp.result_type(int))
+    # n_max categorical draws, one-hot summed under a per-lane trial mask
+    draws = categorical(key, p, (n_max,) + shape)
+    trial_axis = jnp.arange(n_max).reshape((n_max,) + (1,) * len(shape))
+    live = trial_axis < jnp.broadcast_to(n, shape)
+    onehot = jax.nn.one_hot(draws, k, dtype=p.dtype)
+    counts = (onehot * live[..., None].astype(p.dtype)).sum(0)
     return counts.astype(jnp.result_type(int))
 
 
 def von_mises_centered(key, concentration, shape=(), dtype=jnp.float64):
-    """Best-Fisher (1979) wrapped-Cauchy rejection sampler, centered at 0."""
+    """Best-Fisher (1979) wrapped-Cauchy rejection sampler, centered at 0.
+
+    One masked whole-array rejection loop (design note at module top)."""
     shape = shape or jnp.shape(concentration)
     dtype = jnp.result_type(dtype)
-    concentration = lax.convert_element_type(concentration, dtype)
-    concentration = jnp.broadcast_to(concentration, shape)
+    kappa = jnp.broadcast_to(concentration, shape).astype(dtype)
 
-    s_cutoff_map = {
-        jnp.dtype(jnp.float16): 1.8e-1,
-        jnp.dtype(jnp.float32): 2e-2,
-        jnp.dtype(jnp.float64): 1.2e-4,
-    }
-    s_cutoff = s_cutoff_map.get(jnp.dtype(dtype), 2e-2)
-
-    r = 1.0 + jnp.sqrt(1.0 + 4.0 * concentration**2)
-    rho = (r - jnp.sqrt(2.0 * r)) / (2.0 * concentration)
-    s_exact = (1.0 + rho**2) / (2.0 * rho)
-    s_approximate = 1.0 / jnp.clip(concentration, jnp.finfo(dtype).tiny)
-    s = jnp.where(concentration > s_cutoff, s_exact, s_approximate)
-
-    def cond_fn(val):
-        _, _, done, _ = val
-        return jnp.any(~done)
-
-    def body_fn(val):
-        u_key, w, done, key = val
-        key, key_u, key_v, key_sgn = random.split(key, 4)
-        u = random.uniform(key_u, shape, dtype=dtype, minval=-1.0, maxval=1.0)
-        z = jnp.cos(jnp.pi * u)
-        w_prop = jnp.where(done, w, (1.0 + s * z) / (s + z))
-        y = concentration * (s - w_prop)
-        v = random.uniform(key_v, shape, dtype=dtype)
-        accept = (y * (2.0 - y) >= v) | (jnp.log(jnp.clip(y / v, 1e-37)) + 1.0 >= y)
-        sgn = jnp.where(
-            random.bernoulli(key_sgn, shape=shape), 1.0, -1.0
-        )
-        u_key = jnp.where(done, u_key, sgn)
-        return u_key, w_prop, done | accept, key
-
-    init_done = jnp.zeros(shape, dtype=bool)
-    sgn, w, _, _ = lax.while_loop(
-        cond_fn,
-        body_fn,
-        (jnp.ones(shape, dtype=dtype), jnp.zeros(shape, dtype=dtype), init_done, key),
+    # envelope parameter: exact formula where stable, 1/kappa fallback for
+    # tiny kappa (threshold depends on precision)
+    thresholds = {"float16": 1.8e-1, "float32": 2e-2, "float64": 1.2e-4}
+    cut = thresholds.get(jnp.dtype(dtype).name, 2e-2)
+    r = 1.0 + jnp.sqrt(1.0 + 4.0 * jnp.square(kappa))
+    rho = (r - jnp.sqrt(2.0 * r)) / (2.0 * kappa)
+    env = jnp.where(
+        kappa > cut,
+        (1.0 + jnp.square(rho)) / (2.0 * rho),
+        1.0 / jnp.clip(kappa, jnp.finfo(dtype).tiny),
     )
-    return sgn * jnp.arccos(jnp.clip(w, -1.0, 1.0))
+
+    def draw_round(state):
+        key, w, pending = state
+        key, sub = random.split(key)
+        u, v = random.uniform(sub, (2,) + shape, dtype=dtype)
+        z = jnp.cos(jnp.pi * u)
+        w_new = (1.0 + env * z) / (env + z)
+        y = kappa * (env - w_new)
+        quick = y * (2.0 - y) >= v
+        slow = jnp.log(jnp.clip(y / v, 1e-37)) + 1.0 >= y
+        ok = quick | slow
+        w = jnp.where(pending & ok, w_new, w)
+        return key, w, pending & ~ok
+
+    key, sign_key = random.split(key)
+    state = (key, jnp.zeros(shape, dtype), jnp.ones(shape, bool))
+    w = lax.while_loop(lambda s: jnp.any(s[2]), draw_round, state)[1]
+    signs = random.rademacher(sign_key, shape, dtype=dtype)
+    return signs * jnp.arccos(jnp.clip(w, -1.0, 1.0))
 
 
 def safe_normalize(x, *, p=2):
     """Normalize a vector to unit p-norm, safely at 0."""
     norm = jnp.linalg.norm(x, p, axis=-1, keepdims=True)
-    x = x / jnp.clip(norm, jnp.finfo(x).tiny)
-    # at zero, return a uniform direction
-    mask = (norm == 0)
-    dim = x.shape[-1]
-    return jnp.where(mask, jnp.full_like(x, dim ** (-1 / p)), x)
+    unit = x / jnp.clip(norm, jnp.finfo(x).tiny)
+    # the zero vector maps to the uniform direction
+    fallback = jnp.full_like(x, x.shape[-1] ** (-1.0 / p))
+    return jnp.where(norm == 0, fallback, unit)
 
 
 def cholesky_update(L, x, coef=1):
@@ -459,9 +405,9 @@ def cholesky_update(L, x, coef=1):
     O(n^2) with the column loop as the only sequential axis
     (reference behavior: numpyro/distributions/util.py:365)."""
     batch_shape = lax.broadcast_shapes(L.shape[:-2], x.shape[:-1])
-    L = jnp.broadcast_to(L, batch_shape + L.shape[-2:])
-    x = jnp.broadcast_to(x, batch_shape + x.shape[-1:])
     n = x.shape[-1]
+    L = jnp.broadcast_to(L, batch_shape + (n, n))
+    x = jnp.broadcast_to(x, batch_shape + (n,))
     diag = jnp.diagonal(L, axis1=-2, axis2=-1)
     Lu = L / diag[..., None, :]  # unit-diagonal lower triangular
     D = jnp.square(diag)
@@ -494,7 +440,7 @@ def logmatmulexp(x, y):
     """Numerically-stable log(exp(x) @ exp(y)) — a matmul in log space
     (used by BNAF's blockwise Jacobian accumulation and the parallel-scan
     HMM machinery)."""
-    x_shift = lax.stop_gradient(jnp.amax(x, -1, keepdims=True))
-    y_shift = lax.stop_gradient(jnp.amax(y, -2, keepdims=True))
-    xy = jnp.log(jnp.matmul(jnp.exp(x - x_shift), jnp.exp(y - y_shift)))
-    return xy + x_shift + y_shift
+    row_max = lax.stop_gradient(x.max(-1, keepdims=True))
+    col_max = lax.stop_gradient(y.max(-2, keepdims=True))
+    centered = jnp.exp(x - row_max) @ jnp.exp(y - col_max)
+    return jnp.log(centered) + row_max + col_max

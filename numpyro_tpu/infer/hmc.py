@@ -208,6 +208,7 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
             target_accept_prob=target_accept_prob,
             regularize_mass_matrix=regularize_mass_matrix,
             refine_step_size=refine_step_size,
+            pooled_adaptation=pooled_adaptation,
             init_step_size=step_size,
             init_inverse_mass_matrix=inverse_mass_matrix,
         )
@@ -229,7 +230,10 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
             find_step_size=adapt_step_size and refine_step_size,
             pool_chains=pooled_adaptation,
         )
-        ctx["wa_update"] = wa_update
+        # NB: wa_update is deliberately NOT kept in ctx — it closes over this
+        # call's pe_grad (and through it the init-time model args, which may
+        # be tracers when init runs under jit); sample_kernel rebuilds it
+        # from its own call-time pe_grad instead
         adapt = wa_init(
             keys, z_flat, pe, grad_flat, step_size,
             inverse_mass_matrix=inverse_mass_matrix,
@@ -315,11 +319,21 @@ def hmc(potential_fn=None, potential_fn_gen=None, kinetic_fn=None, algo="NUTS"):
             )
 
         if num_warmup > 0:
+            _, wa_update = core.build_warmup(
+                pe_grad,
+                blocks,
+                num_warmup,
+                adapt_step_size=ctx["adapt_step_size"],
+                adapt_mass_matrix=ctx["adapt_mass_matrix"],
+                target_accept_prob=ctx["target_accept_prob"],
+                regularize_mass_matrix=ctx["regularize_mass_matrix"],
+                find_step_size=ctx["adapt_step_size"] and ctx["refine_step_size"],
+                pool_chains=ctx["pooled_adaptation"],
+            )
             adapt = jax.lax.cond(
                 i < num_warmup,
-                lambda a: ctx["wa_update"](
-                    i, a, out.accept_prob, out.z, out.pe, out.grad,
-                    pe_grad_now=pe_grad,
+                lambda a: wa_update(
+                    i, a, out.accept_prob, out.z, out.pe, out.grad
                 ),
                 lambda a: a,
                 adapt,

@@ -524,9 +524,12 @@ def initialize_model(
         invert=True,
     )
 
+    # NB: pass the *unseeded* model — draw_candidate applies its own
+    # per-candidate seed, and baking a (possibly traced) rng_key into a
+    # seed handler here leaks that tracer through jax's while_loop caches
     (init_params, pe, grad), is_valid = find_valid_initial_params(
         rng_key,
-        substituted_model if not enum else model,
+        model,
         init_strategy=init_strategy_,
         enum=enum,
         model_args=model_args,

@@ -10,67 +10,66 @@ NEP-21 vindex semantics).
 import jax.numpy as jnp
 
 
-def vindex(tensor, args):
-    """Nonstandard interpretation of ``tensor[args]`` with broadcasting
-    semantics; see module docstring.  Each arg is ``Ellipsis`` (leading
+def vindex(arr, keys):
+    """Nonstandard interpretation of ``arr[keys]`` with broadcasting
+    semantics; see module docstring.  Each key is ``Ellipsis`` (leading
     only), ``slice(None)``, an integer, or a batched integer array."""
-    if not isinstance(args, tuple):
-        return tensor[args]
-    if not args:
-        return tensor
+    if not isinstance(keys, tuple):
+        return arr[keys]
+    if keys == ():
+        return arr
 
-    assert jnp.ndim(tensor) > 0
-    if args[0] is Ellipsis:
-        # leading ... marks the tensor's (unknown-rank) batch prefix
-        args = args[1:]
-        if not args:
-            return tensor
-        event_dim = len(args)
-        args = (slice(None),) * (jnp.ndim(tensor) - event_dim) + args
+    rank = jnp.ndim(arr)
+    assert rank > 0
+    if keys[0] is Ellipsis:
+        # leading ... marks the array's (unknown-rank) batch prefix
+        keys = keys[1:]
+        if keys == ():
+            return arr
+        event_dim = len(keys)
+        keys = (slice(None),) * (rank - event_dim) + keys
     else:
-        args = args + (slice(None),) * (jnp.ndim(tensor) - len(args))
-        event_dim = len(args)
-    assert len(args) == jnp.ndim(tensor)
-    if any(a is Ellipsis for a in args):
-        raise NotImplementedError("Non-leading Ellipsis is not supported")
+        keys = keys + (slice(None),) * (rank - len(keys))
+        event_dim = len(keys)
+    assert len(keys) == rank
+    if Ellipsis in keys:
+        raise NotImplementedError("only a leading Ellipsis is understood")
 
-    def is_batched(a):
-        return jnp.ndim(a) > 0
+    batched = [jnp.ndim(k) > 0 for k in keys]
 
-    # plain advanced indexing already broadcasts correctly when the tensor
-    # has no extra batch dims in front and only the head arg is batched
-    standard = not (
-        (jnp.ndim(tensor) > event_dim and is_batched(args[0]))
-        or any(is_batched(a) for a in args[1:])
-    )
-    if standard:
-        return tensor[args]
+    # plain advanced indexing already broadcasts correctly when the array
+    # has no extra batch dims in front and only the head key is batched
+    head_conflict = rank > event_dim and batched[0]
+    if not head_conflict and not any(batched[1:]):
+        return arr[keys]
 
     # rewrite: slices become aranges broadcast to fresh rightmost dims;
-    # batched index tensors get those dims appended as singleton axes
-    kept_dims = sum(isinstance(a, slice) for a in args[-event_dim:])
-    fresh = 0
-    rewritten = list(args)
-    for i in reversed(range(len(rewritten))):
-        a = rewritten[i]
-        if isinstance(a, slice):
-            if a != slice(None):
-                raise NotImplementedError("Nontrivial slices are not supported")
-            a = jnp.arange(tensor.shape[i], dtype=jnp.int32)
-            a = a.reshape((-1,) + (1,) * fresh)
+    # batched index arrays get those dims appended as singleton axes
+    kept_dims = sum(isinstance(k, slice) for k in keys[-event_dim:])
+    rewritten, fresh = [], 0
+    for pos in reversed(range(rank)):
+        key = keys[pos]
+        if isinstance(key, slice):
+            if key != slice(None):
+                raise NotImplementedError("nontrivial slices are unsupported")
+            key = jnp.arange(arr.shape[pos], dtype=jnp.int32).reshape(
+                (-1,) + (1,) * fresh
+            )
             fresh += 1
-        elif is_batched(a):
-            a = a.reshape(a.shape + (1,) * kept_dims)
-        rewritten[i] = a
-    return tensor[tuple(rewritten)]
+        elif batched[pos]:
+            key = jnp.reshape(key, jnp.shape(key) + (1,) * kept_dims)
+        rewritten.append(key)
+    return arr[tuple(reversed(rewritten))]
 
 
 class Vindex:
     """Convenience wrapper: ``Vindex(x)[..., i, j, :]`` ==
     ``vindex(x, (Ellipsis, i, j, slice(None)))``."""
 
-    def __init__(self, tensor):
-        self._tensor = tensor
+    __slots__ = ("_arr",)
 
-    def __getitem__(self, args):
-        return vindex(self._tensor, args)
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __getitem__(self, keys):
+        return vindex(self._arr, keys)

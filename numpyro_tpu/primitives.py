@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jax import lax, random
 
 import numpyro_tpu.distributions as dist
-from numpyro_tpu.distributions.discrete import CategoricalProbs
 from numpyro_tpu.util import identity
 
 _PYRO_STACK = []
@@ -43,17 +42,18 @@ def default_process_message(msg):
 def apply_stack(msg):
     """Route a message bottom-up (process) then top-down (postprocess); a
     handler setting ``msg["stop"]`` truncates the upward pass."""
-    pointer = 0
-    for pointer, handler in enumerate(reversed(_PYRO_STACK)):
-        handler.process_message(msg)
+    stop_at = 0  # index of the outermost handler that saw the message
+    for idx in range(len(_PYRO_STACK) - 1, -1, -1):
+        _PYRO_STACK[idx].process_message(msg)
         if msg.get("stop"):
+            stop_at = idx
             break
     if msg["value"] is None:
         default_process_message(msg)
 
-    # postprocess in reverse order, only through handlers that processed
-    for handler in _PYRO_STACK[-pointer - 1 :]:
-        handler.postprocess_message(msg)
+    # downward pass, only through handlers the message reached
+    for idx in range(stop_at, len(_PYRO_STACK)):
+        _PYRO_STACK[idx].postprocess_message(msg)
     return msg
 
 
@@ -96,6 +96,22 @@ class Messenger:
                 return None
         with self:
             return self.fn(*args, **kwargs)
+
+
+def _dispatch(msg_type, name=None, fn=identity, value=None, kwargs=None, **extras):
+    """Build a message with protocol defaults and route it through the
+    stack; every primitive below is a thin veneer over this."""
+    msg = {
+        "type": msg_type,
+        "name": name,
+        "fn": fn,
+        "args": (),
+        "kwargs": {} if kwargs is None else kwargs,
+        "value": value,
+        "cond_indep_stack": [],
+    }
+    msg.update(extras)
+    return apply_stack(msg)
 
 
 def _masked_observe(name, fn, obs, obs_mask, **kwargs):
@@ -159,21 +175,17 @@ def sample(
             name, fn, obs, obs_mask, rng_key=rng_key, sample_shape=sample_shape, infer=infer
         )
 
-    initial_msg = {
-        "type": "sample",
-        "name": name,
-        "fn": fn,
-        "args": (),
-        "kwargs": {"rng_key": rng_key, "sample_shape": sample_shape},
-        "value": obs,
-        "scale": None,
-        "is_observed": obs is not None,
-        "intermediates": [],
-        "cond_indep_stack": [],
-        "infer": {} if infer is None else infer,
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
+    return _dispatch(
+        "sample",
+        name,
+        fn,
+        value=obs,
+        kwargs={"rng_key": rng_key, "sample_shape": sample_shape},
+        scale=None,
+        is_observed=obs is not None,
+        intermediates=[],
+        infer={} if infer is None else infer,
+    )["value"]
 
 
 def param(name, init_value=None, **kwargs):
@@ -185,26 +197,15 @@ def param(name, init_value=None, **kwargs):
         return init_value
 
     if callable(init_value):
-
-        def fn(init_fn, *args, **kwargs):
-            return init_fn(prng_key())
-
-        initial_fn = functools.partial(fn, init_value)
+        def initial_fn(*args, **kw):
+            return init_value(prng_key())
     else:
-        initial_fn = lambda *args, **kwargs: init_value  # noqa: E731
+        def initial_fn(*args, **kw):
+            return init_value
 
-    initial_msg = {
-        "type": "param",
-        "name": name,
-        "fn": initial_fn,
-        "args": (),
-        "kwargs": kwargs,
-        "value": None,
-        "scale": None,
-        "cond_indep_stack": [],
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
+    return _dispatch(
+        "param", name, initial_fn, kwargs=kwargs, scale=None
+    )["value"]
 
 
 def deterministic(name, value):
@@ -212,56 +213,23 @@ def deterministic(name, value):
     if not _PYRO_STACK:
         return value
 
-    initial_msg = {
-        "type": "deterministic",
-        "name": name,
-        "value": value,
-        "args": (),
-        "kwargs": {},
-        "fn": lambda *a, **k: value,
-        "cond_indep_stack": [],
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
+    return _dispatch(
+        "deterministic", name, lambda *a, **k: value, value=value
+    )["value"]
 
 
 def mutable(name, init_value=None):
     """A mutable state site (threaded through SVI steps)."""
     if not _PYRO_STACK:
         return init_value
-
-    initial_msg = {
-        "type": "mutable",
-        "name": name,
-        "fn": lambda *a, **k: init_value,
-        "args": (),
-        "kwargs": {},
-        "value": init_value,
-        "cond_indep_stack": [],
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
-
-
-def _inspect():
-    """Return the current bottom-of-stack message template (for mask/scale
-    introspection)."""
-    msg = {
-        "type": "inspect",
-        "fn": lambda: True,
-        "args": (),
-        "kwargs": {},
-        "value": None,
-        "mask": None,
-        "cond_indep_stack": [],
-    }
-    apply_stack(msg)
-    return msg
+    return _dispatch(
+        "mutable", name, lambda *a, **k: init_value, value=init_value
+    )["value"]
 
 
 def get_mask():
     """The effective mask at the current point in the handler stack."""
-    return _inspect()["mask"]
+    return _dispatch("inspect", fn=lambda: True, mask=None)["mask"]
 
 
 def factor(name, log_factor):
@@ -276,16 +244,9 @@ def prng_key():
     if not _PYRO_STACK:
         return
 
-    initial_msg = {
-        "type": "prng_key",
-        "fn": lambda rng_key: rng_key,
-        "args": (),
-        "kwargs": {"rng_key": None},
-        "value": None,
-        "cond_indep_stack": [],
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
+    return _dispatch(
+        "prng_key", fn=lambda rng_key: rng_key, kwargs={"rng_key": None}
+    )["value"]
 
 
 def subsample(data, event_dim):
@@ -295,16 +256,12 @@ def subsample(data, event_dim):
         return data
 
     assert isinstance(event_dim, int) and event_dim >= 0
-    initial_msg = {
-        "type": "subsample",
-        "value": data,
-        "kwargs": {"event_dim": event_dim},
-        "args": (),
-        "fn": lambda *a, **k: data,
-        "cond_indep_stack": [],
-    }
-    msg = apply_stack(initial_msg)
-    return msg["value"]
+    return _dispatch(
+        "subsample",
+        fn=lambda *a, **k: data,
+        value=data,
+        kwargs={"event_dim": event_dim},
+    )["value"]
 
 
 class plate(Messenger):
@@ -341,21 +298,19 @@ class plate(Messenger):
 
     @staticmethod
     def _subsample(name, size, subsample_size, dim):
-        msg = {
-            "type": "plate",
-            "fn": plate._subsample_fn,
-            "name": name,
-            "args": (size, subsample_size),
-            "kwargs": {"rng_key": None},
-            "value": (
+        msg = _dispatch(
+            "plate",
+            name,
+            plate._subsample_fn,
+            value=(
                 None
                 if (subsample_size is not None and size != subsample_size)
                 else jnp.arange(size)
             ),
-            "scale": 1.0,
-            "cond_indep_stack": [],
-        }
-        apply_stack(msg)
+            kwargs={"rng_key": None},
+            args=(size, subsample_size),
+            scale=1.0,
+        )
         subsample = msg["value"]
         subsample_size = msg["args"][1]
         if subsample_size is not None and subsample_size != subsample.shape[0]:
@@ -381,75 +336,77 @@ class plate(Messenger):
         super().__enter__()
         return self._indices
 
-    @staticmethod
-    def _get_batch_shape(cond_indep_stack):
-        n_dims = max(-f.dim for f in cond_indep_stack)
-        batch_shape = [1] * n_dims
-        for f in cond_indep_stack:
-            batch_shape[f.dim] = f.subsample_size
-        return tuple(batch_shape)
+    def _frame(self):
+        return CondIndepStackFrame(
+            self.name, self.dim, self.size, self.subsample_size
+        )
+
+    def _broadcast_into_frame(self, msg):
+        """Expand a sample site's batch shape to cover every enclosing
+        plate dim (any explicit sample_shape folds into the batch)."""
+        stack = msg["cond_indep_stack"]
+        rank = max(-f.dim for f in stack)
+        plate_shape = [1] * rank
+        for f in stack:
+            plate_shape[f.dim] = f.subsample_size
+        fn_shape = msg["fn"].batch_shape
+        sample_shape = msg["kwargs"].get("sample_shape", ())
+        if sample_shape:
+            fn_shape = sample_shape + fn_shape
+            msg["kwargs"]["sample_shape"] = ()
+        head = max(rank - len(fn_shape), 0)
+        tail = lax.broadcast_shapes(tuple(plate_shape[head:]), tuple(fn_shape))
+        msg["fn"] = msg["fn"].expand(tuple(plate_shape[:head]) + tail)
 
     def process_message(self, msg):
-        if msg["type"] not in ("param", "sample", "plate", "deterministic"):
-            if msg["type"] == "control_flow":
-                raise NotImplementedError(
-                    "Cannot use control flow primitive under a `plate` primitive."
-                )
+        kind = msg["type"]
+        if kind == "control_flow":
+            raise NotImplementedError(
+                "Cannot use control flow primitive under a `plate` primitive."
+            )
+        if kind not in ("param", "sample", "plate", "deterministic"):
             # "subsample" messages are subselected in postprocess_message
             return
-
-        if msg["type"] == "deterministic":
-            msg["cond_indep_stack"].append(
-                CondIndepStackFrame(self.name, self.dim, self.size, self.subsample_size)
-            )
+        msg["cond_indep_stack"].append(self._frame())
+        if kind == "deterministic":
             return
-
-        cond_indep_stack = msg["cond_indep_stack"]
-        frame = CondIndepStackFrame(self.name, self.dim, self.size, self.subsample_size)
-        cond_indep_stack.append(frame)
-        if msg["type"] == "sample":
-            expected_shape = self._get_batch_shape(cond_indep_stack)
-            dist_batch_shape = msg["fn"].batch_shape
-            if "sample_shape" in msg["kwargs"]:
-                dist_batch_shape = msg["kwargs"]["sample_shape"] + dist_batch_shape
-                msg["kwargs"]["sample_shape"] = ()
-            overlap_idx = max(len(expected_shape) - len(dist_batch_shape), 0)
-            trailing_shape = expected_shape[overlap_idx:]
-            broadcast_shape = lax.broadcast_shapes(
-                trailing_shape, tuple(dist_batch_shape)
-            )
-            batch_shape = expected_shape[:overlap_idx] + broadcast_shape
-            msg["fn"] = msg["fn"].expand(batch_shape)
+        if kind == "sample":
+            self._broadcast_into_frame(msg)
         if self.size != self.subsample_size:
-            scale = 1.0 if msg["scale"] is None else msg["scale"]
-            msg["scale"] = scale * (
-                self.size / self.subsample_size if self.subsample_size else 1
+            # subsampled plate: inflate the minibatch log-prob to an
+            # unbiased full-data estimate
+            correction = self.size / self.subsample_size if self.subsample_size else 1
+            msg["scale"] = (
+                correction
+                if msg["scale"] is None
+                else msg["scale"] * correction
             )
 
     def postprocess_message(self, msg):
-        if msg["type"] in ("subsample", "param") and self.dim is not None:
-            event_dim = msg["kwargs"].get("event_dim")
-            if event_dim is not None:
-                assert event_dim >= 0
-                dim = self.dim - event_dim
-                shape = jnp.shape(msg["value"])
-                if len(shape) >= -dim and shape[dim] != 1:
-                    if shape[dim] != self.size:
-                        if msg["type"] == "param":
-                            statement = f"numpyro_tpu.param({msg['name']}, ..., event_dim={event_dim})"
-                        else:
-                            statement = (
-                                f"numpyro_tpu.subsample(..., event_dim={event_dim})"
-                            )
-                        raise ValueError(
-                            f"Inside plate({self.name}, {self.size}, "
-                            f"subsample_size={self.subsample_size}) "
-                            f"invalid shape of {statement}: {shape}"
-                        )
-                    if self.subsample_size < self.size:
-                        value = msg["value"]
-                        new_value = jnp.take(value, self._indices, dim)
-                        msg["value"] = new_value
+        if msg["type"] not in ("subsample", "param") or self.dim is None:
+            return
+        event_dim = msg["kwargs"].get("event_dim")
+        if event_dim is None:
+            return
+        assert event_dim >= 0
+        axis = self.dim - event_dim
+        shape = jnp.shape(msg["value"])
+        if len(shape) < -axis or shape[axis] == 1:
+            return
+        if shape[axis] != self.size:
+            if msg["type"] == "param":
+                statement = (
+                    f"numpyro_tpu.param({msg['name']}, ..., event_dim={event_dim})"
+                )
+            else:
+                statement = f"numpyro_tpu.subsample(..., event_dim={event_dim})"
+            raise ValueError(
+                f"Inside plate({self.name}, {self.size}, "
+                f"subsample_size={self.subsample_size}) "
+                f"invalid shape of {statement}: {shape}"
+            )
+        if self.subsample_size < self.size:
+            msg["value"] = jnp.take(msg["value"], self._indices, axis)
 
 
 @contextmanager

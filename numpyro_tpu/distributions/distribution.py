@@ -156,6 +156,33 @@ class Distribution(metaclass=DistributionMeta):
         if self._validate_args:
             self._assert_param_constraints()
 
+    def _init_broadcast(
+        self, validate_args=None, event_shape=(), event_dims=None, **params
+    ):
+        """Declarative parameter setup shared by the concrete families:
+        promote the named parameters against each other, bind them as
+        attributes, and initialise with the broadcast batch shape.
+
+        ``event_dims`` maps a parameter name to how many of its trailing
+        dims are event (not batch) dims — those dims are excluded from the
+        batch-shape computation and the parameter is only left-padded.
+        """
+        event_dims = event_dims or {}
+        batch_shapes = [
+            jnp.shape(v)[: jnp.ndim(v) - event_dims.get(name, 0)]
+            for name, v in params.items()
+        ]
+        batch = lax.broadcast_shapes(*batch_shapes) if batch_shapes else ()
+        for name, v in params.items():
+            ed = event_dims.get(name, 0)
+            target = batch + (jnp.shape(v)[jnp.ndim(v) - ed :] if ed else ())
+            (v,) = promote_shapes(v, shape=target)
+            setattr(self, name, v)
+        Distribution.__init__(
+            self, batch, tuple(event_shape), validate_args=validate_args
+        )
+        return batch
+
     def _assert_param_constraints(self):
         for name, constraint in self.arg_constraints.items():
             if isinstance(constraint, constraints._Dependent):

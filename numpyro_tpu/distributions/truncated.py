@@ -1,14 +1,18 @@
 """Truncated distributions (left/right/two-sided) via CDF inversion.
 
-Reference surface: numpyro/distributions/truncated.py:29-837.  Sampling is
-inverse-CDF on a uniform draw rescaled to the truncated mass — one fused
-elementwise program, no rejection loops.
+Reference surface: numpyro/distributions/truncated.py:29-837, reorganised:
+the three truncation shapes share one base class parameterised by a
+"computation frame" — a sign flip plus a CDF window ``(w_lo, w_hi)``.  The
+flip lets one-sided-left truncation evaluate the CDF in its accurate left
+tail for symmetric bases.  Sampling is inverse-CDF on a uniform rescaled to
+the window — one fused elementwise program, no rejection loops.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 from jax import lax, random
+from jax.scipy.special import logsumexp
 
 from . import constraints
 from .continuous import Cauchy, Laplace, Logistic, Normal, StudentT
@@ -24,143 +28,144 @@ __all__ = [
     "TwoSidedTruncatedDistribution",
 ]
 
-_SUPPORTED = (Cauchy, Laplace, Logistic, Normal, StudentT)
+_WINDOWABLE = (Cauchy, Laplace, Logistic, Normal, StudentT)
+
+_SQRT_2PI = 2.5066282746310002
 
 
-class LeftTruncatedDistribution(Distribution):
+def _gauss_pdf(t):
+    """Standard normal density, defined as 0 at ±inf."""
+    finite = jnp.isfinite(t)
+    t_safe = jnp.where(finite, t, 0.0)
+    return jnp.where(finite, jnp.exp(-0.5 * jnp.square(t_safe)) / _SQRT_2PI, 0.0)
+
+
+def _t_gauss_pdf(t):
+    """t * pdf(t), defined as 0 at ±inf."""
+    finite = jnp.isfinite(t)
+    return jnp.where(finite, jnp.where(finite, t, 0.0) * _gauss_pdf(t), 0.0)
+
+
+class _WindowTruncated(Distribution):
+    """Base for truncation-by-CDF-window.  Subclasses define
+    ``_frame_window() -> (sign, w_lo, w_hi)`` (the window in the possibly
+    sign-flipped frame) and ``_std_bounds() -> (a, b)`` (standardized
+    truncation points, ±inf allowed, for the Gaussian moment formulas)."""
+
+    def _bind_base(self, base_dist, batch_shape):
+        if not isinstance(base_dist, _WINDOWABLE):
+            raise AssertionError(
+                "The base distribution should be univariate and has real support."
+            )
+        self.base_dist = base_dist.expand(batch_shape)
+
+    @property
+    def support(self):
+        return self._support
+
+    def sample(self, key, sample_shape=()):
+        assert is_prng_key(key)
+        tiny = jnp.finfo(jnp.result_type(float)).tiny
+        u = random.uniform(
+            key, shape=sample_shape + self.batch_shape, minval=tiny
+        )
+        sign, w_lo, w_hi = self._frame_window()
+        draw = self.base_dist.icdf(clamp_probs(w_lo + u * (w_hi - w_lo)))
+        loc = self.base_dist.loc
+        return jnp.where(sign > 0, draw, 2.0 * loc - draw)
+
+    @validate_sample
+    def log_prob(self, value):
+        sign, w_lo, w_hi = self._frame_window()
+        log_mass = jnp.log(sign * (w_hi - w_lo))
+        return self.base_dist.log_prob(value) - log_mass
+
+    # -- moments: closed forms exist for the Gaussian base ------------------
+
+    def _gaussian_moments(self):
+        a, b = self._std_bounds()
+        loc, scale = self.base_dist.loc, self.base_dist.scale
+        sign, w_lo, w_hi = self._frame_window()
+        mass = sign * (w_hi - w_lo)
+        dpdf = (_gauss_pdf(a) - _gauss_pdf(b)) / mass
+        mean = loc + scale * dpdf
+        shape_term = (_t_gauss_pdf(a) - _t_gauss_pdf(b)) / mass
+        var = jnp.square(scale) * (1.0 + shape_term - jnp.square(dpdf))
+        return mean, var
+
+    @property
+    def mean(self):
+        if isinstance(self.base_dist, Normal):
+            return self._gaussian_moments()[0]
+        if isinstance(self.base_dist, Cauchy):
+            return jnp.full(self.batch_shape, jnp.nan)
+        raise NotImplementedError("mean only available for Normal and Cauchy")
+
+    @property
+    def variance(self):
+        if isinstance(self.base_dist, Normal):
+            return self._gaussian_moments()[1]
+        if isinstance(self.base_dist, Cauchy):
+            return jnp.full(self.batch_shape, jnp.nan)
+        raise NotImplementedError("variance only available for Normal and Cauchy")
+
+
+class LeftTruncatedDistribution(_WindowTruncated):
     arg_constraints = {"low": constraints.real}
     reparametrized_params = ["low"]
     pytree_data_fields = ("base_dist", "low", "_support")
 
     def __init__(self, base_dist, low=0.0, *, validate_args=None):
-        assert isinstance(base_dist, _SUPPORTED), (
-            "The base distribution should be univariate and has real support."
-        )
         batch_shape = lax.broadcast_shapes(base_dist.batch_shape, jnp.shape(low))
-        self.base_dist = base_dist.expand(batch_shape)
+        self._bind_base(base_dist, batch_shape)
         (self.low,) = promote_shapes(low, shape=batch_shape)
         self._support = constraints.greater_than(low)
         super().__init__(batch_shape, validate_args=validate_args)
 
-    @property
-    def support(self):
-        return self._support
-
     @lazy_property
-    def _tail_prob_at_low(self):
-        # if low < loc, returns cdf(low); otherwise returns 1 - cdf(low)
+    def _frame(self):
+        # flip symmetric bases whenever low sits right of loc, so the
+        # truncation point is evaluated in the accurate left tail
         loc = self.base_dist.loc
         sign = jnp.where(loc >= self.low, 1.0, -1.0)
-        return self.base_dist.cdf(loc - sign * (loc - self.low))
+        w_lo = self.base_dist.cdf(loc - sign * (loc - self.low))
+        w_hi = jnp.where(sign > 0, 1.0, 0.0)
+        return sign, w_lo, w_hi
 
-    @lazy_property
-    def _tail_prob_at_high(self):
-        # tail prob at +inf in the (possibly flipped) frame
-        loc = self.base_dist.loc
-        return jnp.where(loc >= self.low, 1.0, 0.0)
+    def _frame_window(self):
+        return self._frame
 
-    def sample(self, key, sample_shape=()):
-        assert is_prng_key(key)
-        dtype = jnp.result_type(float)
-        finfo = jnp.finfo(dtype)
-        minval = finfo.tiny
-        u = random.uniform(key, shape=sample_shape + self.batch_shape, minval=minval)
-        # flip symmetric bases so the truncation point is always computed in
-        # the accurate (left) tail of the cdf, then reflect back
-        loc = self.base_dist.loc
-        sign = jnp.where(loc >= self.low, 1.0, -1.0)
-        Flow = self._tail_prob_at_low
-        Fhigh = self._tail_prob_at_high
-        return (1 - sign) * loc + sign * self.base_dist.icdf(
-            clamp_probs((1 - u) * Flow + u * Fhigh)
-        )
-
-    @validate_sample
-    def log_prob(self, value):
-        loc = self.base_dist.loc
-        sign = jnp.where(loc >= self.low, 1.0, -1.0)
-        return self.base_dist.log_prob(value) - jnp.log(
-            sign * (self._tail_prob_at_high - self._tail_prob_at_low)
-        )
-
-    @property
-    def mean(self):
-        if isinstance(self.base_dist, Normal):
-            low_prob = jnp.exp(self.log_prob(self.low))
-            return self.base_dist.loc + low_prob * self.base_dist.scale**2
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("mean only available for Normal and Cauchy")
-
-    @property
-    def variance(self):
-        if isinstance(self.base_dist, Normal):
-            low_prob = jnp.exp(self.log_prob(self.low))
-            return self.base_dist.scale**2 * (
-                1 + (self.low - self.base_dist.loc) * low_prob
-            ) - (low_prob * self.base_dist.scale**2) ** 2
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("variance only available for Normal and Cauchy")
+    def _std_bounds(self):
+        a = (self.low - self.base_dist.loc) / self.base_dist.scale
+        return a, jnp.full_like(a, jnp.inf)
 
 
-class RightTruncatedDistribution(Distribution):
+class RightTruncatedDistribution(_WindowTruncated):
     arg_constraints = {"high": constraints.real}
     reparametrized_params = ["high"]
     pytree_data_fields = ("base_dist", "high", "_support")
 
     def __init__(self, base_dist, high=0.0, *, validate_args=None):
-        assert isinstance(base_dist, _SUPPORTED), (
-            "The base distribution should be univariate and has real support."
-        )
         batch_shape = lax.broadcast_shapes(base_dist.batch_shape, jnp.shape(high))
-        self.base_dist = base_dist.expand(batch_shape)
+        self._bind_base(base_dist, batch_shape)
         (self.high,) = promote_shapes(high, shape=batch_shape)
         self._support = constraints.less_than(high)
         super().__init__(batch_shape, validate_args=validate_args)
 
-    @property
-    def support(self):
-        return self._support
-
     @lazy_property
-    def _cdf_at_high(self):
+    def _upper_mass(self):
         return self.base_dist.cdf(self.high)
 
-    def sample(self, key, sample_shape=()):
-        assert is_prng_key(key)
-        dtype = jnp.result_type(float)
-        finfo = jnp.finfo(dtype)
-        minval = finfo.tiny
-        u = random.uniform(key, shape=sample_shape + self.batch_shape, minval=minval)
-        return self.base_dist.icdf(clamp_probs(u * self._cdf_at_high))
+    def _frame_window(self):
+        ceiling = self._upper_mass
+        return jnp.ones_like(ceiling), jnp.zeros_like(ceiling), ceiling
 
-    @validate_sample
-    def log_prob(self, value):
-        return self.base_dist.log_prob(value) - jnp.log(self._cdf_at_high)
-
-    @property
-    def mean(self):
-        if isinstance(self.base_dist, Normal):
-            high_prob = jnp.exp(self.log_prob(self.high))
-            return self.base_dist.loc - high_prob * self.base_dist.scale**2
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("mean only available for Normal and Cauchy")
-
-    @property
-    def variance(self):
-        if isinstance(self.base_dist, Normal):
-            high_prob = jnp.exp(self.log_prob(self.high))
-            return self.base_dist.scale**2 * (
-                1 - (self.high - self.base_dist.loc) * high_prob
-            ) - (high_prob * self.base_dist.scale**2) ** 2
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("variance only available for Normal and Cauchy")
+    def _std_bounds(self):
+        b = (self.high - self.base_dist.loc) / self.base_dist.scale
+        return jnp.full_like(b, -jnp.inf), b
 
 
-class TwoSidedTruncatedDistribution(Distribution):
+class TwoSidedTruncatedDistribution(_WindowTruncated):
     arg_constraints = {
         "low": constraints.dependent(is_discrete=False, event_dim=0),
         "high": constraints.dependent(is_discrete=False, event_dim=0),
@@ -169,88 +174,41 @@ class TwoSidedTruncatedDistribution(Distribution):
     pytree_data_fields = ("base_dist", "low", "high", "_support")
 
     def __init__(self, base_dist, low=0.0, high=1.0, *, validate_args=None):
-        assert isinstance(base_dist, _SUPPORTED), (
-            "The base distribution should be univariate and has real support."
-        )
         batch_shape = lax.broadcast_shapes(
             base_dist.batch_shape, jnp.shape(low), jnp.shape(high)
         )
-        self.base_dist = base_dist.expand(batch_shape)
-        (self.low,) = promote_shapes(low, shape=batch_shape)
-        (self.high,) = promote_shapes(high, shape=batch_shape)
+        self._bind_base(base_dist, batch_shape)
+        self.low, self.high = (
+            promote_shapes(low, shape=batch_shape)[0],
+            promote_shapes(high, shape=batch_shape)[0],
+        )
         self._support = constraints.interval(low, high)
         super().__init__(batch_shape, validate_args=validate_args)
 
-    @property
-    def support(self):
-        return self._support
-
     @lazy_property
-    def _cdf_low(self):
-        return self.base_dist.cdf(self.low)
+    def _window(self):
+        return self.base_dist.cdf(self.low), self.base_dist.cdf(self.high)
 
-    @lazy_property
-    def _cdf_high(self):
-        return self.base_dist.cdf(self.high)
+    def _frame_window(self):
+        w_lo, w_hi = self._window
+        return jnp.ones_like(w_lo), w_lo, w_hi
 
-    def sample(self, key, sample_shape=()):
-        assert is_prng_key(key)
-        dtype = jnp.result_type(float)
-        finfo = jnp.finfo(dtype)
-        minval = finfo.tiny
-        u = random.uniform(key, shape=sample_shape + self.batch_shape, minval=minval)
-        return self.base_dist.icdf(
-            clamp_probs(self._cdf_low + u * (self._cdf_high - self._cdf_low))
-        )
-
-    @validate_sample
-    def log_prob(self, value):
-        return self.base_dist.log_prob(value) - jnp.log(
-            self._cdf_high - self._cdf_low
-        )
-
-    @property
-    def mean(self):
-        if isinstance(self.base_dist, Normal):
-            low_prob = jnp.exp(self.base_dist.log_prob(self.low))
-            high_prob = jnp.exp(self.base_dist.log_prob(self.high))
-            Z = self._cdf_high - self._cdf_low
-            return (
-                self.base_dist.loc
-                + (low_prob - high_prob) / Z * self.base_dist.scale**2
-            )
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("mean only available for Normal and Cauchy")
-
-    @property
-    def variance(self):
-        if isinstance(self.base_dist, Normal):
-            scale = self.base_dist.scale
-            loc = self.base_dist.loc
-            low_prob = jnp.exp(self.base_dist.log_prob(self.low))
-            high_prob = jnp.exp(self.base_dist.log_prob(self.high))
-            Z = self._cdf_high - self._cdf_low
-            a = (self.low - loc) / scale
-            b = (self.high - loc) / scale
-            phi_a = low_prob * scale
-            phi_b = high_prob * scale
-            t1 = (a * phi_a - b * phi_b) / Z
-            t2 = ((phi_a - phi_b) / Z) ** 2
-            return scale**2 * (1 + t1 - t2)
-        elif isinstance(self.base_dist, Cauchy):
-            return jnp.full(self.batch_shape, jnp.nan)
-        raise NotImplementedError("variance only available for Normal and Cauchy")
+    def _std_bounds(self):
+        loc, scale = self.base_dist.loc, self.base_dist.scale
+        return (self.low - loc) / scale, (self.high - loc) / scale
 
 
 def TruncatedDistribution(base_dist, low=None, high=None, *, validate_args=None):
     """Factory dispatching on which bounds are given (reference:
     numpyro/distributions/truncated.py TruncatedDistribution)."""
-    if high is None:
-        if low is None:
-            return base_dist
-        return LeftTruncatedDistribution(base_dist, low=low, validate_args=validate_args)
-    elif low is None:
+    kind = (low is not None, high is not None)
+    if kind == (False, False):
+        return base_dist
+    if kind == (True, False):
+        return LeftTruncatedDistribution(
+            base_dist, low=low, validate_args=validate_args
+        )
+    if kind == (False, True):
         return RightTruncatedDistribution(
             base_dist, high=high, validate_args=validate_args
         )
@@ -288,33 +246,23 @@ class TruncatedPolyaGamma(Distribution):
 
     def sample(self, key, sample_shape=()):
         assert is_prng_key(key)
-        denom = jnp.square(jnp.arange(0.5, self.num_gamma_variates))
-        x = random.gamma(
-            key,
-            jnp.ones(
-                self.batch_shape + tuple(sample_shape) + (self.num_gamma_variates,)
-            ),
-        )
-        x = jnp.sum(x / denom, axis=-1)
-        return jnp.clip(x * (0.5 / jnp.pi**2), None, self.truncation_point)
+        # PG(1,0) as a weighted sum of Gamma(1) variates over odd half-integers
+        weights = 0.5 / (jnp.pi * jnp.arange(0.5, self.num_gamma_variates)) ** 2
+        shape = self.batch_shape + tuple(sample_shape) + (self.num_gamma_variates,)
+        gammas = random.gamma(key, jnp.ones(shape))
+        total = (gammas * weights).sum(-1)
+        return jnp.clip(total, None, self.truncation_point)
 
     @validate_sample
     def log_prob(self, value):
-        from jax.scipy.special import logsumexp
-
-        value = value[..., None]
-        all_indices = jnp.arange(0, self.num_log_prob_terms)
-        two_n_plus_one = 2.0 * all_indices + 1.0
-        log_terms = (
-            jnp.log(two_n_plus_one)
-            - 1.5 * jnp.log(value)
-            - 0.125 * jnp.square(two_n_plus_one) / value
-        )
-        even_terms = jnp.take(log_terms, all_indices[::2], axis=-1)
-        odd_terms = jnp.take(log_terms, all_indices[1::2], axis=-1)
-        sum_even = jnp.exp(logsumexp(even_terms, axis=-1))
-        sum_odd = jnp.exp(logsumexp(odd_terms, axis=-1))
-        return jnp.log(sum_even - sum_odd) - 0.5 * jnp.log(2.0 * jnp.pi)
+        # alternating series: log f = log(sum_even - sum_odd) - log sqrt(2π)
+        x = value[..., None]
+        n = jnp.arange(self.num_log_prob_terms)
+        coef = 2.0 * n + 1.0
+        terms = jnp.log(coef) - 1.5 * jnp.log(x) - 0.125 * jnp.square(coef) / x
+        pos = jnp.exp(logsumexp(terms[..., 0::2], axis=-1))
+        neg = jnp.exp(logsumexp(terms[..., 1::2], axis=-1))
+        return jnp.log(pos - neg) - 0.5 * jnp.log(2.0 * jnp.pi)
 
 
 class LowerTruncatedPowerLaw(Distribution):
@@ -329,60 +277,52 @@ class LowerTruncatedPowerLaw(Distribution):
     pytree_aux_fields = ("_support",)
 
     def __init__(self, alpha, low, *, validate_args=None):
-        self.alpha, self.low = promote_shapes(alpha, low)
-        batch_shape = lax.broadcast_shapes(jnp.shape(alpha), jnp.shape(low))
         self._support = constraints.greater_than(low)
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, alpha=alpha, low=low)
 
     @constraints.dependent_property(is_discrete=False, event_dim=0)
     def support(self):
         return self._support
 
+    def _tail_exponent(self):
+        """-(1 + alpha) > 0: the survival-function decay exponent."""
+        return -(1.0 + self.alpha)
+
     @validate_sample
     def log_prob(self, value):
-        one_more_alpha = 1.0 + self.alpha
+        decay = self._tail_exponent()
         return (
             self.alpha * jnp.log(value)
-            + jnp.log(-one_more_alpha)
-            - one_more_alpha * jnp.log(self.low)
+            + jnp.log(decay)
+            + decay * jnp.log(self.low)
         )
 
     def cdf(self, value):
-        return jnp.where(
-            value <= self.low,
-            jnp.zeros_like(value),
-            1.0 - jnp.power(value / self.low, 1.0 + self.alpha),
-        )
+        survival = jnp.power(value / self.low, -self._tail_exponent())
+        return jnp.where(value <= self.low, 0.0, 1.0 - survival)
 
     def icdf(self, q):
-        nan_mask = jnp.isnan(q) | (q < 0.0) | (q > 1.0)
-        return jnp.where(
-            nan_mask,
-            jnp.nan,
-            self.low * jnp.power(1.0 - q, jnp.reciprocal(1.0 + self.alpha)),
-        )
+        bad = jnp.isnan(q) | (q < 0.0) | (q > 1.0)
+        root = jnp.power(1.0 - q, -1.0 / self._tail_exponent())
+        return jnp.where(bad, jnp.nan, self.low * root)
 
     def sample(self, key, sample_shape=()):
         assert is_prng_key(key)
-        u = random.uniform(key, sample_shape + self.batch_shape)
-        return self.icdf(u)
+        return self.icdf(random.uniform(key, sample_shape + self.batch_shape))
+
+    def _raw_moment(self, k):
+        decay = self._tail_exponent()
+        val = decay / (decay - k) * jnp.power(self.low, k)
+        return jnp.where(k < decay, val, jnp.inf)
 
     @property
     def mean(self):
-        k = 1.0
-        neg_one_more_alpha = -(1.0 + self.alpha)
-        return jnp.where(
-            k < neg_one_more_alpha,
-            neg_one_more_alpha / (neg_one_more_alpha - k) * self.low,
-            jnp.inf,
-        )
+        return self._raw_moment(1.0)
 
     @property
     def variance(self):
-        neg_one_more_alpha = -(1.0 + self.alpha)
-        m1 = neg_one_more_alpha / (neg_one_more_alpha - 1.0) * self.low
-        m2 = neg_one_more_alpha / (neg_one_more_alpha - 2.0) * self.low**2
-        return jnp.where(2.0 < neg_one_more_alpha, m2 - m1**2, jnp.inf)
+        m1, m2 = self._raw_moment(1.0), self._raw_moment(2.0)
+        return jnp.where(jnp.isfinite(m2), m2 - jnp.square(m1), jnp.inf)
 
 
 class DoublyTruncatedPowerLaw(Distribution):
@@ -402,64 +342,42 @@ class DoublyTruncatedPowerLaw(Distribution):
     pytree_data_fields = ("alpha", "low", "high")
 
     def __init__(self, alpha, low, high, *, validate_args=None):
-        self.alpha, self.low, self.high = promote_shapes(alpha, low, high)
         self._support = constraints.interval(low, high)
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(alpha), jnp.shape(low), jnp.shape(high)
-        )
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, alpha=alpha, low=low, high=high)
 
     @constraints.dependent_property(is_discrete=False, event_dim=0)
     def support(self):
         return self._support
 
-    def _branches(self):
-        """(mask, safe_alpha) where safe_alpha replaces -1 by 0 so the
-        generic branch never divides by zero."""
-        mask = jnp.not_equal(self.alpha, -1.0)
-        return mask, jnp.where(mask, self.alpha, 0.0)
+    def _regular_exponent(self):
+        """(is_regular, 1+alpha with the -1 singularity masked to 1)."""
+        regular = jnp.not_equal(self.alpha, -1.0)
+        return regular, jnp.where(regular, 1.0 + self.alpha, 1.0)
 
     @validate_sample
     def log_prob(self, value):
-        mask, safe_alpha = self._branches()
-        one_more_alpha = 1.0 + safe_alpha
-
-        def generic():
-            z = (
-                jnp.power(self.high, one_more_alpha)
-                - jnp.power(self.low, one_more_alpha)
-            ) / one_more_alpha
-            return safe_alpha * jnp.log(value) - jnp.log(z)
-
-        def log_branch():
-            return -jnp.log(value) - jnp.log(
-                jnp.log(self.high) - jnp.log(self.low)
-            )
-
-        return jnp.where(mask, generic(), log_branch())
+        regular, expo = self._regular_exponent()
+        norm_reg = (jnp.power(self.high, expo) - jnp.power(self.low, expo)) / expo
+        norm_log = jnp.log(self.high) - jnp.log(self.low)
+        safe_alpha = jnp.where(regular, self.alpha, -1.0)
+        return safe_alpha * jnp.log(value) - jnp.log(
+            jnp.where(regular, norm_reg, norm_log)
+        )
 
     def cdf(self, value):
-        mask, safe_alpha = self._branches()
-        one_more_alpha = 1.0 + safe_alpha
-        low_pow = jnp.power(self.low, one_more_alpha)
-        generic = (jnp.power(value, one_more_alpha) - low_pow) / (
-            jnp.power(self.high, one_more_alpha) - low_pow
-        )
-        log_branch = jnp.log(value / self.low) / jnp.log(self.high / self.low)
-        return jnp.clip(jnp.where(mask, generic, log_branch), 0.0, 1.0)
+        regular, expo = self._regular_exponent()
+        lo_p, hi_p = jnp.power(self.low, expo), jnp.power(self.high, expo)
+        frac_reg = (jnp.power(value, expo) - lo_p) / (hi_p - lo_p)
+        frac_log = jnp.log(value / self.low) / jnp.log(self.high / self.low)
+        return jnp.clip(jnp.where(regular, frac_reg, frac_log), 0.0, 1.0)
 
     def icdf(self, q):
-        mask, safe_alpha = self._branches()
-        one_more_alpha = 1.0 + safe_alpha
-        low_pow = jnp.power(self.low, one_more_alpha)
-        high_pow = jnp.power(self.high, one_more_alpha)
-        generic = jnp.power(
-            low_pow + q * (high_pow - low_pow), jnp.reciprocal(one_more_alpha)
-        )
-        log_branch = jnp.power(self.high / self.low, q) * self.low
-        return jnp.where(mask, generic, log_branch)
+        regular, expo = self._regular_exponent()
+        lo_p, hi_p = jnp.power(self.low, expo), jnp.power(self.high, expo)
+        inv_reg = jnp.power(lo_p + q * (hi_p - lo_p), 1.0 / expo)
+        inv_log = self.low * jnp.power(self.high / self.low, q)
+        return jnp.where(regular, inv_reg, inv_log)
 
     def sample(self, key, sample_shape=()):
         assert is_prng_key(key)
-        u = random.uniform(key, sample_shape + self.batch_shape)
-        return self.icdf(u)
+        return self.icdf(random.uniform(key, sample_shape + self.batch_shape))

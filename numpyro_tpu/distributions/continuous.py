@@ -1,11 +1,17 @@
 """Continuous distributions.
 
-Fresh TPU-first implementations with the same API surface as
+TPU-first implementations with the same API surface as
 numpyro/distributions/continuous.py.  Samplers use jax.random primitives
 (threefry counter-based — identical draws regardless of chain layout, the
 property the chain-massive engine relies on for reproducibility across
 shardings); log-densities are closed-form jnp, batched over arbitrary
 leading axes so a (num_chains, ...) prefix compiles to one fused kernel.
+
+Architecture note: the scalar location-scale families (Normal, Cauchy,
+Laplace, Gumbel, Logistic, StudentT, SoftLaplace) derive from one
+``_LocScale`` base that owns the affine bookkeeping; each family only
+supplies its *standardized* kernel (z-density, z-cdf, z-quantile, z-moments).
+The half-distributions share a fold-at-zero base the same way.
 """
 
 from __future__ import annotations
@@ -17,8 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax, random
+from jax.nn import sigmoid, softplus
 from jax.scipy.linalg import solve_triangular
 from jax.scipy.special import (
+    betainc,
     betaln,
     digamma,
     erf,
@@ -27,6 +35,7 @@ from jax.scipy.special import (
     gammainc,
     gammaln,
     log_ndtr,
+    logit,
     logsumexp,
     multigammaln,
     ndtr,
@@ -87,115 +96,366 @@ __all__ = [
     "WishartCholesky",
 ]
 
+_LOG_SQRT_2PI = 0.9189385332046727  # log sqrt(2*pi)
+_LOG_2 = 0.6931471805599453
+_HALF_PI2 = jnp.pi * jnp.pi / 6.0
 
-class Normal(Distribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+# ---------------------------------------------------------------------------
+# Location-scale machinery
+
+
+class _LocScale(Distribution):
+    """x = loc + scale * z for a fixed standardized kernel z.
+
+    Subclasses define the z-law through ``_z_*`` hooks; the base owns every
+    affine consequence (sampling, density shift, cdf/icdf, moments,
+    entropy)."""
+
+    arg_constraints = dict(loc=constraints.real, scale=constraints.positive)
     support = constraints.real
     reparametrized_params = ["loc", "scale"]
 
+    # standardized moments; override per family (None -> nan)
+    _z_mean = 0.0
+    _z_var = 1.0
+
     def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, loc=loc, scale=scale)
+
+    def _standardize(self, x):
+        return (x - self.loc) / self.scale
 
     def sample(self, key, sample_shape=()):
-        eps = random.normal(
-            key, shape=sample_shape + self.batch_shape + self.event_shape
-        )
-        return self.loc + eps * self.scale
+        target = sample_shape + self.batch_shape + self.event_shape
+        return self.loc + self.scale * self._z_sample(key, target)
 
     @validate_sample
     def log_prob(self, value):
-        normalize_term = jnp.log(jnp.sqrt(2 * jnp.pi) * self.scale)
-        value_scaled = (value - self.loc) / self.scale
-        return -0.5 * value_scaled**2 - normalize_term
+        return self._z_log_density(self._standardize(value)) - jnp.log(self.scale)
 
     def cdf(self, value):
-        scaled = (value - self.loc) / self.scale
-        return ndtr(scaled)
-
-    def log_cdf(self, value):
-        return log_ndtr((value - self.loc) / self.scale)
+        return self._z_cdf(self._standardize(value))
 
     def icdf(self, q):
-        return self.loc + self.scale * ndtri(q)
+        return self.loc + self.scale * self._z_icdf(q)
 
     @property
     def mean(self):
-        return jnp.broadcast_to(self.loc, self.batch_shape)
+        zm = self._z_mean
+        m = self.loc + self.scale * zm if zm is not None else jnp.nan
+        return jnp.broadcast_to(m, self.batch_shape)
 
     @property
     def variance(self):
-        return jnp.broadcast_to(self.scale**2, self.batch_shape)
+        zv = self._z_var
+        v = jnp.square(self.scale) * zv if zv is not None else jnp.nan
+        return jnp.broadcast_to(v, self.batch_shape)
+
+    def _z_entropy(self):
+        raise NotImplementedError
 
     def entropy(self):
         return jnp.broadcast_to(
-            0.5 * jnp.log(2 * jnp.pi * self.scale**2) + 0.5, self.batch_shape
+            self._z_entropy() + jnp.log(self.scale), self.batch_shape
         )
 
 
+class Normal(_LocScale):
+    def _z_sample(self, key, shape):
+        return random.normal(key, shape)
+
+    def _z_log_density(self, z):
+        return -0.5 * jnp.square(z) - _LOG_SQRT_2PI
+
+    def _z_cdf(self, z):
+        return ndtr(z)
+
+    def _z_icdf(self, q):
+        return ndtri(q)
+
+    def log_cdf(self, value):
+        return log_ndtr(self._standardize(value))
+
+    def _z_entropy(self):
+        return 0.5 + _LOG_SQRT_2PI
+
+
+class Cauchy(_LocScale):
+    _z_mean = None
+    _z_var = None
+
+    def _z_sample(self, key, shape):
+        return random.cauchy(key, shape)
+
+    def _z_log_density(self, z):
+        return -jnp.log(jnp.pi) - jnp.log1p(jnp.square(z))
+
+    def _z_cdf(self, z):
+        return 0.5 + jnp.arctan(z) / jnp.pi
+
+    def _z_icdf(self, q):
+        return jnp.tan(jnp.pi * (q - 0.5))
+
+    def _z_entropy(self):
+        return jnp.log(4.0 * jnp.pi)
+
+
+class Laplace(_LocScale):
+    _z_var = 2.0
+
+    def _z_sample(self, key, shape):
+        return random.laplace(key, shape)
+
+    def _z_log_density(self, z):
+        return -jnp.abs(z) - _LOG_2
+
+    def _z_cdf(self, z):
+        return 0.5 - 0.5 * jnp.sign(z) * jnp.expm1(-jnp.abs(z))
+
+    def _z_icdf(self, q):
+        half = q - 0.5
+        return -jnp.sign(half) * jnp.log1p(-2.0 * jnp.abs(half))
+
+    def _z_entropy(self):
+        return 1.0 + _LOG_2
+
+
+class Gumbel(_LocScale):
+    _z_mean = float(np.euler_gamma)
+    _z_var = float(_HALF_PI2)
+
+    def _z_sample(self, key, shape):
+        return random.gumbel(key, shape)
+
+    def _z_log_density(self, z):
+        return -z - jnp.exp(-z)
+
+    def _z_cdf(self, z):
+        return jnp.exp(-jnp.exp(-z))
+
+    def _z_icdf(self, q):
+        return -jnp.log(-jnp.log(q))
+
+    def _z_entropy(self):
+        return 1.0 + float(np.euler_gamma)
+
+
+class Logistic(_LocScale):
+    _z_var = float(jnp.pi**2 / 3.0)
+
+    def _z_sample(self, key, shape):
+        return random.logistic(key, shape)
+
+    def _z_log_density(self, z):
+        return -z - 2.0 * softplus(-z)
+
+    def _z_cdf(self, z):
+        return sigmoid(z)
+
+    def _z_icdf(self, q):
+        return logit(q)
+
+    def _z_entropy(self):
+        return 2.0
+
+
+class SoftLaplace(_LocScale):
+    """Smooth log-convex density with Laplace-like tails (infinitely
+    differentiable — well-suited to HMC).  Kernel: f(z) = 1/(π cosh z)."""
+
+    _z_var = float(jnp.pi**2 / 4.0)
+
+    def __init__(self, loc, scale, *, validate_args=None):
+        super().__init__(loc, scale, validate_args=validate_args)
+
+    def _z_sample(self, key, shape):
+        tiny = jnp.finfo(jnp.result_type(float)).tiny
+        u = random.uniform(key, shape, minval=tiny)
+        return self._z_icdf(u)
+
+    def _z_log_density(self, z):
+        # f(z) = 1/(π cosh z):  log 2 − log π − log(2 cosh z)
+        return _LOG_2 - jnp.log(jnp.pi) - jnp.logaddexp(z, -z)
+
+    def _z_cdf(self, z):
+        return jnp.arctan(jnp.exp(z)) * (2.0 / jnp.pi)
+
+    def _z_icdf(self, q):
+        return jnp.log(jnp.tan(jnp.pi * q / 2.0))
+
+
+class StudentT(_LocScale):
+    arg_constraints = dict(
+        df=constraints.positive, loc=constraints.real, scale=constraints.positive
+    )
+    reparametrized_params = ["df", "loc", "scale"]
+
+    def __init__(self, df, loc=0.0, scale=1.0, *, validate_args=None):
+        self._init_broadcast(validate_args, df=df, loc=loc, scale=scale)
+
+    @property
+    def _z_mean(self):
+        return jnp.where(self.df > 1.0, 0.0, jnp.nan)
+
+    @property
+    def _z_var(self):
+        heavy = jnp.where(self.df > 2.0, self.df / (self.df - 2.0), jnp.inf)
+        return jnp.where(self.df > 1.0, heavy, jnp.nan)
+
+    def _z_sample(self, key, shape):
+        k_eps, k_mix = random.split(key)
+        eps = random.normal(k_eps, shape)
+        denom = random.chisquare(k_mix, self.df, shape)
+        return eps * jnp.sqrt(self.df / denom)
+
+    def _z_log_density(self, z):
+        half_df = 0.5 * self.df
+        log_norm = 0.5 * jnp.log(self.df) + betaln(half_df, 0.5)
+        return -(half_df + 0.5) * jnp.log1p(jnp.square(z) / self.df) - log_norm
+
+    def _z_cdf(self, z):
+        tail_x = self.df / (self.df + jnp.square(z))
+        tail = 0.5 * betainc(0.5 * self.df, 0.5, tail_x)
+        return jnp.where(z < 0, tail, 1.0 - tail)
+
+    def icdf(self, q):
+        raise NotImplementedError
+
+    def _z_entropy(self):
+        half_df = 0.5 * self.df
+        half_up = half_df + 0.5
+        return (
+            half_up * (digamma(half_up) - digamma(half_df))
+            + 0.5 * jnp.log(self.df)
+            + betaln(half_df, 0.5)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Half (folded-at-zero) distributions
+
+
+class _FoldedAtZero(Distribution):
+    """|X| for a zero-centred symmetric loc-scale X; subclass sets _full_cls."""
+
+    arg_constraints = dict(scale=constraints.positive)
+    support = constraints.positive
+    reparametrized_params = ["scale"]
+
+    def __init__(self, scale=1.0, *, validate_args=None):
+        self._mirror = self._full_cls(0.0, scale)
+        self.scale = scale
+        super().__init__(jnp.shape(scale), validate_args=validate_args)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.abs(self._mirror.sample(key, sample_shape))
+
+    @validate_sample
+    def log_prob(self, value):
+        return _LOG_2 + self._mirror.log_prob(value)
+
+    def cdf(self, value):
+        return 2.0 * self._mirror.cdf(value) - 1.0
+
+    def icdf(self, q):
+        return self._mirror.icdf(0.5 * (1.0 + q))
+
+
+class HalfCauchy(_FoldedAtZero):
+    _full_cls = Cauchy
+    pytree_data_fields = ("_mirror", "scale")
+
+    @property
+    def mean(self):
+        return jnp.full(self.batch_shape, jnp.inf)
+
+    @property
+    def variance(self):
+        return jnp.full(self.batch_shape, jnp.inf)
+
+
+class HalfNormal(_FoldedAtZero):
+    _full_cls = Normal
+    pytree_data_fields = ("_mirror", "scale")
+
+    @property
+    def mean(self):
+        return self.scale * math.sqrt(2.0 / math.pi)
+
+    @property
+    def variance(self):
+        return jnp.square(self.scale) * (1.0 - 2.0 / jnp.pi)
+
+    def entropy(self):
+        return 0.5 + 0.5 * jnp.log(0.5 * jnp.pi) + jnp.log(self.scale)
+
+
+# ---------------------------------------------------------------------------
+# Interval / positive-support families
+
+
 class Uniform(Distribution):
-    arg_constraints = {
-        "low": constraints.dependent(is_discrete=False, event_dim=0),
-        "high": constraints.dependent(is_discrete=False, event_dim=0),
-    }
+    arg_constraints = dict(
+        low=constraints.dependent(is_discrete=False, event_dim=0),
+        high=constraints.dependent(is_discrete=False, event_dim=0),
+    )
     reparametrized_params = ["low", "high"]
     pytree_data_fields = ("low", "high", "_support")
 
     def __init__(self, low=0.0, high=1.0, *, validate_args=None):
-        self.low, self.high = promote_shapes(low, high)
-        batch_shape = lax.broadcast_shapes(jnp.shape(low), jnp.shape(high))
         self._support = constraints.interval(low, high)
-        super().__init__(batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, low=low, high=high)
 
     @property
     def support(self):
         return self._support
 
+    def _width(self):
+        return self.high - self.low
+
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape
-        return random.uniform(key, shape=shape) * (self.high - self.low) + self.low
+        u = random.uniform(key, shape=sample_shape + self.batch_shape)
+        return self.low + u * self._width()
 
     @validate_sample
     def log_prob(self, value):
         # broadcast against the live parameter shapes, not the cached
         # batch_shape: under vmap_over the per-lane params are sliced while
         # the aux batch_shape is stale
-        batch = lax.broadcast_shapes(jnp.shape(self.low), jnp.shape(self.high))
-        shape = lax.broadcast_shapes(jnp.shape(value), batch)
-        return -jnp.broadcast_to(jnp.log(self.high - self.low), shape)
+        live = lax.broadcast_shapes(jnp.shape(self.low), jnp.shape(self.high))
+        out = lax.broadcast_shapes(jnp.shape(value), live)
+        return jnp.broadcast_to(-jnp.log(self._width()), out)
 
     def cdf(self, value):
-        cdf = (value - self.low) / (self.high - self.low)
-        return jnp.clip(cdf, 0.0, 1.0)
+        return jnp.clip((value - self.low) / self._width(), 0.0, 1.0)
 
     def icdf(self, value):
-        return self.low + value * (self.high - self.low)
+        return self.low + value * self._width()
 
     @property
     def mean(self):
-        return jnp.broadcast_to((self.high + self.low) / 2.0, self.batch_shape)
+        return jnp.broadcast_to(0.5 * (self.high + self.low), self.batch_shape)
 
     @property
     def variance(self):
-        return jnp.broadcast_to((self.high - self.low) ** 2 / 12.0, self.batch_shape)
+        return jnp.broadcast_to(jnp.square(self._width()) / 12.0, self.batch_shape)
 
     def entropy(self):
-        return jnp.broadcast_to(jnp.log(self.high - self.low), self.batch_shape)
+        return jnp.broadcast_to(jnp.log(self._width()), self.batch_shape)
 
 
 class Exponential(Distribution):
-    arg_constraints = {"rate": constraints.positive}
+    arg_constraints = dict(rate=constraints.positive)
     support = constraints.positive
     reparametrized_params = ["rate"]
 
     def __init__(self, rate=1.0, *, validate_args=None):
-        self.rate = rate
-        super().__init__(batch_shape=jnp.shape(rate), validate_args=validate_args)
+        self._init_broadcast(validate_args, rate=rate)
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape + self.event_shape
-        return random.exponential(key, shape=shape) / self.rate
+        target = sample_shape + self.batch_shape + self.event_shape
+        return random.exponential(key, shape=target) / self.rate
 
     @validate_sample
     def log_prob(self, value):
@@ -209,43 +469,34 @@ class Exponential(Distribution):
 
     @property
     def mean(self):
-        return jnp.broadcast_to(1.0 / self.rate, self.batch_shape)
+        return jnp.broadcast_to(jnp.reciprocal(self.rate), self.batch_shape)
 
     @property
     def variance(self):
-        return jnp.broadcast_to(1.0 / self.rate**2, self.batch_shape)
+        return jnp.broadcast_to(jnp.reciprocal(jnp.square(self.rate)), self.batch_shape)
 
     def entropy(self):
-        return 1 - jnp.broadcast_to(jnp.log(self.rate), self.batch_shape)
+        return jnp.broadcast_to(1.0 - jnp.log(self.rate), self.batch_shape)
 
 
 class Gamma(Distribution):
-    arg_constraints = {
-        "concentration": constraints.positive,
-        "rate": constraints.positive,
-    }
+    arg_constraints = dict(
+        concentration=constraints.positive, rate=constraints.positive
+    )
     support = constraints.positive
     reparametrized_params = ["concentration", "rate"]
 
     def __init__(self, concentration, rate=1.0, *, validate_args=None):
-        self.concentration, self.rate = promote_shapes(concentration, rate)
-        batch_shape = lax.broadcast_shapes(jnp.shape(concentration), jnp.shape(rate))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, concentration=concentration, rate=rate)
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape + self.event_shape
-        return random.gamma(key, self.concentration, shape=shape) / self.rate
+        target = sample_shape + self.batch_shape + self.event_shape
+        return random.gamma(key, self.concentration, shape=target) / self.rate
 
     @validate_sample
     def log_prob(self, value):
-        normalize_term = gammaln(self.concentration) - self.concentration * jnp.log(
-            self.rate
-        )
-        return (
-            (self.concentration - 1) * jnp.log(value)
-            - self.rate * value
-            - normalize_term
-        )
+        a, beta = self.concentration, self.rate
+        return xlogy(a - 1.0, value) - beta * value + xlogy(a, beta) - gammaln(a)
 
     @property
     def mean(self):
@@ -253,7 +504,9 @@ class Gamma(Distribution):
 
     @property
     def variance(self):
-        return jnp.broadcast_to(self.concentration / self.rate**2, self.batch_shape)
+        return jnp.broadcast_to(
+            self.concentration / jnp.square(self.rate), self.batch_shape
+        )
 
     def cdf(self, x):
         return gammainc(self.concentration, self.rate * x)
@@ -262,17 +515,13 @@ class Gamma(Distribution):
         return gammaincinv(self.concentration, q) / self.rate
 
     def entropy(self):
-        return jnp.broadcast_to(
-            self.concentration
-            - jnp.log(self.rate)
-            + gammaln(self.concentration)
-            + (1 - self.concentration) * digamma(self.concentration),
-            self.batch_shape,
-        )
+        a = self.concentration
+        ent = a - jnp.log(self.rate) + gammaln(a) + (1.0 - a) * digamma(a)
+        return jnp.broadcast_to(ent, self.batch_shape)
 
 
 class Chi2(Gamma):
-    arg_constraints = {"df": constraints.positive}
+    arg_constraints = dict(df=constraints.positive)
     reparametrized_params = ["df"]
 
     def __init__(self, df, *, validate_args=None):
@@ -281,451 +530,221 @@ class Chi2(Gamma):
 
 
 class InverseGamma(TransformedDistribution):
-    arg_constraints = {
-        "concentration": constraints.positive,
-        "rate": constraints.positive,
-    }
+    arg_constraints = dict(
+        concentration=constraints.positive, rate=constraints.positive
+    )
     reparametrized_params = ["concentration", "rate"]
     support = constraints.positive
     pytree_data_fields = ("concentration", "rate")
 
     def __init__(self, concentration, rate=1.0, *, validate_args=None):
-        base_dist = Gamma(concentration, rate)
-        self.concentration = base_dist.concentration
-        self.rate = base_dist.rate
-        super().__init__(
-            base_dist, PowerTransform(-1.0), validate_args=validate_args
-        )
+        gamma = Gamma(concentration, rate)
+        self.concentration = gamma.concentration
+        self.rate = gamma.rate
+        super().__init__(gamma, PowerTransform(-1.0), validate_args=validate_args)
 
     @property
     def mean(self):
         a = self.concentration
-        return jnp.where(a <= 1, jnp.inf, self.rate / (a - 1))
+        return jnp.where(a > 1.0, self.rate / (a - 1.0), jnp.inf)
 
     @property
     def variance(self):
         a = self.concentration
-        return jnp.where(
-            a <= 2, jnp.inf, self.rate**2 / ((a - 1) ** 2 * (a - 2))
-        )
+        spread = jnp.square(self.rate / (a - 1.0)) / (a - 2.0)
+        return jnp.where(a > 2.0, spread, jnp.inf)
 
     def entropy(self):
         a, b = self.concentration, self.rate
-        return a + jnp.log(b) + gammaln(a) - (1 + a) * digamma(a)
+        return a + jnp.log(b) + gammaln(a) - (1.0 + a) * digamma(a)
 
     def cdf(self, x):
-        return 1 - self.base_dist.cdf(1 / x)
+        return 1.0 - self.base_dist.cdf(jnp.reciprocal(x))
 
 
 class Beta(Distribution):
-    arg_constraints = {
-        "concentration1": constraints.positive,
-        "concentration0": constraints.positive,
-    }
+    arg_constraints = dict(
+        concentration1=constraints.positive, concentration0=constraints.positive
+    )
     reparametrized_params = ["concentration1", "concentration0"]
     support = constraints.unit_interval
 
     def __init__(self, concentration1, concentration0, *, validate_args=None):
-        self.concentration1, self.concentration0 = promote_shapes(
-            concentration1, concentration0
+        self._init_broadcast(
+            validate_args,
+            concentration1=concentration1,
+            concentration0=concentration0,
         )
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(concentration1), jnp.shape(concentration0)
-        )
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape
-        return clamp_probs(
-            random.beta(key, self.concentration1, self.concentration0, shape=shape)
+        draw = random.beta(
+            key,
+            self.concentration1,
+            self.concentration0,
+            shape=sample_shape + self.batch_shape,
         )
+        return clamp_probs(draw)
 
     @validate_sample
     def log_prob(self, value):
-        return (
-            xlogy(self.concentration1 - 1.0, value)
-            + xlog1py(self.concentration0 - 1.0, -value)
-            - betaln(self.concentration1, self.concentration0)
-        )
+        a, b = self.concentration1, self.concentration0
+        return xlogy(a - 1.0, value) + xlog1py(b - 1.0, -value) - betaln(a, b)
 
     @property
     def mean(self):
-        total = self.concentration1 + self.concentration0
-        return jnp.broadcast_to(self.concentration1 / total, self.batch_shape)
+        a, b = self.concentration1, self.concentration0
+        return jnp.broadcast_to(a / (a + b), self.batch_shape)
 
     @property
     def variance(self):
-        total = self.concentration1 + self.concentration0
-        return jnp.broadcast_to(
-            self.concentration1 * self.concentration0 / (total**2 * (total + 1)),
-            self.batch_shape,
-        )
+        a, b = self.concentration1, self.concentration0
+        s = a + b
+        return jnp.broadcast_to((a / s) * (b / s) / (s + 1.0), self.batch_shape)
 
     def cdf(self, value):
-        return jax.scipy.special.betainc(
-            self.concentration1, self.concentration0, value
-        )
+        return betainc(self.concentration1, self.concentration0, value)
 
     def icdf(self, q):
         return betaincinv(self.concentration1, self.concentration0, q)
 
     def entropy(self):
         a, b = self.concentration1, self.concentration0
-        total = a + b
+        s = a + b
         return (
             betaln(a, b)
-            - (a - 1) * digamma(a)
-            - (b - 1) * digamma(b)
-            + (total - 2) * digamma(total)
+            + (s - 2.0) * digamma(s)
+            - (a - 1.0) * digamma(a)
+            - (b - 1.0) * digamma(b)
         )
 
 
 class Dirichlet(Distribution):
-    arg_constraints = {
-        "concentration": constraints.independent(constraints.positive, 1)
-    }
+    arg_constraints = dict(
+        concentration=constraints.independent(constraints.positive, 1)
+    )
     reparametrized_params = ["concentration"]
     support = constraints.simplex
 
     def __init__(self, concentration, *, validate_args=None):
-        if jnp.ndim(concentration) < 1:
+        if jnp.ndim(concentration) == 0:
             raise ValueError("concentration must be at least one-dimensional")
-        self.concentration = concentration
-        batch_shape, event_shape = concentration.shape[:-1], concentration.shape[-1:]
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        self._init_broadcast(
+            validate_args,
+            event_shape=jnp.shape(concentration)[-1:],
+            event_dims={"concentration": 1},
+            concentration=concentration,
+        )
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape
-        samples = random.dirichlet(key, self.concentration, shape=shape)
-        return jnp.clip(
-            samples, jnp.finfo(samples.dtype).tiny, 1 - jnp.finfo(samples.dtype).eps
+        draws = random.dirichlet(
+            key, self.concentration, shape=sample_shape + self.batch_shape
         )
+        eps = jnp.finfo(draws.dtype)
+        return jnp.clip(draws, eps.tiny, 1.0 - eps.eps)
 
     @validate_sample
     def log_prob(self, value):
-        return (
-            jnp.sum(jnp.log(value) * (self.concentration - 1.0), axis=-1)
-            + gammaln(jnp.sum(self.concentration, axis=-1))
-            - jnp.sum(gammaln(self.concentration), axis=-1)
-        )
+        alpha = self.concentration
+        log_norm = gammaln(alpha).sum(-1) - gammaln(alpha.sum(-1))
+        return xlogy(alpha - 1.0, value).sum(-1) - log_norm
 
     @property
     def mean(self):
-        return self.concentration / jnp.sum(self.concentration, axis=-1, keepdims=True)
+        return self.concentration / self.concentration.sum(-1, keepdims=True)
 
     @property
     def variance(self):
-        con0 = jnp.sum(self.concentration, axis=-1, keepdims=True)
-        return self.concentration * (con0 - self.concentration) / (con0**2 * (con0 + 1))
+        a = self.concentration
+        tot = a.sum(-1, keepdims=True)
+        return a * (tot - a) / (jnp.square(tot) * (tot + 1.0))
 
     def entropy(self):
         a = self.concentration
-        a0 = a.sum(-1)
-        K = a.shape[-1]
+        tot = a.sum(-1)
+        k = a.shape[-1]
+        log_norm = gammaln(a).sum(-1) - gammaln(tot)
         return (
-            gammaln(a).sum(-1)
-            - gammaln(a0)
-            + (a0 - K) * digamma(a0)
-            - ((a - 1) * digamma(a)).sum(-1)
+            log_norm
+            + (tot - k) * digamma(tot)
+            - ((a - 1.0) * digamma(a)).sum(-1)
         )
-
-
-class Cauchy(Distribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
-    support = constraints.real
-    reparametrized_params = ["loc", "scale"]
-
-    def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        eps = random.cauchy(key, shape=sample_shape + self.batch_shape)
-        return self.loc + eps * self.scale
-
-    @validate_sample
-    def log_prob(self, value):
-        return (
-            -jnp.log(jnp.pi)
-            - jnp.log(self.scale)
-            - jnp.log1p(((value - self.loc) / self.scale) ** 2)
-        )
-
-    def cdf(self, value):
-        scaled = (value - self.loc) / self.scale
-        return jnp.arctan(scaled) / jnp.pi + 0.5
-
-    def icdf(self, q):
-        return self.loc + self.scale * jnp.tan(jnp.pi * (q - 0.5))
-
-    @property
-    def mean(self):
-        return jnp.full(self.batch_shape, jnp.nan)
-
-    @property
-    def variance(self):
-        return jnp.full(self.batch_shape, jnp.nan)
-
-    def entropy(self):
-        return jnp.broadcast_to(
-            jnp.log(4 * jnp.pi * self.scale), self.batch_shape
-        )
-
-
-class HalfCauchy(Distribution):
-    arg_constraints = {"scale": constraints.positive}
-    support = constraints.positive
-    reparametrized_params = ["scale"]
-    pytree_data_fields = ("_cauchy", "scale")
-
-    def __init__(self, scale=1.0, *, validate_args=None):
-        self._cauchy = Cauchy(0.0, scale)
-        self.scale = scale
-        super().__init__(jnp.shape(scale), validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        return jnp.abs(self._cauchy.sample(key, sample_shape))
-
-    @validate_sample
-    def log_prob(self, value):
-        return self._cauchy.log_prob(value) + jnp.log(2)
-
-    def cdf(self, value):
-        return self._cauchy.cdf(value) * 2 - 1
-
-    def icdf(self, q):
-        return self._cauchy.icdf((q + 1) / 2)
-
-    @property
-    def mean(self):
-        return jnp.full(self.batch_shape, jnp.inf)
-
-    @property
-    def variance(self):
-        return jnp.full(self.batch_shape, jnp.inf)
-
-
-class HalfNormal(Distribution):
-    arg_constraints = {"scale": constraints.positive}
-    support = constraints.positive
-    reparametrized_params = ["scale"]
-    pytree_data_fields = ("_normal", "scale")
-
-    def __init__(self, scale=1.0, *, validate_args=None):
-        self._normal = Normal(0.0, scale)
-        self.scale = scale
-        super().__init__(jnp.shape(scale), validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        return jnp.abs(self._normal.sample(key, sample_shape))
-
-    @validate_sample
-    def log_prob(self, value):
-        return self._normal.log_prob(value) + jnp.log(2)
-
-    def cdf(self, value):
-        return self._normal.cdf(value) * 2 - 1
-
-    def icdf(self, q):
-        return self._normal.icdf((q + 1) / 2)
-
-    @property
-    def mean(self):
-        return jnp.sqrt(2 / jnp.pi) * self.scale
-
-    @property
-    def variance(self):
-        return (1 - 2 / jnp.pi) * self.scale**2
-
-    def entropy(self):
-        return 0.5 * jnp.log(jnp.pi * self.scale**2 / 2) + 0.5
 
 
 class LogNormal(TransformedDistribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+    arg_constraints = dict(loc=constraints.real, scale=constraints.positive)
     support = constraints.positive
     reparametrized_params = ["loc", "scale"]
     pytree_data_fields = ("loc", "scale")
 
     def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        base_dist = Normal(loc, scale)
-        self.loc, self.scale = base_dist.loc, base_dist.scale
-        super().__init__(base_dist, ExpTransform(), validate_args=validate_args)
+        gaussian = Normal(loc, scale)
+        self.loc, self.scale = gaussian.loc, gaussian.scale
+        super().__init__(gaussian, ExpTransform(), validate_args=validate_args)
 
     @property
     def mean(self):
-        return jnp.exp(self.loc + self.scale**2 / 2)
+        return jnp.exp(self.loc + 0.5 * jnp.square(self.scale))
 
     @property
     def variance(self):
-        return (jnp.exp(self.scale**2) - 1) * jnp.exp(2 * self.loc + self.scale**2)
+        s2 = jnp.square(self.scale)
+        return jnp.expm1(s2) * jnp.exp(2.0 * self.loc + s2)
 
     def entropy(self):
-        return (1 + jnp.log(2 * jnp.pi)) / 2 + self.loc + jnp.log(self.scale)
+        return 0.5 + _LOG_SQRT_2PI + self.loc + jnp.log(self.scale)
 
     def cdf(self, x):
         return self.base_dist.cdf(jnp.log(x))
 
 
 class LogUniform(TransformedDistribution):
-    arg_constraints = {"low": constraints.positive, "high": constraints.positive}
+    arg_constraints = dict(low=constraints.positive, high=constraints.positive)
     reparametrized_params = ["low", "high"]
     pytree_data_fields = ("low", "high", "_support")
 
     def __init__(self, low, high, *, validate_args=None):
-        base_dist = Uniform(jnp.log(low), jnp.log(high))
+        flat = Uniform(jnp.log(low), jnp.log(high))
         self.low, self.high = promote_shapes(low, high)
         self._support = constraints.interval(self.low, self.high)
-        super().__init__(base_dist, ExpTransform(), validate_args=validate_args)
+        super().__init__(flat, ExpTransform(), validate_args=validate_args)
 
     @property
     def support(self):
         return self._support
 
+    def _log_span(self):
+        return jnp.log(self.high) - jnp.log(self.low)
+
     @property
     def mean(self):
-        return (self.high - self.low) / jnp.log(self.high / self.low)
+        return (self.high - self.low) / self._log_span()
 
     @property
     def variance(self):
-        log_ratio = jnp.log(self.high / self.low)
-        return (
-            0.5 * (self.high**2 - self.low**2) / log_ratio
-            - ((self.high - self.low) / log_ratio) ** 2
-        )
+        span = self._log_span()
+        sq_avg = 0.5 * (self.high + self.low) * (self.high - self.low) / span
+        return sq_avg - jnp.square((self.high - self.low) / span)
 
     def entropy(self):
-        log_ratio = jnp.log(self.high / self.low)
-        return 0.5 * (jnp.log(self.low) + jnp.log(self.high)) + jnp.log(log_ratio)
+        return 0.5 * jnp.log(self.low * self.high) + jnp.log(self._log_span())
 
     def cdf(self, x):
         return self.base_dist.cdf(jnp.log(x))
 
 
-class StudentT(Distribution):
-    arg_constraints = {
-        "df": constraints.positive,
-        "loc": constraints.real,
-        "scale": constraints.positive,
-    }
-    support = constraints.real
-    reparametrized_params = ["df", "loc", "scale"]
-
-    def __init__(self, df, loc=0.0, scale=1.0, *, validate_args=None):
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(df), jnp.shape(loc), jnp.shape(scale)
-        )
-        self.df, self.loc, self.scale = promote_shapes(df, loc, scale)
-        super().__init__(batch_shape, validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        key_normal, key_chi2 = random.split(key)
-        shape = sample_shape + self.batch_shape
-        std_normal = random.normal(key_normal, shape)
-        z = random.chisquare(key_chi2, self.df, shape)
-        y = std_normal * jnp.sqrt(self.df / z)
-        return self.loc + self.scale * y
-
-    @validate_sample
-    def log_prob(self, value):
-        y = (value - self.loc) / self.scale
-        z = (
-            jnp.log(self.scale)
-            + 0.5 * jnp.log(self.df)
-            + 0.5 * jnp.log(jnp.pi)
-            + gammaln(0.5 * self.df)
-            - gammaln(0.5 * (self.df + 1.0))
-        )
-        return -0.5 * (self.df + 1.0) * jnp.log1p(y**2.0 / self.df) - z
-
-    @property
-    def mean(self):
-        return jnp.broadcast_to(
-            jnp.where(self.df <= 1, jnp.nan, self.loc), self.batch_shape
-        )
-
-    @property
-    def variance(self):
-        var = jnp.where(
-            self.df > 2, self.scale**2 * self.df / (self.df - 2.0), jnp.inf
-        )
-        var = jnp.where(self.df <= 1, jnp.nan, var)
-        return jnp.broadcast_to(var, self.batch_shape)
-
-    def cdf(self, value):
-        # scipy-style via incomplete beta
-        t = (value - self.loc) / self.scale
-        x = self.df / (self.df + t**2)
-        tail = 0.5 * jax.scipy.special.betainc(0.5 * self.df, 0.5, x)
-        return jnp.where(t >= 0, 1 - tail, tail)
-
-    def entropy(self):
-        df = self.df
-        return jnp.broadcast_to(
-            0.5 * (df + 1) * (digamma(0.5 * (df + 1)) - digamma(0.5 * df))
-            + 0.5 * jnp.log(df)
-            + betaln(0.5 * df, 0.5)
-            + jnp.log(self.scale),
-            self.batch_shape,
-        )
-
-
-class Laplace(Distribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
-    support = constraints.real
-    reparametrized_params = ["loc", "scale"]
-
-    def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        eps = random.laplace(key, shape=sample_shape + self.batch_shape)
-        return self.loc + eps * self.scale
-
-    @validate_sample
-    def log_prob(self, value):
-        normalize_term = jnp.log(2 * self.scale)
-        value_abs = jnp.abs(value - self.loc)
-        return -value_abs / self.scale - normalize_term
-
-    def cdf(self, value):
-        scaled = (value - self.loc) / self.scale
-        return 0.5 - 0.5 * jnp.sign(scaled) * jnp.expm1(-jnp.abs(scaled))
-
-    def icdf(self, q):
-        a = q - 0.5
-        return self.loc - self.scale * jnp.sign(a) * jnp.log1p(-2 * jnp.abs(a))
-
-    @property
-    def mean(self):
-        return jnp.broadcast_to(self.loc, self.batch_shape)
-
-    @property
-    def variance(self):
-        return jnp.broadcast_to(2 * self.scale**2, self.batch_shape)
-
-    def entropy(self):
-        return jnp.log(2 * self.scale) + 1
-
-
 class AsymmetricLaplace(Distribution):
-    arg_constraints = {
-        "loc": constraints.real,
-        "scale": constraints.positive,
-        "asymmetry": constraints.positive,
-    }
+    arg_constraints = dict(
+        loc=constraints.real,
+        scale=constraints.positive,
+        asymmetry=constraints.positive,
+    )
     support = constraints.real
     reparametrized_params = ["loc", "scale", "asymmetry"]
 
     def __init__(self, loc=0.0, scale=1.0, asymmetry=1.0, *, validate_args=None):
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc), jnp.shape(scale), jnp.shape(asymmetry)
+        self._init_broadcast(
+            validate_args, loc=loc, scale=scale, asymmetry=asymmetry
         )
-        self.loc, self.scale, self.asymmetry = promote_shapes(loc, scale, asymmetry)
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
 
     @lazy_property
     def left_scale(self):
@@ -738,187 +757,103 @@ class AsymmetricLaplace(Distribution):
     def log_prob(self, value):
         if self._validate_args:
             self._validate_sample(value)
-        z = value - self.loc
-        z = -jnp.abs(z) / jnp.where(z < 0, self.left_scale, self.right_scale)
-        return z - jnp.log(self.left_scale + self.right_scale)
+        gap = value - self.loc
+        side_scale = jnp.where(gap < 0.0, self.left_scale, self.right_scale)
+        return -jnp.abs(gap) / side_scale - jnp.log(
+            self.left_scale + self.right_scale
+        )
 
     def sample(self, key, sample_shape=()):
-        shape = (2,) + sample_shape + self.batch_shape + self.event_shape
-        u, v = random.exponential(key, shape=shape)
-        return self.loc - self.left_scale * u + self.right_scale * v
+        target = sample_shape + self.batch_shape + self.event_shape
+        exp_l, exp_r = random.exponential(key, shape=(2,) + target)
+        return self.loc + self.right_scale * exp_r - self.left_scale * exp_l
 
     @property
     def mean(self):
-        total = self.right_scale - self.left_scale
-        return jnp.broadcast_to(self.loc + total, self.batch_shape)
+        drift = self.right_scale - self.left_scale
+        return jnp.broadcast_to(self.loc + drift, self.batch_shape)
 
     @property
     def variance(self):
-        left = self.left_scale
-        right = self.right_scale
-        total = left + right
-        p = left / total
-        q = right / total
+        l, r = self.left_scale, self.right_scale
+        tot = l + r
+        # var of a two-sided exponential mixture with weights l/tot, r/tot
+        mix = (l / tot) * (r / tot) * jnp.square(tot)
         return jnp.broadcast_to(
-            p * left**2 + q * right**2 + p * q * total**2, self.batch_shape
+            jnp.square(l) * l / tot + jnp.square(r) * r / tot + mix,
+            self.batch_shape,
         )
 
     def cdf(self, value):
-        z = value - self.loc
-        k = self.asymmetry**2
-        return jnp.where(
-            z >= 0,
-            1 - jnp.exp(-jnp.abs(z) / self.right_scale) / (1 + k),
-            k / (1 + k) * jnp.exp(-jnp.abs(z) / self.left_scale),
-        )
+        gap = value - self.loc
+        ksq = jnp.square(self.asymmetry)
+        left_mass = ksq / (1.0 + ksq)
+        upper = 1.0 - jnp.exp(-jnp.abs(gap) / self.right_scale) / (1.0 + ksq)
+        lower = left_mass * jnp.exp(-jnp.abs(gap) / self.left_scale)
+        return jnp.where(gap >= 0.0, upper, lower)
 
     def icdf(self, value):
-        k = self.asymmetry**2
-        temp = k / (1 + k)
-        return jnp.where(
-            value <= temp,
-            self.loc + self.left_scale * jnp.log(value / temp),
-            self.loc - self.right_scale * jnp.log((1 - value) * (1 + k)),
-        )
-
-
-class Gumbel(Distribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
-    support = constraints.real
-    reparametrized_params = ["loc", "scale"]
-
-    def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        standard_gumbel_sample = random.gumbel(
-            key, shape=sample_shape + self.batch_shape + self.event_shape
-        )
-        return self.loc + self.scale * standard_gumbel_sample
-
-    @validate_sample
-    def log_prob(self, value):
-        z = (value - self.loc) / self.scale
-        return -(z + jnp.exp(-z)) - jnp.log(self.scale)
-
-    @property
-    def mean(self):
-        return jnp.broadcast_to(
-            self.loc + self.scale * jnp.euler_gamma, self.batch_shape
-        )
-
-    @property
-    def variance(self):
-        return jnp.broadcast_to(
-            jnp.pi**2 / 6.0 * self.scale**2, self.batch_shape
-        )
-
-    def cdf(self, value):
-        return jnp.exp(-jnp.exp((self.loc - value) / self.scale))
-
-    def icdf(self, q):
-        return self.loc - self.scale * jnp.log(-jnp.log(q))
-
-    def entropy(self):
-        return jnp.log(self.scale) + 1 + jnp.euler_gamma
-
-
-class Logistic(Distribution):
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
-    support = constraints.real
-    reparametrized_params = ["loc", "scale"]
-
-    def __init__(self, loc=0.0, scale=1.0, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape, validate_args=validate_args)
-
-    def sample(self, key, sample_shape=()):
-        z = random.logistic(key, shape=sample_shape + self.batch_shape + self.event_shape)
-        return self.loc + z * self.scale
-
-    @validate_sample
-    def log_prob(self, value):
-        log_exponent = (self.loc - value) / self.scale
-        log_denominator = jnp.log(self.scale) + 2 * jax.nn.softplus(log_exponent)
-        return log_exponent - log_denominator
-
-    @property
-    def mean(self):
-        return jnp.broadcast_to(self.loc, self.batch_shape)
-
-    @property
-    def variance(self):
-        var = (self.scale**2) * (jnp.pi**2) / 3
-        return jnp.broadcast_to(var, self.batch_shape)
-
-    def cdf(self, value):
-        scaled = (value - self.loc) / self.scale
-        return jax.nn.sigmoid(scaled)
-
-    def icdf(self, q):
-        return self.loc + self.scale * jax.scipy.special.logit(q)
-
-    def entropy(self):
-        return jnp.broadcast_to(jnp.log(self.scale) + 2, self.batch_shape)
+        ksq = jnp.square(self.asymmetry)
+        left_mass = ksq / (1.0 + ksq)
+        below = self.loc + self.left_scale * jnp.log(value / left_mass)
+        above = self.loc - self.right_scale * jnp.log((1.0 - value) * (1.0 + ksq))
+        return jnp.where(value <= left_mass, below, above)
 
 
 class Pareto(TransformedDistribution):
-    arg_constraints = {"scale": constraints.positive, "alpha": constraints.positive}
+    arg_constraints = dict(scale=constraints.positive, alpha=constraints.positive)
     reparametrized_params = ["scale", "alpha"]
     pytree_data_fields = ("scale", "alpha")
 
     def __init__(self, scale, alpha, *, validate_args=None):
         self.scale, self.alpha = promote_shapes(scale, alpha)
-        batch_shape = lax.broadcast_shapes(jnp.shape(scale), jnp.shape(alpha))
-        scale, alpha = (
-            jnp.broadcast_to(scale, batch_shape),
-            jnp.broadcast_to(alpha, batch_shape),
+        batch = lax.broadcast_shapes(jnp.shape(scale), jnp.shape(alpha))
+        chain = [
+            ExpTransform(),
+            AffineTransform(loc=0, scale=jnp.broadcast_to(scale, batch)),
+        ]
+        super().__init__(
+            Exponential(jnp.broadcast_to(alpha, batch)),
+            chain,
+            validate_args=validate_args,
         )
-        base_dist = Exponential(alpha)
-        transforms = [ExpTransform(), AffineTransform(loc=0, scale=scale)]
-        super().__init__(base_dist, transforms, validate_args=validate_args)
 
     @property
     def mean(self):
-        a = jnp.divide(self.alpha * self.scale, (self.alpha - 1))
-        return jnp.where(self.alpha <= 1, jnp.inf, a)
+        heavy = self.alpha * self.scale / (self.alpha - 1.0)
+        return jnp.where(self.alpha > 1.0, heavy, jnp.inf)
 
     @property
     def variance(self):
-        a = jnp.divide(
-            (self.scale**2) * self.alpha, (self.alpha - 1) ** 2 * (self.alpha - 2)
-        )
-        return jnp.where(self.alpha <= 2, jnp.inf, a)
+        a = self.alpha
+        heavy = jnp.square(self.scale / (a - 1.0)) * a / (a - 2.0)
+        return jnp.where(a > 2.0, heavy, jnp.inf)
 
     @property
     def support(self):
         return constraints.greater_than(self.scale)
 
     def entropy(self):
-        return jnp.log(self.scale / self.alpha) + 1 / self.alpha + 1
+        return 1.0 + jnp.log(self.scale / self.alpha) + jnp.reciprocal(self.alpha)
 
     def cdf(self, value):
-        return 1 - jnp.power(self.scale / value, self.alpha)
+        return 1.0 - jnp.power(self.scale / value, self.alpha)
 
     def icdf(self, q):
-        return self.scale / jnp.power(1 - q, 1 / self.alpha)
+        return self.scale * jnp.power(1.0 - q, -jnp.reciprocal(self.alpha))
 
 
 class Weibull(Distribution):
-    arg_constraints = {
-        "scale": constraints.positive,
-        "concentration": constraints.positive,
-    }
+    arg_constraints = dict(
+        scale=constraints.positive, concentration=constraints.positive
+    )
     support = constraints.positive
     reparametrized_params = ["scale", "concentration"]
 
     def __init__(self, scale, concentration, *, validate_args=None):
-        self.concentration, self.scale = promote_shapes(concentration, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(concentration), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
+        self._init_broadcast(
+            validate_args, concentration=concentration, scale=scale
+        )
 
     def sample(self, key, sample_shape=()):
         return random.weibull_min(
@@ -930,78 +865,97 @@ class Weibull(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        ll = -jnp.power(value / self.scale, self.concentration)
-        ll = ll + jnp.log(self.concentration)
-        ll = ll + (self.concentration - 1.0) * jnp.log(value)
-        ll = ll - self.concentration * jnp.log(self.scale)
-        return ll
+        k = self.concentration
+        scaled = value / self.scale
+        return (
+            jnp.log(k / self.scale)
+            + xlogy(k - 1.0, scaled)
+            - jnp.power(scaled, k)
+        )
 
     def cdf(self, value):
-        return 1 - jnp.exp(-((value / self.scale) ** self.concentration))
+        return -jnp.expm1(-jnp.power(value / self.scale, self.concentration))
+
+    def _scaled_gamma(self, order):
+        return jnp.exp(gammaln(1.0 + order / self.concentration))
 
     @property
     def mean(self):
-        return self.scale * jnp.exp(gammaln(1.0 + 1.0 / self.concentration))
+        return self.scale * self._scaled_gamma(1.0)
 
     @property
     def variance(self):
-        return self.scale**2 * (
-            jnp.exp(gammaln(1.0 + 2.0 / self.concentration))
-            - jnp.exp(gammaln(1.0 + 1.0 / self.concentration)) ** 2
-        )
+        g1, g2 = self._scaled_gamma(1.0), self._scaled_gamma(2.0)
+        return jnp.square(self.scale) * (g2 - jnp.square(g1))
 
     def entropy(self):
-        return (
-            jnp.euler_gamma * (1 - 1 / self.concentration)
-            + jnp.log(self.scale / self.concentration)
-            + 1
-        )
+        k = self.concentration
+        return float(np.euler_gamma) * (1.0 - 1.0 / k) + jnp.log(self.scale / k) + 1.0
 
 
 class Kumaraswamy(Distribution):
-    arg_constraints = {
-        "concentration1": constraints.positive,
-        "concentration0": constraints.positive,
-    }
+    arg_constraints = dict(
+        concentration1=constraints.positive, concentration0=constraints.positive
+    )
     reparametrized_params = ["concentration1", "concentration0"]
     support = constraints.unit_interval
     # number of KL-style reparam gradient terms; mirrors reference knob
     KL_KUMARASWAMY_BETA_TAYLOR_ORDER = 10
 
     def __init__(self, concentration1, concentration0, *, validate_args=None):
-        self.concentration1, self.concentration0 = promote_shapes(
-            concentration1, concentration0
+        self._init_broadcast(
+            validate_args,
+            concentration1=concentration1,
+            concentration0=concentration0,
         )
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(concentration1), jnp.shape(concentration0)
-        )
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
 
     def sample(self, key, sample_shape=()):
-        u = random.uniform(key, shape=sample_shape + self.batch_shape)
-        u = clamp_probs(u)
-        log_sample = jnp.log1p(-(u ** (1 / self.concentration0))) / self.concentration1
-        finfo = jnp.finfo(u)
-        return jnp.clip(jnp.exp(log_sample), finfo.tiny, 1 - finfo.eps)
+        u = clamp_probs(random.uniform(key, sample_shape + self.batch_shape))
+        # inverse CDF: (1 - u^{1/b})^{1/a}, evaluated in log space
+        inner = jnp.log1p(-jnp.power(u, 1.0 / self.concentration0))
+        draw = jnp.exp(inner / self.concentration1)
+        eps = jnp.finfo(u)
+        return jnp.clip(draw, eps.tiny, 1.0 - eps.eps)
 
     @validate_sample
     def log_prob(self, value):
-        normalize_term = jnp.log(self.concentration0 * self.concentration1)
+        a, b = self.concentration1, self.concentration0
         return (
-            xlogy(self.concentration1 - 1, value)
-            + xlog1py(self.concentration0 - 1, -(value**self.concentration1))
-            + normalize_term
+            jnp.log(a * b)
+            + xlogy(a - 1.0, value)
+            + xlog1py(b - 1.0, -jnp.power(value, a))
+        )
+
+    def _raw_moment(self, order):
+        return self.concentration0 * jnp.exp(
+            betaln(1.0 + order / self.concentration1, self.concentration0)
         )
 
     @property
     def mean(self):
-        log_beta = betaln(1 + 1 / self.concentration1, self.concentration0)
-        return self.concentration0 * jnp.exp(log_beta)
+        return self._raw_moment(1.0)
 
     @property
     def variance(self):
-        log_beta = betaln(1 + 2 / self.concentration1, self.concentration0)
-        return self.concentration0 * jnp.exp(log_beta) - self.mean**2
+        return self._raw_moment(2.0) - jnp.square(self._raw_moment(1.0))
+# ---------------------------------------------------------------------------
+# Multivariate families
+#
+# Shared linear-algebra shorthands: matrix transpose, triangular log-det,
+# matrix-vector product on trailing dims.
+
+
+def _mT(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _tril_logdet(tril):
+    """sum log diag — half log-det of tril @ trilᵀ."""
+    return jnp.log(jnp.diagonal(tril, axis1=-2, axis2=-1)).sum(-1)
+
+
+def _mat_vec(m, v):
+    return (m @ v[..., None])[..., 0]
 
 
 def _batch_mahalanobis(bL, bx):
@@ -1059,65 +1013,56 @@ class MultivariateNormal(Distribution):
         if jnp.ndim(loc) == 0:
             (loc,) = promote_shapes(loc, shape=(1,))
         # align loc (..., D) against (..., D, D) matrices via a dummy axis
+        col = loc[..., jnp.newaxis]
         if covariance_matrix is not None:
-            loc, self.covariance_matrix = promote_shapes(
-                loc[..., jnp.newaxis], covariance_matrix
-            )
+            col, self.covariance_matrix = promote_shapes(col, covariance_matrix)
             self.scale_tril = jnp.linalg.cholesky(self.covariance_matrix)
         elif precision_matrix is not None:
             from .util import cholesky_of_inverse
 
-            loc, self.precision_matrix = promote_shapes(
-                loc[..., jnp.newaxis], precision_matrix
-            )
+            col, self.precision_matrix = promote_shapes(col, precision_matrix)
             self.scale_tril = cholesky_of_inverse(self.precision_matrix)
         elif scale_tril is not None:
-            loc, self.scale_tril = promote_shapes(loc[..., jnp.newaxis], scale_tril)
+            col, self.scale_tril = promote_shapes(col, scale_tril)
         else:
             raise ValueError(
                 "One of covariance_matrix, precision_matrix, scale_tril must be specified."
             )
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc)[:-2], jnp.shape(self.scale_tril)[:-2]
+        self.loc = col[..., 0]
+        batch = lax.broadcast_shapes(
+            jnp.shape(col)[:-2], jnp.shape(self.scale_tril)[:-2]
         )
-        event_shape = jnp.shape(self.scale_tril)[-1:]
-        self.loc = loc[..., 0]
         super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
+            batch_shape=batch,
+            event_shape=jnp.shape(self.scale_tril)[-1:],
             validate_args=validate_args,
         )
 
     def sample(self, key, sample_shape=()):
-        eps = random.normal(
+        white = random.normal(
             key, shape=sample_shape + self.batch_shape + self.event_shape
         )
-        return self.loc + jnp.squeeze(
-            jnp.matmul(self.scale_tril, eps[..., jnp.newaxis]), axis=-1
-        )
+        return self.loc + _mat_vec(self.scale_tril, white)
 
     @validate_sample
     def log_prob(self, value):
-        M = _batch_mahalanobis(self.scale_tril, value - self.loc)
-        half_log_det = jnp.log(
-            jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)
-        ).sum(-1)
-        normalize_term = half_log_det + 0.5 * self.scale_tril.shape[-1] * jnp.log(
-            2 * jnp.pi
+        quad = _batch_mahalanobis(self.scale_tril, value - self.loc)
+        dim = self.scale_tril.shape[-1]
+        return -0.5 * (quad + dim * jnp.log(2.0 * jnp.pi)) - _tril_logdet(
+            self.scale_tril
         )
-        return -0.5 * M - normalize_term
 
     @lazy_property
     def covariance_matrix(self):
-        return jnp.matmul(self.scale_tril, jnp.swapaxes(self.scale_tril, -1, -2))
+        return self.scale_tril @ _mT(self.scale_tril)
 
     @lazy_property
     def precision_matrix(self):
-        identity = jnp.broadcast_to(
+        eye = jnp.broadcast_to(
             jnp.eye(self.scale_tril.shape[-1]), self.scale_tril.shape
         )
-        inv_tril = solve_triangular(self.scale_tril, identity, lower=True)
-        return jnp.matmul(jnp.swapaxes(inv_tril, -1, -2), inv_tril)
+        root_inv = solve_triangular(self.scale_tril, eye, lower=True)
+        return _mT(root_inv) @ root_inv
 
     @property
     def mean(self):
@@ -1126,16 +1071,14 @@ class MultivariateNormal(Distribution):
     @property
     def variance(self):
         return jnp.broadcast_to(
-            jnp.sum(self.scale_tril**2, axis=-1), self.batch_shape + self.event_shape
+            jnp.square(self.scale_tril).sum(-1), self.batch_shape + self.event_shape
         )
 
     def entropy(self):
-        n = self.event_shape[-1]
-        half_log_det = jnp.log(
-            jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)
-        ).sum(-1)
+        dim = self.event_shape[-1]
+        gauss = 0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi))
         return jnp.broadcast_to(
-            0.5 * n * (1 + jnp.log(2 * jnp.pi)) + half_log_det, self.batch_shape
+            gauss + _tril_logdet(self.scale_tril), self.batch_shape
         )
 
 
@@ -1151,62 +1094,52 @@ class MultivariateStudentT(Distribution):
     def __init__(self, df, loc=0.0, scale_tril=None, *, validate_args=None):
         if jnp.ndim(loc) == 0:
             (loc,) = promote_shapes(loc, shape=(1,))
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(df), jnp.shape(loc)[:-1], jnp.shape(scale_tril)[:-2]
-        )
-        (self.df,) = promote_shapes(df, shape=batch_shape)
-        (self.loc,) = promote_shapes(loc, shape=batch_shape + loc.shape[-1:])
-        (self.scale_tril,) = promote_shapes(
-            scale_tril, shape=batch_shape + scale_tril.shape[-2:]
-        )
-        event_shape = jnp.shape(scale_tril)[-1:]
-        super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
-            validate_args=validate_args,
+        self._init_broadcast(
+            validate_args,
+            event_shape=jnp.shape(scale_tril)[-1:],
+            event_dims={"loc": 1, "scale_tril": 2},
+            df=df,
+            loc=loc,
+            scale_tril=scale_tril,
         )
 
     def sample(self, key, sample_shape=()):
-        key_normal, key_chi2 = random.split(key)
-        std_normal = random.normal(
-            key_normal, shape=sample_shape + self.batch_shape + self.event_shape
-        )
-        z = random.chisquare(key_chi2, self.df, shape=sample_shape + self.batch_shape)
-        y = std_normal * jnp.expand_dims(jnp.sqrt(self.df / z), -1)
-        return self.loc + jnp.squeeze(
-            jnp.matmul(self.scale_tril, y[..., jnp.newaxis]), axis=-1
-        )
+        k_gauss, k_mix = random.split(key)
+        batched = sample_shape + self.batch_shape
+        white = random.normal(k_gauss, shape=batched + self.event_shape)
+        mix = random.chisquare(k_mix, self.df, shape=batched)
+        heavy = white * jnp.sqrt(self.df / mix)[..., None]
+        return self.loc + _mat_vec(self.scale_tril, heavy)
 
     @validate_sample
     def log_prob(self, value):
-        n = self.scale_tril.shape[-1]
-        M = _batch_mahalanobis(self.scale_tril, value - self.loc)
-        half_log_det = jnp.log(
-            jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)
-        ).sum(-1)
+        dim = self.scale_tril.shape[-1]
+        quad = _batch_mahalanobis(self.scale_tril, value - self.loc)
+        half_sum = 0.5 * (self.df + dim)
         return (
-            gammaln(0.5 * (self.df + n))
+            gammaln(half_sum)
             - gammaln(0.5 * self.df)
-            - 0.5 * n * (jnp.log(self.df) + jnp.log(jnp.pi))
-            - half_log_det
-            - 0.5 * (self.df + n) * jnp.log1p(M / self.df)
+            - 0.5 * dim * jnp.log(self.df * jnp.pi)
+            - _tril_logdet(self.scale_tril)
+            - half_sum * jnp.log1p(quad / self.df)
         )
 
     @property
     def mean(self):
+        df_col = jnp.expand_dims(self.df, -1)
         return jnp.broadcast_to(
-            jnp.where(jnp.expand_dims(self.df, -1) <= 1, jnp.nan, self.loc),
-            self.shape(),
+            jnp.where(df_col > 1.0, self.loc, jnp.nan), self.shape()
         )
 
     @property
     def variance(self):
-        cov_diag = jnp.sum(self.scale_tril**2, axis=-1)
-        df = jnp.expand_dims(self.df, -1)
-        var = cov_diag * df / (df - 2)
-        var = jnp.where(df > 2, var, jnp.inf)
-        var = jnp.where(df <= 1, jnp.nan, var)
-        return jnp.broadcast_to(var, self.batch_shape + self.event_shape)
+        df_col = jnp.expand_dims(self.df, -1)
+        cov_diag = jnp.square(self.scale_tril).sum(-1)
+        heavy = jnp.where(df_col > 2.0, cov_diag * df_col / (df_col - 2.0), jnp.inf)
+        return jnp.broadcast_to(
+            jnp.where(df_col > 1.0, heavy, jnp.nan),
+            self.batch_shape + self.event_shape,
+        )
 
 
 class LowRankMultivariateNormal(Distribution):
@@ -1227,24 +1160,22 @@ class LowRankMultivariateNormal(Distribution):
     def __init__(self, loc, cov_factor, cov_diag, *, validate_args=None):
         if jnp.ndim(loc) < 1:
             raise ValueError("`loc` must be at least one-dimensional.")
-        event_shape = jnp.shape(loc)[-1:]
-        if jnp.ndim(cov_factor) < 2 or jnp.shape(cov_factor)[-2:-1] != event_shape:
+        dim = jnp.shape(loc)[-1:]
+        if jnp.ndim(cov_factor) < 2 or jnp.shape(cov_factor)[-2:-1] != dim:
             raise ValueError("`cov_factor` must have shape (..., D, K)")
-        if jnp.shape(cov_diag)[-1:] != event_shape:
+        if jnp.shape(cov_diag)[-1:] != dim:
             raise ValueError("`cov_diag` must have shape (..., D)")
-        loc, cov_factor, cov_diag = promote_shapes(
+        loc_col, factor, diag_col = promote_shapes(
             loc[..., None], cov_factor, cov_diag[..., None]
         )
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc), jnp.shape(cov_factor), jnp.shape(cov_diag)
+        self.loc = loc_col[..., 0]
+        self.cov_factor = factor
+        self.cov_diag = diag_col[..., 0]
+        batch = lax.broadcast_shapes(
+            jnp.shape(loc_col), jnp.shape(factor), jnp.shape(diag_col)
         )[:-2]
-        self.loc = loc[..., 0]
-        self.cov_factor = cov_factor
-        self.cov_diag = cov_diag[..., 0]
         super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
-            validate_args=validate_args,
+            batch_shape=batch, event_shape=dim, validate_args=validate_args
         )
 
     @property
@@ -1253,99 +1184,79 @@ class LowRankMultivariateNormal(Distribution):
 
     @lazy_property
     def variance(self):
-        raw = jnp.square(self.cov_factor).sum(-1) + self.cov_diag
-        return jnp.broadcast_to(raw, self.batch_shape + self.event_shape)
+        marginal = jnp.square(self.cov_factor).sum(-1) + self.cov_diag
+        return jnp.broadcast_to(marginal, self.batch_shape + self.event_shape)
+
+    @lazy_property
+    def _whitened_factor(self):
+        """W^T D^{-1}: the K x D workhorse of every Woodbury formula here."""
+        return _mT(self.cov_factor) / self.cov_diag[..., None, :]
 
     @lazy_property
     def _capacitance_tril(self):
-        # K x K: I + W^T D^{-1} W
-        Wt_Dinv = jnp.swapaxes(self.cov_factor, -1, -2) / jnp.expand_dims(
-            self.cov_diag, axis=-2
-        )
-        K = jnp.matmul(Wt_Dinv, self.cov_factor)
-        K = add_diag(K, jnp.ones(K.shape[-1], dtype=K.dtype))
-        return jnp.linalg.cholesky(K)
+        # K x K: chol(I + W^T D^{-1} W)
+        cap = self._whitened_factor @ self.cov_factor
+        cap = add_diag(cap, jnp.ones(cap.shape[-1], dtype=cap.dtype))
+        return jnp.linalg.cholesky(cap)
 
     @lazy_property
     def scale_tril(self):
-        cov = jnp.matmul(
-            self.cov_factor, jnp.swapaxes(self.cov_factor, -1, -2)
-        )
-        cov = add_diag(cov, self.cov_diag)
-        return jnp.linalg.cholesky(cov)
+        return jnp.linalg.cholesky(self.covariance_matrix)
 
     @lazy_property
     def covariance_matrix(self):
-        cov = jnp.matmul(self.cov_factor, jnp.swapaxes(self.cov_factor, -1, -2))
-        return add_diag(cov, self.cov_diag)
+        return add_diag(self.cov_factor @ _mT(self.cov_factor), self.cov_diag)
 
     @lazy_property
     def precision_matrix(self):
         # Woodbury: D^-1 - D^-1 W (I + W^T D^-1 W)^-1 W^T D^-1
-        Wt_Dinv = jnp.swapaxes(self.cov_factor, -1, -2) / jnp.expand_dims(
-            self.cov_diag, axis=-2
+        half = solve_triangular(
+            self._capacitance_tril, self._whitened_factor, lower=True
         )
-        A = solve_triangular(self._capacitance_tril, Wt_Dinv, lower=True)
-        inverse_cov_diag = jnp.reciprocal(self.cov_diag)
-        diag_embed = inverse_cov_diag[..., None] * jnp.identity(
-            self.loc.shape[-1], dtype=inverse_cov_diag.dtype
+        inv_diag = jnp.reciprocal(self.cov_diag)
+        diag_mat = inv_diag[..., None] * jnp.identity(
+            self.loc.shape[-1], dtype=inv_diag.dtype
         )
-        return diag_embed - jnp.matmul(jnp.swapaxes(A, -1, -2), A)
+        return diag_mat - _mT(half) @ half
 
     def sample(self, key, sample_shape=()):
-        key_W, key_D = random.split(key)
-        batch_shape = sample_shape + self.batch_shape
-        W_shape = batch_shape + self.cov_factor.shape[-1:]
-        eps_W = random.normal(key_W, W_shape)
-        eps_D = random.normal(key_D, batch_shape + self.event_shape)
+        k_low, k_diag = random.split(key)
+        batched = sample_shape + self.batch_shape
+        eps_low = random.normal(k_low, batched + self.cov_factor.shape[-1:])
+        eps_diag = random.normal(k_diag, batched + self.event_shape)
         return (
             self.loc
-            + jnp.squeeze(jnp.matmul(self.cov_factor, eps_W[..., None]), axis=-1)
-            + jnp.sqrt(self.cov_diag) * eps_D
+            + _mat_vec(self.cov_factor, eps_low)
+            + jnp.sqrt(self.cov_diag) * eps_diag
         )
+
+    def _half_log_det(self):
+        # matrix-determinant lemma: log|C| = log|cap| + log|D|
+        return _tril_logdet(self._capacitance_tril) + 0.5 * jnp.log(
+            self.cov_diag
+        ).sum(-1)
 
     @validate_sample
     def log_prob(self, value):
-        diff = value - self.loc
-        # Mahalanobis via Woodbury
-        Wt_Dinv = jnp.swapaxes(self.cov_factor, -1, -2) / jnp.expand_dims(
-            self.cov_diag, axis=-2
-        )
-        Wt_Dinv_diff = jnp.squeeze(jnp.matmul(Wt_Dinv, diff[..., None]), -1)
+        gap = value - self.loc
+        projected = _mat_vec(self._whitened_factor, gap)
         # solve_triangular does not broadcast batch dims: align the factor
         # with the (possibly sample-batched) right-hand side
-        chol = jnp.broadcast_to(
+        cap = jnp.broadcast_to(
             self._capacitance_tril,
-            Wt_Dinv_diff.shape[:-1] + self._capacitance_tril.shape[-2:],
+            projected.shape[:-1] + self._capacitance_tril.shape[-2:],
         )
-        mahalanobis_tmp = solve_triangular(
-            chol, Wt_Dinv_diff[..., None], lower=True
-        )[..., 0]
-        mahalanobis = (diff**2 / self.cov_diag).sum(-1) - (mahalanobis_tmp**2).sum(
-            -1
-        )
-        # determinant lemma
-        log_det = (
-            2
-            * jnp.log(
-                jnp.diagonal(self._capacitance_tril, axis1=-2, axis2=-1)
-            ).sum(-1)
-            + jnp.log(self.cov_diag).sum(-1)
-        )
-        return -0.5 * (
-            self.loc.shape[-1] * jnp.log(2 * jnp.pi) + log_det + mahalanobis
-        )
+        correction = solve_triangular(cap, projected[..., None], lower=True)[..., 0]
+        quad = (jnp.square(gap) / self.cov_diag).sum(-1) - jnp.square(
+            correction
+        ).sum(-1)
+        dim = self.loc.shape[-1]
+        return -0.5 * (dim * jnp.log(2.0 * jnp.pi) + quad) - self._half_log_det()
 
     def entropy(self):
-        log_det = (
-            2
-            * jnp.log(
-                jnp.diagonal(self._capacitance_tril, axis1=-2, axis2=-1)
-            ).sum(-1)
-            + jnp.log(self.cov_diag).sum(-1)
-        )
-        H = 0.5 * (self.loc.shape[-1] * (1.0 + jnp.log(2 * jnp.pi)) + log_det)
-        return jnp.broadcast_to(H, self.batch_shape)
+        dim = self.loc.shape[-1]
+        gauss = 0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi))
+        return jnp.broadcast_to(gauss + self._half_log_det(), self.batch_shape)
 
 
 class GaussianRandomWalk(Distribution):
@@ -1359,25 +1270,33 @@ class GaussianRandomWalk(Distribution):
     pytree_aux_fields = ("num_steps",)
 
     def __init__(self, scale=1.0, num_steps=1, *, validate_args=None):
-        assert isinstance(num_steps, int) and num_steps > 0, (
-            "`num_steps` argument should be a positive integer."
-        )
+        if not (isinstance(num_steps, int) and num_steps > 0):
+            raise AssertionError(
+                "`num_steps` argument should be a positive integer."
+            )
         self.scale = scale
         self.num_steps = num_steps
-        batch_shape, event_shape = jnp.shape(scale), (num_steps,)
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        super().__init__(
+            jnp.shape(scale), (num_steps,), validate_args=validate_args
+        )
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape + self.event_shape
-        walks = random.normal(key, shape=shape)
-        return jnp.cumsum(walks, axis=-1) * jnp.expand_dims(self.scale, axis=-1)
+        steps = random.normal(
+            key, shape=sample_shape + self.batch_shape + self.event_shape
+        )
+        return jnp.expand_dims(self.scale, -1) * jnp.cumsum(steps, axis=-1)
 
     @validate_sample
     def log_prob(self, value):
-        init_prob = Normal(0.0, self.scale).log_prob(value[..., 0])
-        scale = jnp.expand_dims(self.scale, -1)
-        step_probs = Normal(value[..., :-1], scale).log_prob(value[..., 1:])
-        return init_prob + jnp.sum(step_probs, axis=-1)
+        # increments (incl. the first step from 0) are iid N(0, scale)
+        increments = jnp.diff(
+            value, axis=-1, prepend=jnp.zeros_like(value[..., :1])
+        )
+        z = increments / jnp.expand_dims(self.scale, -1)
+        per_step = -0.5 * jnp.square(z) - _LOG_SQRT_2PI - jnp.expand_dims(
+            jnp.log(jnp.broadcast_to(self.scale, self.batch_shape)), -1
+        )
+        return per_step.sum(-1)
 
     @property
     def mean(self):
@@ -1385,8 +1304,9 @@ class GaussianRandomWalk(Distribution):
 
     @property
     def variance(self):
+        growth = jnp.arange(1, self.num_steps + 1)
         return jnp.broadcast_to(
-            jnp.expand_dims(self.scale, -1) ** 2 * jnp.arange(1, self.num_steps + 1),
+            jnp.expand_dims(jnp.square(self.scale), -1) * growth,
             self.batch_shape + self.event_shape,
         )
 
@@ -1415,61 +1335,54 @@ class LKJCholesky(Distribution):
             raise ValueError("Dimension must be greater than or equal to 2.")
         self.dimension = dimension
         self.concentration = concentration
-        batch_shape = jnp.shape(concentration)
-        event_shape = (dimension, dimension)
 
-        # normalization constant (Lewandowski, Kurowicka & Joe 2009)
-        Dm1 = self.dimension - 1
-        marginal_concentration = concentration + 0.5 * (self.dimension - 2)
-        offset = 0.5 * jnp.arange(Dm1)
+        # per-row Beta parameters (Lewandowski, Kurowicka & Joe 2009)
+        rows = dimension - 1
+        marginal = concentration + 0.5 * (dimension - 2)
+        ladder = 0.5 * jnp.arange(rows)
         if sample_method == "onion":
-            self._beta_concentration0 = (
-                jnp.expand_dims(marginal_concentration, axis=-1) - offset
-            )
-            self._beta_concentration1 = offset + 0.5
-            self.sample_method = "onion"
+            self._beta_concentration0 = jnp.expand_dims(marginal, -1) - ladder
+            self._beta_concentration1 = ladder + 0.5
         elif sample_method == "cvine":
-            offset_tril = matrix_to_tril_vec(
-                jnp.broadcast_to(offset, (Dm1, Dm1)), diagonal=0
+            ladder_tril = matrix_to_tril_vec(
+                jnp.broadcast_to(ladder, (rows, rows)), diagonal=0
             )
-            beta_concentration = (
-                jnp.expand_dims(marginal_concentration, axis=-1) - offset_tril
-            )
-            self._beta_concentration0 = beta_concentration
-            self._beta_concentration1 = beta_concentration
-            self.sample_method = "cvine"
+            both = jnp.expand_dims(marginal, -1) - ladder_tril
+            self._beta_concentration0 = both
+            self._beta_concentration1 = both
         else:
             raise ValueError("`method` should be one of 'cvine' or 'onion'.")
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        self.sample_method = sample_method
+        super().__init__(
+            jnp.shape(concentration),
+            (dimension, dimension),
+            validate_args=validate_args,
+        )
 
     def _onion(self, key, size):
-        key_beta, key_normal = random.split(key)
+        k_radius, k_dir = random.split(key)
+        d = self.dimension
         # beta draws give the squared norm of each new row's off-diag part
-        beta_sample = random.beta(
-            key_beta,
+        radius_sq = random.beta(
+            k_radius,
             self._beta_concentration1,
             self._beta_concentration0,
             shape=size + self._beta_concentration0.shape,
         )
-        # sample directions uniformly on spheres via normalized normals
-        normal_sample = random.normal(
-            key_normal,
-            shape=size + (self.dimension * (self.dimension - 1) // 2,),
-        )
-        normal_sample = vec_to_tril_matrix(normal_sample, diagonal=0)
-        u_hypersphere = normal_sample / jnp.linalg.norm(
-            normal_sample, axis=-1, keepdims=True
-        )
-        # replace nan in the first row (norm of empty part)
-        u_hypersphere = jnp.nan_to_num(u_hypersphere)
-        w = jnp.expand_dims(jnp.sqrt(beta_sample), axis=-1) * u_hypersphere
+        # directions: normalized gaussians, packed row-by-row in a tril
+        raw = random.normal(k_dir, shape=size + (d * (d - 1) // 2,))
+        tril = vec_to_tril_matrix(raw, diagonal=0)
+        directions = tril / jnp.linalg.norm(tril, axis=-1, keepdims=True)
+        # first row normalizes an empty slice -> nan; zero it
+        directions = jnp.nan_to_num(directions)
+        body = jnp.sqrt(radius_sq)[..., None] * directions
 
-        # pad to D x D and set diagonal
-        pad_width = [(0, 0)] * (w.ndim - 2) + [(1, 0), (0, 1)]
-        w = jnp.pad(w, pad_width)
-        diag = jnp.sqrt(jnp.clip(1 - jnp.sum(w**2, axis=-1), 0.0))
-        cholesky = w + jnp.expand_dims(diag, axis=-1) * jnp.identity(self.dimension)
-        return cholesky
+        # embed into D x D below the diagonal, then fill the diagonal so
+        # each row has unit norm
+        pad = [(0, 0)] * (body.ndim - 2) + [(1, 0), (0, 1)]
+        body = jnp.pad(body, pad)
+        diag = jnp.sqrt(jnp.clip(1.0 - jnp.square(body).sum(-1), 0.0))
+        return body + diag[..., None] * jnp.identity(d)
 
     def _cvine(self, key):  # pragma: no cover - onion is the default
         raise NotImplementedError
@@ -1482,18 +1395,19 @@ class LKJCholesky(Distribution):
         diag = jnp.diagonal(value, axis1=-2, axis2=-1)[..., 1:]
         # unnormalized: sum over rows i>=2 of (D - i + 2(eta - 1)) log L_ii
         row = jnp.arange(2, self.dimension + 1, dtype=diag.dtype)
-        concentration = jnp.expand_dims(jnp.asarray(self.concentration), -1)
-        order = self.dimension - row + 2 * (concentration - 1)
-        unnormalized = (order * jnp.log(diag)).sum(-1)
+        eta = jnp.expand_dims(jnp.asarray(self.concentration), -1)
+        exponent = self.dimension - row + 2.0 * (eta - 1.0)
+        unnorm = (exponent * jnp.log(diag)).sum(-1)
 
         # normalization (reference formula, LKJ 2009 Thm 5)
-        Dm1 = self.dimension - 1
-        alpha = self.concentration + 0.5 * Dm1
-        denominator = gammaln(alpha) * Dm1
-        numerator = multigammaln(alpha - 0.5, Dm1)
-        pi_constant = 0.5 * Dm1 * jnp.log(jnp.pi)
-        normalize_term = pi_constant + numerator - denominator
-        return unnormalized - normalize_term
+        rows = self.dimension - 1
+        alpha = self.concentration + 0.5 * rows
+        log_norm = (
+            0.5 * rows * jnp.log(jnp.pi)
+            + multigammaln(alpha - 0.5, rows)
+            - rows * gammaln(alpha)
+        )
+        return unnorm - log_norm
 
     @property
     def mean(self):
@@ -1514,14 +1428,15 @@ class LKJ(TransformedDistribution):
     def __init__(
         self, dimension=2, concentration=1.0, sample_method="onion", *, validate_args=None
     ):
+        from .transforms import CorrMatrixCholeskyTransform
+
         self.dimension = dimension
         self.concentration = concentration
         self.sample_method = sample_method
-        base_dist = LKJCholesky(dimension, concentration, sample_method)
-        from .transforms import CorrMatrixCholeskyTransform
-
         super().__init__(
-            base_dist, CorrMatrixCholeskyTransform().inv, validate_args=validate_args
+            LKJCholesky(dimension, concentration, sample_method),
+            CorrMatrixCholeskyTransform().inv,
+            validate_args=validate_args,
         )
 
     @property
@@ -1551,13 +1466,12 @@ class Wishart(TransformedDistribution):
         *,
         validate_args=None,
     ):
-        base_dist = WishartCholesky(
-            concentration, scale_matrix, rate_matrix, scale_tril
-        )
         from .transforms import CholeskyTransform
 
         super().__init__(
-            base_dist, CholeskyTransform().inv, validate_args=validate_args
+            WishartCholesky(concentration, scale_matrix, rate_matrix, scale_tril),
+            CholeskyTransform().inv,
+            validate_args=validate_args,
         )
 
     @property
@@ -1570,9 +1484,8 @@ class Wishart(TransformedDistribution):
 
     @property
     def mean(self):
-        return self.concentration[..., None, None] * jnp.matmul(
-            self.scale_tril, jnp.swapaxes(self.scale_tril, -2, -1)
-        )
+        root = self.scale_tril
+        return self.concentration[..., None, None] * (root @ _mT(root))
 
 
 class WishartCholesky(Distribution):
@@ -1598,69 +1511,64 @@ class WishartCholesky(Distribution):
         validate_args=None,
     ):
         if scale_matrix is not None:
-            scale_tril_ = jnp.linalg.cholesky(scale_matrix)
+            root = jnp.linalg.cholesky(scale_matrix)
         elif rate_matrix is not None:
             from .util import cholesky_of_inverse
 
-            scale_tril_ = cholesky_of_inverse(rate_matrix)
+            root = cholesky_of_inverse(rate_matrix)
         elif scale_tril is not None:
-            scale_tril_ = scale_tril
+            root = scale_tril
         else:
             raise ValueError(
                 "One of scale_matrix, rate_matrix, scale_tril must be specified."
             )
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(concentration), jnp.shape(scale_tril_)[:-2]
+        self._init_broadcast(
+            validate_args,
+            event_shape=jnp.shape(root)[-2:],
+            event_dims={"scale_tril": 2},
+            concentration=concentration,
+            scale_tril=root,
         )
-        event_shape = jnp.shape(scale_tril_)[-2:]
-        (self.concentration,) = promote_shapes(concentration, shape=batch_shape)
-        (self.scale_tril,) = promote_shapes(
-            scale_tril_, shape=batch_shape + event_shape
-        )
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
 
     def sample(self, key, sample_shape=()):
-        key_n, key_g = random.split(key)
-        D = self.event_shape[-1]
-        shape = sample_shape + self.batch_shape
+        k_offdiag, k_diag = random.split(key)
+        d = self.event_shape[-1]
+        batched = sample_shape + self.batch_shape
         # Bartlett: A lower-triangular with N(0,1) below diag, sqrt(chi2) on diag
-        normals = random.normal(key_n, shape + (D * (D - 1) // 2,))
-        A = vec_to_tril_matrix(normals, diagonal=-1)
-        chi2_df = jnp.expand_dims(jnp.asarray(self.concentration), -1) - jnp.arange(D)
-        chi2 = random.chisquare(key_g, chi2_df, shape=shape + (D,))
-        A = A + jnp.sqrt(chi2)[..., None] * jnp.identity(D)
-        return jnp.matmul(self.scale_tril, A)
+        below = vec_to_tril_matrix(
+            random.normal(k_offdiag, batched + (d * (d - 1) // 2,)), diagonal=-1
+        )
+        dof_ladder = (
+            jnp.expand_dims(jnp.asarray(self.concentration), -1) - jnp.arange(d)
+        )
+        diag_sq = random.chisquare(k_diag, dof_ladder, shape=batched + (d,))
+        bartlett = below + jnp.sqrt(diag_sq)[..., None] * jnp.identity(d)
+        return self.scale_tril @ bartlett
 
     @validate_sample
     def log_prob(self, value):
-        D = self.event_shape[-1]
+        d = self.event_shape[-1]
         df = self.concentration
-        # transform to A = L_S^{-1} value ; Jacobian of L -> S handled by class usage
-        # density of Wishart cholesky factor L:
-        # log p(L) = (df - D - 1) sum log diag(L) ... use change of variables from
-        # Wishart density p(W) with W = L L^T:
-        # log p(L) = log p(W) + D log 2 + sum_{i} (D - i + 1) log L_ii
-        W_logdet = 2 * jnp.log(jnp.diagonal(value, axis1=-2, axis2=-1)).sum(-1)
-        S_half_logdet = jnp.log(
-            jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)
-        ).sum(-1)
+        # Wishart density of W = L Lᵀ, plus the L -> W Jacobian
+        # log|W| and log|S|^{1/2} from triangular diagonals
+        value_logdiag = jnp.log(jnp.diagonal(value, axis1=-2, axis2=-1))
+        w_logdet = 2.0 * value_logdiag.sum(-1)
+        s_half_logdet = _tril_logdet(self.scale_tril)
         # trace(S^{-1} W) = || L_S^{-1} L ||_F^2
-        Linv_L = solve_triangular(
+        whitened = solve_triangular(
             jnp.broadcast_to(self.scale_tril, value.shape), value, lower=True
         )
-        trace_term = (Linv_L**2).sum((-2, -1))
-        log_w = (
-            0.5 * (df - D - 1) * W_logdet
+        trace_term = jnp.square(whitened).sum((-2, -1))
+        wishart_ld = (
+            0.5 * (df - d - 1.0) * w_logdet
             - 0.5 * trace_term
-            - 0.5 * df * D * jnp.log(2.0)
-            - df * S_half_logdet
-            - multigammaln(0.5 * df, D)
+            - 0.5 * df * d * jnp.log(2.0)
+            - df * s_half_logdet
+            - multigammaln(0.5 * df, d)
         )
-        i = jnp.arange(1, D + 1, dtype=jnp.result_type(float))
-        jac = D * jnp.log(2.0) + (
-            (D - i + 1) * jnp.log(jnp.diagonal(value, axis1=-2, axis2=-1))
-        ).sum(-1)
-        return log_w + jac
+        row = jnp.arange(1, d + 1, dtype=value_logdiag.dtype)
+        jacobian = d * jnp.log(2.0) + ((d - row + 1.0) * value_logdiag).sum(-1)
+        return wishart_ld + jacobian
 
     @property
     def mean(self):
@@ -1678,64 +1586,17 @@ class WishartCholesky(Distribution):
 # ---------------------------------------------------------------------------
 
 
-class SoftLaplace(Distribution):
-    """Smooth log-convex density with Laplace-like tails (infinitely
-    differentiable — well-suited to HMC)."""
-
-    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
-    support = constraints.real
-    reparametrized_params = ["loc", "scale"]
-
-    def __init__(self, loc, scale, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
-
-    @validate_sample
-    def log_prob(self, value):
-        z = (value - self.loc) / self.scale
-        return jnp.log(2 / jnp.pi) - jnp.log(self.scale) - jnp.logaddexp(z, -z)
-
-    def sample(self, key, sample_shape=()):
-        dtype = jnp.result_type(float)
-        minval = jnp.finfo(dtype).tiny
-        u = random.uniform(key, shape=sample_shape + self.batch_shape, minval=minval)
-        return self.icdf(u)
-
-    def cdf(self, value):
-        z = (value - self.loc) / self.scale
-        return jnp.arctan(jnp.exp(z)) * (2 / jnp.pi)
-
-    def icdf(self, value):
-        return jnp.log(jnp.tan(value * (jnp.pi / 2))) * self.scale + self.loc
-
-    @property
-    def mean(self):
-        return self.loc
-
-    @property
-    def variance(self):
-        return (jnp.pi / 2 * self.scale) ** 2
-
-
 class Gompertz(Distribution):
     """Gompertz distribution: CDF ``1 - exp(-con * expm1(rate * x))``."""
 
-    arg_constraints = {
-        "concentration": constraints.positive,
-        "rate": constraints.positive,
-    }
+    arg_constraints = dict(
+        concentration=constraints.positive, rate=constraints.positive
+    )
     support = constraints.positive
     reparametrized_params = ["concentration", "rate"]
 
     def __init__(self, concentration, rate=1.0, *, validate_args=None):
-        self.concentration, self.rate = promote_shapes(concentration, rate)
-        super().__init__(
-            batch_shape=lax.broadcast_shapes(
-                jnp.shape(concentration), jnp.shape(rate)
-            ),
-            validate_args=validate_args,
-        )
+        self._init_broadcast(validate_args, concentration=concentration, rate=rate)
 
     def sample(self, key, sample_shape=()):
         u = random.uniform(key, shape=sample_shape + self.batch_shape)
@@ -1743,13 +1604,9 @@ class Gompertz(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        scaled = value * self.rate
-        return (
-            jnp.log(self.concentration)
-            + jnp.log(self.rate)
-            + scaled
-            - self.concentration * jnp.expm1(scaled)
-        )
+        grown = value * self.rate
+        hazard = jnp.log(self.concentration * self.rate) + grown
+        return hazard - self.concentration * jnp.expm1(grown)
 
     def cdf(self, value):
         return -jnp.expm1(-self.concentration * jnp.expm1(value * self.rate))
@@ -1761,19 +1618,18 @@ class Gompertz(Distribution):
     def mean(self):
         from jax.scipy.special import expi
 
-        return -jnp.exp(self.concentration) * expi(-self.concentration) / self.rate
+        c = self.concentration
+        return -jnp.exp(c) * expi(-c) / self.rate
 
 
 class Levy(Distribution):
     """Lévy distribution (alpha-stable with alpha=1/2, beta=1)."""
 
-    arg_constraints = {"loc": constraints.positive, "scale": constraints.positive}
+    arg_constraints = dict(loc=constraints.positive, scale=constraints.positive)
 
     def __init__(self, loc, scale, *, validate_args=None):
-        self.loc, self.scale = promote_shapes(loc, scale)
-        batch_shape = lax.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
         self._support = constraints.greater_than(loc)
-        super().__init__(batch_shape, validate_args=validate_args)
+        self._init_broadcast(validate_args, loc=loc, scale=scale)
 
     @constraints.dependent_property(is_discrete=False)
     def support(self):
@@ -1781,50 +1637,51 @@ class Levy(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        shifted = value - self.loc
-        return -0.5 * (
-            jnp.log(2.0 * jnp.pi) - jnp.log(self.scale) + self.scale / shifted
-        ) - 1.5 * jnp.log(shifted)
+        gap = value - self.loc
+        return (
+            0.5 * jnp.log(self.scale / (2.0 * jnp.pi))
+            - 0.5 * self.scale / gap
+            - 1.5 * jnp.log(gap)
+        )
 
     def sample(self, key, sample_shape=()):
         u = random.uniform(key, shape=sample_shape + self.batch_shape)
         return self.icdf(u)
 
     def icdf(self, q):
-        return self.loc + self.scale * jnp.power(ndtri(1 - 0.5 * q), -2)
+        folded = ndtri(1.0 - 0.5 * q)
+        return self.loc + self.scale / jnp.square(folded)
 
     def cdf(self, value):
-        inv_standardized = self.scale / (value - self.loc)
-        return 2.0 - 2.0 * ndtr(jnp.sqrt(inv_standardized))
+        standardized = self.scale / (value - self.loc)
+        return 2.0 * (1.0 - ndtr(jnp.sqrt(standardized)))
 
     @property
     def mean(self):
-        return jnp.broadcast_to(jnp.inf, self.batch_shape)
+        return jnp.full(self.batch_shape, jnp.inf)
 
     @property
     def variance(self):
-        return jnp.broadcast_to(jnp.inf, self.batch_shape)
+        return jnp.full(self.batch_shape, jnp.inf)
 
 
 class BetaProportion(Beta):
     """Beta reparameterized by variate mean and precision (Ferrari &
     Cribari-Neto 2004)."""
 
-    arg_constraints = {
-        "mean": constraints.open_interval(0.0, 1.0),
-        "concentration": constraints.positive,
-    }
+    arg_constraints = dict(
+        mean=constraints.open_interval(0.0, 1.0),
+        concentration=constraints.positive,
+    )
     reparametrized_params = ["mean", "concentration"]
     support = constraints.unit_interval
     pytree_data_fields = ("concentration",)
 
     def __init__(self, mean, concentration, *, validate_args=None):
-        self.concentration = jnp.broadcast_to(
-            concentration, lax.broadcast_shapes(jnp.shape(concentration))
-        )
+        self.concentration = jnp.asarray(concentration)
         super().__init__(
-            mean * concentration,
-            (1.0 - mean) * concentration,
+            concentration * mean,
+            concentration * (1.0 - mean),
             validate_args=validate_args,
         )
 
@@ -1833,27 +1690,20 @@ class AsymmetricLaplaceQuantile(Distribution):
     """AsymmetricLaplace parameterized by the quantile (Bayesian quantile
     regression parameterization)."""
 
-    arg_constraints = {
-        "loc": constraints.real,
-        "scale": constraints.positive,
-        "quantile": constraints.open_interval(0.0, 1.0),
-    }
+    arg_constraints = dict(
+        loc=constraints.real,
+        scale=constraints.positive,
+        quantile=constraints.open_interval(0.0, 1.0),
+    )
     reparametrized_params = ["loc", "scale", "quantile"]
     support = constraints.real
     pytree_data_fields = ("loc", "scale", "quantile", "_ald")
 
     def __init__(self, loc=0.0, scale=1.0, quantile=0.5, *, validate_args=None):
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc), jnp.shape(scale), jnp.shape(quantile)
-        )
-        self.loc, self.scale, self.quantile = promote_shapes(
-            loc, scale, quantile, shape=batch_shape
-        )
-        super().__init__(batch_shape=batch_shape, validate_args=validate_args)
-        asymmetry = (1 / ((1 / quantile) - 1)) ** 0.5
-        scale_classic = scale * asymmetry / quantile
+        self._init_broadcast(validate_args, loc=loc, scale=scale, quantile=quantile)
+        kappa = jnp.sqrt(quantile / (1.0 - quantile))
         self._ald = AsymmetricLaplace(
-            loc=loc, scale=scale_classic, asymmetry=asymmetry
+            loc=loc, scale=scale * kappa / quantile, asymmetry=kappa
         )
 
     def log_prob(self, value):
@@ -1882,19 +1732,18 @@ class AsymmetricLaplaceQuantile(Distribution):
 class RelaxedBernoulliLogits(TransformedDistribution):
     """Continuous relaxation of Bernoulli (Concrete distribution)."""
 
-    arg_constraints = {
-        "temperature": constraints.positive,
-        "logits": constraints.real,
-    }
+    arg_constraints = dict(temperature=constraints.positive, logits=constraints.real)
     support = constraints.unit_interval
 
     def __init__(self, temperature, logits, *, validate_args=None):
-        self.temperature, self.logits = promote_shapes(temperature, logits)
-        base_dist = Logistic(logits / temperature, 1 / temperature)
         from .transforms import SigmoidTransform
 
+        self.temperature, self.logits = promote_shapes(temperature, logits)
+        inv_temp = jnp.reciprocal(temperature)
         super().__init__(
-            base_dist, [SigmoidTransform()], validate_args=validate_args
+            Logistic(logits * inv_temp, inv_temp),
+            [SigmoidTransform()],
+            validate_args=validate_args,
         )
 
 
@@ -1911,18 +1760,18 @@ class ZeroSumNormal(TransformedDistribution):
     """Normal with one or more event axes constrained to sum to zero
     (PyMC-style, via an orthonormal Householder basis — see ZeroSumTransform)."""
 
-    arg_constraints = {"scale": constraints.positive}
+    arg_constraints = dict(scale=constraints.positive)
     reparametrized_params = ["scale"]
 
     def __init__(self, scale, event_shape, *, validate_args=None):
         from .transforms import ZeroSumTransform
 
-        event_ndim = len(event_shape)
-        transformed_shape = tuple(size - 1 for size in event_shape)
+        ndim = len(event_shape)
+        reduced = tuple(size - 1 for size in event_shape)
         self.scale = scale
         super().__init__(
-            Normal(0, scale).expand(transformed_shape).to_event(event_ndim),
-            ZeroSumTransform(event_ndim),
+            Normal(0, scale).expand(reduced).to_event(ndim),
+            ZeroSumTransform(ndim),
             validate_args=validate_args,
         )
 
@@ -1936,12 +1785,11 @@ class ZeroSumNormal(TransformedDistribution):
 
     @property
     def variance(self):
-        event_ndim = len(self.event_shape)
-        theoretical_var = jnp.square(self.scale)
-        for axis in range(-event_ndim, 0):
-            theoretical_var *= 1 - 1 / self.event_shape[axis]
+        shrink = 1.0
+        for size in self.event_shape:
+            shrink = shrink * (1.0 - 1.0 / size)
         return jnp.broadcast_to(
-            theoretical_var, self.batch_shape + self.event_shape
+            jnp.square(self.scale) * shrink, self.batch_shape + self.event_shape
         )
 
 
@@ -1958,23 +1806,13 @@ class MatrixNormal(Distribution):
     reparametrized_params = ["loc", "scale_tril_row", "scale_tril_column"]
 
     def __init__(self, loc, scale_tril_row, scale_tril_column, validate_args=None):
-        event_shape = loc.shape[-2:]
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc)[:-2],
-            jnp.shape(scale_tril_row)[:-2],
-            jnp.shape(scale_tril_column)[:-2],
-        )
-        (self.loc,) = promote_shapes(loc, shape=batch_shape + loc.shape[-2:])
-        (self.scale_tril_row,) = promote_shapes(
-            scale_tril_row, shape=batch_shape + scale_tril_row.shape[-2:]
-        )
-        (self.scale_tril_column,) = promote_shapes(
-            scale_tril_column, shape=batch_shape + scale_tril_column.shape[-2:]
-        )
-        super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
-            validate_args=validate_args,
+        self._init_broadcast(
+            validate_args,
+            event_shape=jnp.shape(loc)[-2:],
+            event_dims={"loc": 2, "scale_tril_row": 2, "scale_tril_column": 2},
+            loc=loc,
+            scale_tril_row=scale_tril_row,
+            scale_tril_column=scale_tril_column,
         )
 
     @property
@@ -1982,39 +1820,30 @@ class MatrixNormal(Distribution):
         return jnp.broadcast_to(self.loc, self.shape())
 
     def sample(self, key, sample_shape=()):
-        eps = random.normal(
+        white = random.normal(
             key, shape=sample_shape + self.batch_shape + self.event_shape
         )
-        return self.loc + self.scale_tril_row @ eps @ jnp.swapaxes(
-            self.scale_tril_column, -2, -1
-        )
+        return self.loc + self.scale_tril_row @ white @ _mT(self.scale_tril_column)
 
     @validate_sample
     def log_prob(self, values):
         n, p = self.event_shape
-        row_log_det = jnp.log(
-            jnp.diagonal(self.scale_tril_row, axis1=-2, axis2=-1)
-        ).sum(-1)
-        col_log_det = jnp.log(
-            jnp.diagonal(self.scale_tril_column, axis1=-2, axis2=-1)
-        ).sum(-1)
-        log_det_term = (
-            p * row_log_det + n * col_log_det + 0.5 * n * p * jnp.log(2 * jnp.pi)
+        log_norm = (
+            p * _tril_logdet(self.scale_tril_row)
+            + n * _tril_logdet(self.scale_tril_column)
+            + 0.5 * n * p * jnp.log(2.0 * jnp.pi)
         )
-        diff = values - self.loc
 
-        def _bsolve(A, B):
-            batch = lax.broadcast_shapes(A.shape[:-2], B.shape[:-2])
-            A = jnp.broadcast_to(A, batch + A.shape[-2:])
-            B = jnp.broadcast_to(B, batch + B.shape[-2:])
-            return solve_triangular(A, B, lower=True)
+        def whiten(tril, rhs):
+            batch = lax.broadcast_shapes(tril.shape[:-2], rhs.shape[:-2])
+            tril = jnp.broadcast_to(tril, batch + tril.shape[-2:])
+            rhs = jnp.broadcast_to(rhs, batch + rhs.shape[-2:])
+            return solve_triangular(tril, rhs, lower=True)
 
-        diff_row_solve = _bsolve(self.scale_tril_row, diff)
-        diff_col_solve = _bsolve(
-            self.scale_tril_column, jnp.swapaxes(diff_row_solve, -2, -1)
-        )
-        trace_term = jnp.square(diff_col_solve).sum((-2, -1))
-        return -0.5 * trace_term - log_det_term
+        gap = values - self.loc
+        row_white = whiten(self.scale_tril_row, gap)
+        both_white = whiten(self.scale_tril_column, _mT(row_white))
+        return -0.5 * jnp.square(both_white).sum((-2, -1)) - log_norm
 
 
 class CAR(Distribution):
@@ -2057,24 +1886,14 @@ class CAR(Distribution):
         if jnp.ndim(loc) == 0:
             (loc,) = promote_shapes(loc, shape=(1,))
         self.is_sparse = False
-        batch_shape = lax.broadcast_shapes(
-            jnp.shape(loc)[:-1],
-            jnp.shape(correlation),
-            jnp.shape(conditional_precision),
-            jnp.shape(adj_matrix)[:-2],
-        )
-        (self.adj_matrix,) = promote_shapes(
-            adj_matrix, shape=batch_shape + adj_matrix.shape[-2:]
-        )
-        event_shape = jnp.shape(self.adj_matrix)[-1:]
-        (self.loc,) = promote_shapes(loc, shape=batch_shape + event_shape)
-        self.correlation, self.conditional_precision = promote_shapes(
-            correlation, conditional_precision, shape=batch_shape
-        )
-        super().__init__(
-            batch_shape=batch_shape,
-            event_shape=event_shape,
-            validate_args=validate_args,
+        self._init_broadcast(
+            validate_args,
+            event_shape=jnp.shape(adj_matrix)[-1:],
+            event_dims={"loc": 1, "adj_matrix": 2},
+            loc=loc,
+            correlation=correlation,
+            conditional_precision=conditional_precision,
+            adj_matrix=adj_matrix,
         )
 
     def sample(self, key, sample_shape=()):
@@ -2083,26 +1902,26 @@ class CAR(Distribution):
 
     @validate_sample
     def log_prob(self, value):
-        phi = value - self.loc
-        adj_matrix = self.adj_matrix
-        D = adj_matrix.sum(axis=-1)
-        D_rsqrt = D ** (-0.5)
-        adj_scaled = adj_matrix * (D_rsqrt[..., None, :] * D_rsqrt[..., None])
-        lam = jnp.linalg.eigvalsh(adj_scaled)
-        n = D.shape[-1]
-        logprec = n * jnp.log(self.conditional_precision)
-        logdet = jnp.log1p(-jnp.expand_dims(self.correlation, -1) * lam).sum(-1)
-        logdet = logdet + jnp.log(D).sum(-1)
-        logquad = self.conditional_precision * jnp.sum(
-            phi
-            * (
-                D * phi
-                - jnp.expand_dims(self.correlation, -1)
-                * jnp.einsum("...ij,...j->...i", adj_matrix, phi)
-            ),
-            -1,
+        centered = value - self.loc
+        adj = self.adj_matrix
+        degree = adj.sum(axis=-1)
+        # symmetric normalization D^{-1/2} A D^{-1/2} for the eigen-spectrum
+        d_rsqrt = jnp.power(degree, -0.5)
+        spectrum = jnp.linalg.eigvalsh(
+            adj * (d_rsqrt[..., None, :] * d_rsqrt[..., None])
         )
-        return 0.5 * (-n * jnp.log(2 * jnp.pi) + logprec + logdet - logquad)
+        n = degree.shape[-1]
+        rho = jnp.expand_dims(self.correlation, -1)
+        log_det = (
+            n * jnp.log(self.conditional_precision)
+            + jnp.log1p(-rho * spectrum).sum(-1)
+            + jnp.log(degree).sum(-1)
+        )
+        neighbor_sum = jnp.einsum("...ij,...j->...i", adj, centered)
+        quad = self.conditional_precision * (
+            centered * (degree * centered - rho * neighbor_sum)
+        ).sum(-1)
+        return 0.5 * (log_det - quad - n * jnp.log(2.0 * jnp.pi))
 
     @property
     def mean(self):
@@ -2110,23 +1929,22 @@ class CAR(Distribution):
 
     @lazy_property
     def precision_matrix(self):
-        D = self.adj_matrix.sum(axis=-1)
-        conditional_precision = jnp.expand_dims(self.conditional_precision, (-2, -1))
-        correlation = jnp.expand_dims(self.correlation, (-2, -1))
+        degree = self.adj_matrix.sum(axis=-1)
+        tau = jnp.expand_dims(self.conditional_precision, (-2, -1))
+        rho = jnp.expand_dims(self.correlation, (-2, -1))
         eye = jnp.broadcast_to(
             jnp.eye(self.adj_matrix.shape[-1]), self.adj_matrix.shape
         )
-        return conditional_precision * (
-            D[..., None] * eye - correlation * self.adj_matrix
-        )
+        return tau * (degree[..., None] * eye - rho * self.adj_matrix)
 
     @staticmethod
     def infer_shapes(loc, correlation, conditional_precision, adj_matrix):
-        event_shape = adj_matrix[-1:]
-        batch_shape = lax.broadcast_shapes(
-            loc[:-1], correlation, conditional_precision, adj_matrix[:-2]
+        return (
+            lax.broadcast_shapes(
+                loc[:-1], correlation, conditional_precision, adj_matrix[:-2]
+            ),
+            adj_matrix[-1:],
         )
-        return batch_shape, event_shape
 
 
 class EulerMaruyama(Distribution):
@@ -2139,98 +1957,95 @@ class EulerMaruyama(Distribution):
     pytree_aux_fields = ("sde_fn",)
 
     def __init__(self, t, sde_fn, init_dist, *, validate_args=None):
+        if not isinstance(init_dist, Distribution):
+            raise TypeError("init_dist must be a Distribution instance")
         self.t = t
         self.sde_fn = sde_fn
         self.init_dist = init_dist
-        if not isinstance(init_dist, Distribution):
-            raise TypeError("init_dist must be a Distribution instance")
-        batch_shape_t = jnp.shape(t)[:-1]
-        batch_shape = lax.broadcast_shapes(batch_shape_t, init_dist.batch_shape)
-        event_shape = (jnp.shape(t)[-1],) + init_dist.event_shape
-        super().__init__(batch_shape, event_shape, validate_args=validate_args)
+        batch = lax.broadcast_shapes(jnp.shape(t)[:-1], init_dist.batch_shape)
+        event = (jnp.shape(t)[-1],) + init_dist.event_shape
+        super().__init__(batch, event, validate_args=validate_args)
 
     @constraints.dependent_property(is_discrete=False)
     def support(self):
         return constraints.independent(constraints.real, self.event_dim)
 
+    def _drift_diffusion(self, states, times, n_map_dims):
+        """sde_fn mapped over n_map_dims leading axes of (states, times)."""
+        fn = self.sde_fn
+        for _ in range(n_map_dims):
+            fn = jax.vmap(fn)
+        return fn(states, times)
+
     def sample(self, key, sample_shape=()):
-        batch_shape = sample_shape + self.batch_shape
+        batch = sample_shape + self.batch_shape
+        n_steps = self.event_shape[0]
 
-        def step(y_curr, xs):
-            noise_curr, t_curr, dt_curr = xs
-            f, g = self.sde_fn(y_curr, t_curr)
-            y_next = y_curr + dt_curr * f + jnp.sqrt(dt_curr) * g * noise_curr
-            return y_next, y_next
+        def advance(state, inputs):
+            noise, t_now, dt = inputs
+            drift, diffusion = self.sde_fn(state, t_now)
+            nxt = state + dt * drift + jnp.sqrt(dt) * diffusion * noise
+            return nxt, nxt
 
-        rng_noise, rng_init = random.split(key)
-        noises = random.normal(
-            rng_noise,
-            shape=batch_shape + (self.event_shape[0] - 1,) + self.event_shape[1:],
+        k_path, k_start = random.split(key)
+        noise = random.normal(
+            k_path, shape=batch + (n_steps - 1,) + self.event_shape[1:]
         )
-        inits = self.init_dist.expand(batch_shape).sample(rng_init)
+        start = self.init_dist.expand(batch).sample(k_start)
 
-        def scan_fn(init, noise, tm1, dt):
-            return lax.scan(step, init, (noise, tm1, dt))
+        def one_path(x0, eps, t_head, dt):
+            return lax.scan(advance, x0, (eps, t_head, dt))[1]
 
-        batch_dim = len(batch_shape)
-        if batch_dim:
-            inits_flat = inits.reshape((-1,) + inits.shape[batch_dim:])
-            noises_flat = noises.reshape((-1,) + noises.shape[batch_dim:])
-            t = jnp.broadcast_to(self.t, batch_shape + (self.event_shape[0],))
-            t = t.reshape((-1,) + t.shape[batch_dim:])
-            dt = jnp.diff(t, axis=-1)
-            _, sde_out = jax.vmap(scan_fn)(inits_flat, noises_flat, t[..., :-1], dt)
-            sde_out = jnp.concatenate([inits_flat[:, None], sde_out], axis=1)
-            sde_out = jnp.reshape(sde_out, batch_shape + self.event_shape)
-        else:
-            dt = jnp.diff(self.t, axis=-1)
-            _, sde_out = scan_fn(inits, noises, self.t[:-1], dt)
-            sde_out = jnp.concatenate([inits[None], sde_out], axis=0)
-        return sde_out
+        grid = jnp.broadcast_to(self.t, batch + (n_steps,))
+        if batch:
+
+            def flat(a):
+                return a.reshape((-1,) + a.shape[len(batch):])
+
+            path = jax.vmap(one_path)(
+                flat(start),
+                flat(noise),
+                flat(grid)[..., :-1],
+                jnp.diff(flat(grid), axis=-1),
+            )
+            path = jnp.concatenate([flat(start)[:, None], path], axis=1)
+            return path.reshape(batch + self.event_shape)
+        path = one_path(start, noise, self.t[:-1], jnp.diff(self.t))
+        return jnp.concatenate([start[None], path], axis=0)
 
     @validate_sample
     def log_prob(self, value):
-        sample_shape = lax.broadcast_shapes(
+        batch = lax.broadcast_shapes(
             value.shape[: value.ndim - self.event_dim], self.batch_shape
         )
-        value = jnp.broadcast_to(value, sample_shape + self.event_shape)
+        value = jnp.broadcast_to(value, batch + self.event_shape)
+        n_steps = self.event_shape[0]
+        grid = jnp.broadcast_to(self.t, batch + (n_steps,))
 
-        if sample_shape:
-            flat = value.reshape((-1,) + self.event_shape)
-            xtm1, xt = flat[:, :-1], flat[:, 1:]
-            value0 = flat[:, 0]
-            t = jnp.broadcast_to(self.t, sample_shape + (self.event_shape[0],))
-            t = t.reshape((-1, self.event_shape[0]))
-            f, g = jax.vmap(jax.vmap(self.sde_fn))(xtm1, t[:, :-1])
-            f = f.reshape(sample_shape + f.shape[1:])
-            g = g.reshape(sample_shape + g.shape[1:])
-            xtm1 = xtm1.reshape(sample_shape + xtm1.shape[1:])
-            xt = xt.reshape(sample_shape + xt.shape[1:])
-            value0 = value0.reshape(sample_shape + value0.shape[1:])
-        else:
-            xtm1, xt = value[:-1], value[1:]
-            value0 = value[0]
-            f, g = jax.vmap(self.sde_fn)(xtm1, self.t[:-1])
+        # split the trajectory into transition pairs along the time axis
+        time_axis = len(batch)
+        prev = jax.lax.slice_in_dim(value, 0, n_steps - 1, axis=time_axis)
+        curr = jax.lax.slice_in_dim(value, 1, n_steps, axis=time_axis)
+        head_t = jax.lax.slice_in_dim(grid, 0, n_steps - 1, axis=-1)
 
-        batch_dim = len(sample_shape)
-        f = f.reshape(
-            f.shape[: batch_dim + 1]
-            + (1,) * (xt.ndim - f.ndim)
-            + f.shape[batch_dim + 1 :]
-        )
-        g = g.reshape(
-            g.shape[: batch_dim + 1]
-            + (1,) * (xt.ndim - g.ndim)
-            + g.shape[batch_dim + 1 :]
-        )
+        drift, diffusion = self._drift_diffusion(prev, head_t, len(batch) + 1)
+        # drift/diffusion may be lower-rank than the state (scalar SDEs):
+        # right-pad their shapes to align
+        def align(a):
+            missing = curr.ndim - a.ndim
+            keep = len(batch) + 1
+            return a.reshape(a.shape[:keep] + (1,) * missing + a.shape[keep:])
 
+        drift, diffusion = align(drift), align(diffusion)
         dt = jnp.diff(self.t, axis=-1)
         dt = dt.reshape(dt.shape + (1,) * (self.event_dim - 1))
-        mu = xtm1 + dt * f
-        sigma = jnp.sqrt(dt) * g
-        sde_log_prob = Normal(mu, sigma).to_event(self.event_dim).log_prob(xt)
-        init_log_prob = self.init_dist.log_prob(value0)
-        return sde_log_prob + init_log_prob
+        step_mean = prev + dt * drift
+        step_sd = jnp.sqrt(dt) * diffusion
+        trans_ld = (
+            Normal(step_mean, step_sd).to_event(self.event_dim).log_prob(curr)
+        )
+        x0 = jax.lax.index_in_dim(value, 0, axis=time_axis, keepdims=False)
+        return trans_ld + self.init_dist.log_prob(x0)
 
 
 class GaussianStateSpace(Distribution):
@@ -2264,49 +2079,54 @@ class GaussianStateSpace(Distribution):
         self.num_steps = num_steps
         self.transition_matrix = transition_matrix
         # normalize innovation-noise parameterization to scale_tril
-        inner = MultivariateNormal(
+        noise = MultivariateNormal(
             covariance_matrix=covariance_matrix,
             precision_matrix=precision_matrix,
             scale_tril=scale_tril,
         )
-        self.scale_tril = inner.scale_tril
-        batch_shape = inner.batch_shape
-        dim = transition_matrix.shape[-1]
+        self.scale_tril = noise.scale_tril
         super().__init__(
-            batch_shape, (num_steps, dim), validate_args=validate_args
+            noise.batch_shape,
+            (num_steps, transition_matrix.shape[-1]),
+            validate_args=validate_args,
         )
 
     def _innovations(self, value):
-        z_prev = value[..., :-1, :]
-        propagated = jnp.einsum("ij,...tj->...ti", self.transition_matrix, z_prev)
+        history = value[..., :-1, :]
+        pushed = jnp.einsum("ij,...tj->...ti", self.transition_matrix, history)
         return jnp.concatenate(
-            [value[..., :1, :], value[..., 1:, :] - propagated], axis=-2
+            [value[..., :1, :], value[..., 1:, :] - pushed], axis=-2
         )
 
     def sample(self, key, sample_shape=()):
-        shape = sample_shape + self.batch_shape + self.event_shape
-        eps = random.normal(key, shape)
-        eps = jnp.einsum("...ij,...tj->...ti", self.scale_tril[..., None, :, :].squeeze(-3) if self.scale_tril.ndim > 2 else self.scale_tril, eps)
+        white = random.normal(
+            key, sample_shape + self.batch_shape + self.event_shape
+        )
+        noise_tril = (
+            self.scale_tril
+            if self.scale_tril.ndim == 2
+            else self.scale_tril[..., None, :, :].squeeze(-3)
+        )
+        eps = jnp.einsum("...ij,...tj->...ti", noise_tril, white)
 
-        def step(z, e):
-            z_next = self.transition_matrix @ z[..., None]
-            z_next = z_next[..., 0] + e
-            return z_next, z_next
+        def advance(state, shock):
+            nxt = _mat_vec(self.transition_matrix, state) + shock
+            return nxt, nxt
 
         # scan over time (the only sequential axis)
-        eps_t_first = jnp.moveaxis(eps, -2, 0)
-        z0 = eps_t_first[0]
-        _, z_rest = lax.scan(step, z0, eps_t_first[1:])
-        z = jnp.concatenate([z0[None], z_rest], axis=0)
-        return jnp.moveaxis(z, 0, -2)
+        shocks = jnp.moveaxis(eps, -2, 0)
+        first = shocks[0]
+        _, rest = lax.scan(advance, first, shocks[1:])
+        path = jnp.concatenate([first[None], rest], axis=0)
+        return jnp.moveaxis(path, 0, -2)
 
     @validate_sample
     def log_prob(self, value):
-        eps = self._innovations(value)
-        mvn = MultivariateNormal(
+        innov = self._innovations(value)
+        noise = MultivariateNormal(
             jnp.zeros(self.event_shape[-1]), scale_tril=self.scale_tril
         )
-        return mvn.log_prob(eps).sum(-1)
+        return noise.log_prob(innov).sum(-1)
 
     @property
     def mean(self):
@@ -2314,23 +2134,16 @@ class GaussianStateSpace(Distribution):
 
     @lazy_property
     def covariance_matrix(self):
-        return self.scale_tril @ jnp.swapaxes(self.scale_tril, -2, -1)
+        return self.scale_tril @ _mT(self.scale_tril)
 
     @property
     def variance(self):
-        def step(carry, _):
+        def push(carry, _):
             return self.transition_matrix @ carry, carry
 
-        _, scale_tril = lax.scan(
-            step, self.scale_tril, jnp.arange(self.num_steps)
-        )
-        return (
-            jnp.diagonal(
-                scale_tril @ jnp.swapaxes(scale_tril, -2, -1), axis1=-1, axis2=-2
-            )
-            .cumsum(axis=0)
-            .swapaxes(0, -2)
-        )
+        _, roots = lax.scan(push, self.scale_tril, jnp.arange(self.num_steps))
+        marginal = jnp.diagonal(roots @ _mT(roots), axis1=-1, axis2=-2)
+        return marginal.cumsum(axis=0).swapaxes(0, -2)
 
 
 class CirculantNormal(Distribution):
@@ -2361,51 +2174,48 @@ class CirculantNormal(Distribution):
             covariance_rfft = jnp.fft.rfft(covariance_row).real
             self.covariance_row = covariance_row
         else:
-            batch_shape = lax.broadcast_shapes(
+            batch = lax.broadcast_shapes(
                 jnp.shape(loc)[:-1], jnp.shape(covariance_rfft)[:-1]
             )
-            loc = jnp.broadcast_to(loc, batch_shape + (n,))
+            loc = jnp.broadcast_to(loc, batch + (n,))
             covariance_rfft = jnp.broadcast_to(
-                covariance_rfft, batch_shape + (n // 2 + 1,)
+                covariance_rfft, batch + (n // 2 + 1,)
             )
         self.loc = loc
         self.covariance_rfft = covariance_rfft
-        batch_shape = lax.broadcast_shapes(
+        batch = lax.broadcast_shapes(
             jnp.shape(loc)[:-1], jnp.shape(covariance_rfft)[:-1]
         )
-        super().__init__(batch_shape, (n,), validate_args=validate_args)
+        super().__init__(batch, (n,), validate_args=validate_args)
 
-    def _eigenvals(self):
-        # eigenvalues of the circulant covariance = n-point rFFT of first row
+    def _spectrum(self):
+        """(eigenvalues of the covariance, rFFT bin weights, n).
+
+        Real-FFT packing: interior bins represent a conjugate pair (weight
+        2); DC — and Nyquist when n is even — appear once (weight 1)."""
         (n,) = self.event_shape
-        return jnp.maximum(self.covariance_rfft, 0.0), n
+        lam = jnp.maximum(self.covariance_rfft, 0.0)
+        weights = jnp.full(lam.shape[-1:], 2.0).at[0].set(1.0)
+        if n % 2 == 0:
+            weights = weights.at[-1].set(1.0)
+        return lam, weights, n
 
     def sample(self, key, sample_shape=()):
-        (n,) = self.event_shape
-        shape = sample_shape + self.batch_shape + (n,)
-        eps = random.normal(key, shape)
-        # color white noise in the Fourier domain: C^{1/2} = F* diag(sqrt(λ)) F / sqrt(n)
-        eps_rfft = jnp.fft.rfft(eps)
-        lam, _ = self._eigenvals()
-        colored = jnp.fft.irfft(eps_rfft * jnp.sqrt(lam), n=n)
+        lam, _, n = self._spectrum()
+        white = random.normal(key, sample_shape + self.batch_shape + (n,))
+        # color white noise in the Fourier domain:
+        # C^{1/2} = F* diag(sqrt(λ)) F / sqrt(n)
+        colored = jnp.fft.irfft(jnp.fft.rfft(white) * jnp.sqrt(lam), n=n)
         return self.loc + colored
 
     @validate_sample
     def log_prob(self, value):
-        (n,) = self.event_shape
-        diff = value - self.loc
-        diff_rfft = jnp.fft.rfft(diff)
-        lam, _ = self._eigenvals()
+        lam, weights, n = self._spectrum()
         lam = jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
-        # real-FFT packing: bins 1..ceil(n/2)-1 appear twice in the full
-        # spectrum; DC (and Nyquist for even n) appear once.
-        weights = jnp.full(lam.shape[-1:], 2.0).at[0].set(1.0)
-        if n % 2 == 0:
-            weights = weights.at[-1].set(1.0)
-        power = jnp.square(jnp.abs(diff_rfft))
+        power = jnp.square(jnp.abs(jnp.fft.rfft(value - self.loc)))
         quad = (weights * power / lam).sum(-1) / n
         half_log_det = 0.5 * (weights * jnp.log(lam)).sum(-1)
-        return -0.5 * (n * jnp.log(2 * jnp.pi) + quad) - half_log_det
+        return -0.5 * (n * jnp.log(2.0 * jnp.pi) + quad) - half_log_det
 
     @lazy_property
     def covariance_row(self):
@@ -2414,9 +2224,8 @@ class CirculantNormal(Distribution):
     @lazy_property
     def covariance_matrix(self):
         (n,) = self.event_shape
-        row = self.covariance_row
-        idx = (jnp.arange(n)[:, None] - jnp.arange(n)[None, :]) % n
-        return row[..., idx]
+        lag = (jnp.arange(n)[:, None] - jnp.arange(n)[None, :]) % n
+        return self.covariance_row[..., lag]
 
     @property
     def mean(self):
@@ -2438,10 +2247,7 @@ class CirculantNormal(Distribution):
                 return jnp.broadcast_shapes(loc[:-1], cov[:-1]), loc[-1:]
 
     def entropy(self):
-        lam, n = self._eigenvals()
+        lam, weights, n = self._spectrum()
         lam = jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
-        weights = jnp.full(lam.shape[-1:], 2.0).at[0].set(1.0)
-        if n % 2 == 0:
-            weights = weights.at[-1].set(1.0)
         half_log_det = 0.5 * (weights * jnp.log(lam)).sum(-1)
-        return 0.5 * n * (1.0 + jnp.log(2 * jnp.pi)) + half_log_det
+        return 0.5 * n * (1.0 + jnp.log(2.0 * jnp.pi)) + half_log_det

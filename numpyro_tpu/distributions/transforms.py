@@ -9,6 +9,9 @@ codomain is that constraint — HMC/SVI run in the unconstrained preimage.
 Everything here is shape-polymorphic pure jnp so a single transform instance
 vectorizes over an arbitrary chain/batch prefix — the chain-massive engine
 applies these to ``(num_chains, ...)`` arrays inside one XLA program.
+
+Organisation note: the built-in constraint→transform table at the bottom is
+declarative (one table, one loop) rather than a decorator per constraint.
 """
 
 from __future__ import annotations
@@ -16,10 +19,13 @@ from __future__ import annotations
 import math
 import weakref
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.nn import log_sigmoid, softplus
+from jax.nn import sigmoid, softplus
+from jax.scipy.special import logit
 
 from . import constraints
 
@@ -57,15 +63,20 @@ __all__ = [
 
 
 def _clipped_expit(x):
-    finfo = jnp.finfo(jnp.result_type(x, float))
-    return jnp.clip(jax.nn.sigmoid(x), finfo.tiny, 1.0 - finfo.eps)
+    eps = jnp.finfo(jnp.result_type(x, float))
+    return jnp.clip(sigmoid(x), eps.tiny, 1.0 - eps.eps)
 
 
 def sum_rightmost(x, dim):
     """Sum the rightmost ``dim`` dimensions of ``x``."""
-    if dim == 0:
-        return x
-    return x.sum(tuple(range(-dim, 0)))
+    return x.sum(tuple(range(-dim, 0))) if dim else x
+
+
+def _same_params(a, b, names):
+    """Structural equality by np.array_equal over the named attributes."""
+    if type(a) is not type(b):
+        return False
+    return all(np.array_equal(getattr(a, n), getattr(b, n)) for n in names)
 
 
 class Transform:
@@ -116,13 +127,12 @@ class Transform:
 
     @property
     def inv(self):
-        inv = None
-        if self._inv is not None:
-            inv = self._inv()
-        if inv is None:
-            inv = _InverseTransform(self)
-            self._inv = weakref.ref(inv)
-        return inv
+        # cache the inverse view weakly so t.inv.inv is t
+        cached = self._inv() if self._inv is not None else None
+        if cached is None:
+            cached = _InverseTransform(self)
+            self._inv = weakref.ref(cached)
+        return cached
 
     def __call__(self, x):
         raise NotImplementedError
@@ -152,6 +162,7 @@ class Transform:
 
 class _InverseTransform(Transform):
     pytree_data_fields = ("_transform",)
+
     def __init__(self, transform):
         super().__init__()
         self._transform = transform
@@ -214,6 +225,7 @@ class AffineTransform(Transform):
 
     pytree_data_fields = ("loc", "scale")
     pytree_aux_fields = ("domain",)
+
     def __init__(self, loc, scale, domain=constraints.real):
         self.loc = loc
         self.scale = scale
@@ -221,26 +233,24 @@ class AffineTransform(Transform):
 
     @property
     def codomain(self):
-        if self.domain is constraints.real:
+        dom = self.domain
+        if dom is constraints.real:
             return constraints.real
-        elif isinstance(self.domain, constraints.independent):
+        if isinstance(dom, constraints.independent):
+            inner = AffineTransform(self.loc, self.scale, dom.base_constraint)
             return constraints.independent(
-                AffineTransform(self.loc, self.scale, self.domain.base_constraint).codomain,
-                self.domain.reinterpreted_batch_ndims,
+                inner.codomain, dom.reinterpreted_batch_ndims
             )
-        elif self.domain is constraints.positive:
-            # assume scale > 0 for constraint propagation
+        # the bounded cases assume scale > 0 for constraint propagation
+        if dom is constraints.positive:
             return constraints.greater_than(self(0.0))
-        elif isinstance(self.domain, constraints.greater_than):
-            return constraints.greater_than(self(self.domain.lower_bound))
-        elif isinstance(self.domain, constraints.less_than):
-            return constraints.less_than(self(self.domain.upper_bound))
-        elif isinstance(self.domain, constraints.interval):
-            return constraints.interval(
-                self(self.domain.lower_bound), self(self.domain.upper_bound)
-            )
-        else:
-            raise NotImplementedError
+        if isinstance(dom, constraints.greater_than):
+            return constraints.greater_than(self(dom.lower_bound))
+        if isinstance(dom, constraints.less_than):
+            return constraints.less_than(self(dom.upper_bound))
+        if isinstance(dom, constraints.interval):
+            return constraints.interval(self(dom.lower_bound), self(dom.upper_bound))
+        raise NotImplementedError
 
     def __call__(self, x):
         return self.loc + self.scale * x
@@ -252,18 +262,14 @@ class AffineTransform(Transform):
         return jnp.broadcast_to(jnp.log(jnp.abs(self.scale)), jnp.shape(x))
 
     def forward_shape(self, shape):
-        return lax.broadcast_shapes(shape, jnp.shape(self.loc), jnp.shape(self.scale))
+        return lax.broadcast_shapes(
+            shape, jnp.shape(self.loc), jnp.shape(self.scale)
+        )
 
     inverse_shape = forward_shape
 
     def __eq__(self, other):
-        if type(other) is not AffineTransform:
-            return False
-        import numpy as np
-
-        return np.array_equal(self.loc, other.loc) and np.array_equal(
-            self.scale, other.scale
-        )
+        return _same_params(self, other, ("loc", "scale"))
 
 
 class ExpTransform(Transform):
@@ -276,13 +282,14 @@ class ExpTransform(Transform):
 
     @property
     def codomain(self):
-        if self.domain is constraints.real:
+        dom = self.domain
+        if dom is constraints.real:
             return constraints.positive
-        elif isinstance(self.domain, constraints.greater_than):
-            return constraints.greater_than(jnp.exp(self.domain.lower_bound))
-        elif isinstance(self.domain, constraints.interval):
+        if isinstance(dom, constraints.greater_than):
+            return constraints.greater_than(jnp.exp(dom.lower_bound))
+        if isinstance(dom, constraints.interval):
             return constraints.interval(
-                jnp.exp(self.domain.lower_bound), jnp.exp(self.domain.upper_bound)
+                jnp.exp(dom.lower_bound), jnp.exp(dom.upper_bound)
             )
         raise NotImplementedError
 
@@ -303,9 +310,10 @@ class SigmoidTransform(Transform):
         return _clipped_expit(x)
 
     def _inverse(self, y):
-        return jax.scipy.special.logit(y)
+        return logit(y)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
+        # log sigmoid'(x) = log σ(x) + log σ(-x)
         return -softplus(x) - softplus(-x)
 
 
@@ -339,7 +347,7 @@ class PowerTransform(Transform):
         return jnp.power(x, self.exponent)
 
     def _inverse(self, y):
-        return jnp.power(y, 1.0 / self.exponent)
+        return jnp.power(y, jnp.reciprocal(self.exponent))
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         return jnp.log(jnp.abs(self.exponent * y / x))
@@ -350,43 +358,39 @@ class PowerTransform(Transform):
     inverse_shape = forward_shape
 
     def __eq__(self, other):
-        if type(other) is not PowerTransform:
-            return False
-        import numpy as np
-
-        return np.array_equal(self.exponent, other.exponent)
+        return _same_params(self, other, ("exponent",))
 
 
 class ComposeTransform(Transform):
     pytree_data_fields = ("parts",)
+
     def __init__(self, parts):
         self.parts = list(parts)
 
     @property
     def domain(self):
-        input_event_dim = self.parts[-1].domain.event_dim
+        # thread event_dim backwards through the chain
+        needed = self.parts[-1].domain.event_dim
         for part in reversed(self.parts[:-1]):
-            input_event_dim = part.domain.event_dim + max(
-                input_event_dim - part.codomain.event_dim, 0
+            needed = part.domain.event_dim + max(
+                needed - part.codomain.event_dim, 0
             )
-        domain = self.parts[0].domain
-        if domain.event_dim < input_event_dim:
-            return constraints.independent(domain, input_event_dim - domain.event_dim)
-        return domain
+        head = self.parts[0].domain
+        if head.event_dim < needed:
+            return constraints.independent(head, needed - head.event_dim)
+        return head
 
     @property
     def codomain(self):
-        output_event_dim = self.parts[0].codomain.event_dim
+        produced = self.parts[0].codomain.event_dim
         for part in self.parts[1:]:
-            output_event_dim = part.codomain.event_dim + max(
-                output_event_dim - part.domain.event_dim, 0
+            produced = part.codomain.event_dim + max(
+                produced - part.domain.event_dim, 0
             )
-        codomain = self.parts[-1].codomain
-        if codomain.event_dim < output_event_dim:
-            return constraints.independent(
-                codomain, output_event_dim - codomain.event_dim
-            )
-        return codomain
+        tail = self.parts[-1].codomain
+        if tail.event_dim < produced:
+            return constraints.independent(tail, produced - tail.event_dim)
+        return tail
 
     def __call__(self, x):
         for part in self.parts:
@@ -399,40 +403,40 @@ class ComposeTransform(Transform):
         return y
 
     def call_with_intermediates(self, x):
-        intermediates = []
+        stages = []
         for part in self.parts[:-1]:
-            x_tmp, inter = part.call_with_intermediates(x)
-            intermediates.append([x, inter])
-            x = x_tmp
-        x_tmp, inter = self.parts[-1].call_with_intermediates(x)
-        intermediates.append([x, inter])
-        return x_tmp, intermediates
+            out, inter = part.call_with_intermediates(x)
+            stages.append([x, inter])
+            x = out
+        out, inter = self.parts[-1].call_with_intermediates(x)
+        stages.append([x, inter])
+        return out, stages
+
+    def _stages(self, x, y, intermediates):
+        """Yield (part, x_i, y_i, inter_i) for each link in the chain."""
+        if intermediates is None:
+            inputs, here = [], x
+            for part in self.parts[:-1]:
+                inputs.append((here, None))
+                here = part(here)
+            inputs.append((here, None))
+        else:
+            if len(intermediates) != len(self.parts):
+                raise ValueError("intermediates length mismatch")
+            inputs = [(pair[0], pair[1]) for pair in intermediates]
+        outputs = [pair[0] for pair in inputs[1:]] + [y]
+        for part, (x_i, inter_i), y_i in zip(self.parts, inputs, outputs):
+            yield part, x_i, y_i, inter_i
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        if intermediates is not None and len(intermediates) != len(self.parts):
-            raise ValueError("intermediates length mismatch")
-
-        result = 0.0
-        input_event_dim = self.domain.event_dim
-        for i, part in enumerate(self.parts[:-1]):
-            x_tmp = intermediates[i][0] if intermediates is not None else x
-            inter = intermediates[i][1] if intermediates is not None else None
-            y_tmp = part(x_tmp) if intermediates is None else (
-                intermediates[i + 1][0] if i + 1 < len(intermediates) else y
-            )
-            logdet = part.log_abs_det_jacobian(x_tmp, y_tmp, intermediates=inter)
-            batch_ndim = input_event_dim - part.domain.event_dim
-            result = result + sum_rightmost(logdet, batch_ndim)
-            input_event_dim = part.codomain.event_dim + batch_ndim
-            if intermediates is None:
-                x = y_tmp
-        part = self.parts[-1]
-        x_tmp = intermediates[-1][0] if intermediates is not None else x
-        inter = intermediates[-1][1] if intermediates is not None else None
-        logdet = part.log_abs_det_jacobian(x_tmp, y, intermediates=inter)
-        batch_ndim = input_event_dim - part.domain.event_dim
-        result = result + sum_rightmost(logdet, batch_ndim)
-        return result
+        total = 0.0
+        event_dim = self.domain.event_dim
+        for part, x_i, y_i, inter_i in self._stages(x, y, intermediates):
+            term = part.log_abs_det_jacobian(x_i, y_i, intermediates=inter_i)
+            extra = event_dim - part.domain.event_dim
+            total = total + sum_rightmost(term, extra)
+            event_dim = part.codomain.event_dim + extra
+        return total
 
     def forward_shape(self, shape):
         for part in self.parts:
@@ -449,9 +453,10 @@ class ComposeTransform(Transform):
 
 
 class IndependentTransform(Transform):
+    """Reinterpret rightmost batch dims of a transform as event dims."""
+
     pytree_data_fields = ("base_transform",)
     pytree_aux_fields = ("reinterpreted_batch_ndims",)
-    """Reinterpret rightmost batch dims of a transform as event dims."""
 
     def __init__(self, base_transform, reinterpreted_batch_ndims):
         self.base_transform = base_transform
@@ -479,8 +484,10 @@ class IndependentTransform(Transform):
         return self.base_transform.call_with_intermediates(x)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        result = self.base_transform.log_abs_det_jacobian(x, y, intermediates)
-        return sum_rightmost(result, self.reinterpreted_batch_ndims)
+        per_element = self.base_transform.log_abs_det_jacobian(
+            x, y, intermediates
+        )
+        return sum_rightmost(per_element, self.reinterpreted_batch_ndims)
 
     def forward_shape(self, shape):
         return self.base_transform.forward_shape(shape)
@@ -502,60 +509,58 @@ class StickBreakingTransform(Transform):
     domain = constraints.real_vector
     codomain = constraints.simplex
 
+    @staticmethod
+    def _stick_offset(k_minus_1, dtype):
+        # shift by log(K - k) so zero maps to the uniform simplex point
+        return jnp.log(jnp.arange(k_minus_1, 0, -1, dtype=dtype))
+
     def __call__(self, x):
-        # shift by log(K - k) so that zero maps to the uniform simplex point
-        K = x.shape[-1] + 1
-        offset = jnp.log(jnp.arange(K - 1, 0, -1, dtype=jnp.result_type(x, float)))
-        z = _clipped_expit(x - offset)
-        z1m_cumprod = jnp.cumprod(1 - z, axis=-1)
-        pad_width = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
-        z_padded = jnp.pad(z, pad_width, mode="constant", constant_values=1.0)
-        z1m_cumprod_shifted = jnp.pad(
-            z1m_cumprod, pad_width, mode="constant", constant_values=1.0
+        fracs = _clipped_expit(
+            x - self._stick_offset(x.shape[-1], jnp.result_type(x, float))
         )
-        return z_padded * jnp.roll(z1m_cumprod_shifted, shift=1, axis=-1)
+        leftover = jnp.cumprod(1.0 - fracs, axis=-1)
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+        fracs_ext = jnp.pad(fracs, pad, constant_values=1.0)
+        leftover_ext = jnp.pad(leftover, pad, constant_values=1.0)
+        return fracs_ext * jnp.roll(leftover_ext, shift=1, axis=-1)
 
     def _inverse(self, y):
-        K = y.shape[-1]
-        y_crop = y[..., :-1]
-        z1m_cumprod = jnp.clip(
-            1 - jnp.cumsum(y_crop, axis=-1), jnp.finfo(y.dtype).tiny
+        head = y[..., :-1]
+        leftover = jnp.clip(
+            1.0 - jnp.cumsum(head, axis=-1), jnp.finfo(y.dtype).tiny
         )
-        offset = jnp.log(jnp.arange(K - 1, 0, -1, dtype=y.dtype))
-        x = jnp.log(y_crop) - jnp.log(
-            jnp.concatenate(
-                [jnp.ones_like(y_crop[..., :1]), z1m_cumprod[..., :-1]], -1
-            )
-            - y_crop
+        prev_leftover = jnp.concatenate(
+            [jnp.ones_like(head[..., :1]), leftover[..., :-1]], -1
         )
-        # x = logit(z) + offset
-        return x + offset
+        # logit of the stick fraction, then undo the offset
+        raw = jnp.log(head) - jnp.log(prev_leftover - head)
+        return raw + self._stick_offset(y.shape[-1] - 1, y.dtype)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        K = x.shape[-1] + 1
-        offset = jnp.log(jnp.arange(K - 1, 0, -1, dtype=jnp.result_type(x, float)))
-        x_offset = x - offset
-        z1m_cumprod = 1 - jnp.cumsum(y[..., :-1], axis=-1)
-        # |dy_k / dx_k| = z_k (1 - z_k) prod_{j<k}(1 - z_j)
-        detJ = (
-            -softplus(x_offset)
-            - softplus(-x_offset)
-            + jnp.log(
-                jnp.concatenate(
-                    [jnp.ones_like(x[..., :1]), jnp.clip(z1m_cumprod[..., :-1], jnp.finfo(x.dtype).tiny)],
-                    -1,
-                )
-            )
-        ).sum(-1)
-        return detJ
+        shifted = x - self._stick_offset(
+            x.shape[-1], jnp.result_type(x, float)
+        )
+        leftover = 1.0 - jnp.cumsum(y[..., :-1], axis=-1)
+        prev_leftover = jnp.concatenate(
+            [
+                jnp.ones_like(x[..., :1]),
+                jnp.clip(leftover[..., :-1], jnp.finfo(x.dtype).tiny),
+            ],
+            -1,
+        )
+        # |dy_k / dx_k| = sigmoid'(x_k) * prod_{j<k}(1 - z_j)
+        per_stick = (
+            -softplus(shifted) - softplus(-shifted) + jnp.log(prev_leftover)
+        )
+        return per_stick.sum(-1)
 
     def forward_shape(self, shape):
-        if len(shape) < 1:
+        if not shape:
             raise ValueError("Too few dimensions on input")
         return shape[:-1] + (shape[-1] + 1,)
 
     def inverse_shape(self, shape):
-        if len(shape) < 1:
+        if not shape:
             raise ValueError("Too few dimensions on input")
         return shape[:-1] + (shape[-1] - 1,)
 
@@ -567,21 +572,21 @@ class OrderedTransform(Transform):
     codomain = constraints.ordered_vector
 
     def __call__(self, x):
-        z = jnp.concatenate([x[..., :1], jnp.exp(x[..., 1:])], axis=-1)
-        return jnp.cumsum(z, axis=-1)
+        gaps = jnp.exp(x[..., 1:])
+        return jnp.cumsum(jnp.concatenate([x[..., :1], gaps], axis=-1), axis=-1)
 
     def _inverse(self, y):
-        x = jnp.log(y[..., 1:] - y[..., :-1])
-        return jnp.concatenate([y[..., :1], x], axis=-1)
+        log_gaps = jnp.log(jnp.diff(y, axis=-1))
+        return jnp.concatenate([y[..., :1], log_gaps], axis=-1)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         return x[..., 1:].sum(-1)
 
 
 class SimplexToOrderedTransform(Transform):
-    pytree_data_fields = ("anchor_point",)
     """Simplex -> ordered cutpoints via logit of the CDF (anchor point)."""
 
+    pytree_data_fields = ("anchor_point",)
     domain = constraints.simplex
     codomain = constraints.ordered_vector
 
@@ -589,21 +594,20 @@ class SimplexToOrderedTransform(Transform):
         self.anchor_point = anchor_point
 
     def __call__(self, x):
-        s = jnp.cumsum(x[..., :-1], axis=-1)
-        y = jax.scipy.special.logit(s) + jnp.expand_dims(self.anchor_point, -1)
-        return y
+        cdf = jnp.cumsum(x[..., :-1], axis=-1)
+        return logit(cdf) + jnp.expand_dims(self.anchor_point, -1)
 
     def _inverse(self, y):
-        y = y - jnp.expand_dims(self.anchor_point, -1)
-        s = jax.nn.sigmoid(y)
-        s_padded_high = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, 1)], constant_values=1.0)
-        s_padded_low = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(1, 0)], constant_values=0.0)
-        return s_padded_high - s_padded_low
+        cdf = sigmoid(y - jnp.expand_dims(self.anchor_point, -1))
+        pad = [(0, 0)] * (cdf.ndim - 1)
+        upper = jnp.pad(cdf, pad + [(0, 1)], constant_values=1.0)
+        lower = jnp.pad(cdf, pad + [(1, 0)], constant_values=0.0)
+        return upper - lower
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        # |dy/ds| for logit, s = cumsum(x[:-1])
-        s = jnp.cumsum(x[..., :-1], axis=-1)
-        return -(jnp.log(s) + jnp.log1p(-s)).sum(-1)
+        # d logit(s)/ds = 1/(s(1-s)) at s = cumsum(x[:-1])
+        cdf = jnp.cumsum(x[..., :-1], axis=-1)
+        return -(jnp.log(cdf) + jnp.log1p(-cdf)).sum(-1)
 
     def forward_shape(self, shape):
         return shape[:-1] + (shape[-1] - 1,)
@@ -612,23 +616,27 @@ class SimplexToOrderedTransform(Transform):
         return shape[:-1] + (shape[-1] + 1,)
 
     def __eq__(self, other):
-        if type(other) is not SimplexToOrderedTransform:
-            return False
-        import numpy as np
+        return _same_params(self, other, ("anchor_point",))
+# ---------------------------------------------------------------------------
+# Triangular-matrix machinery
 
-        return np.array_equal(self.anchor_point, other.anchor_point)
+
+def _tril_size_to_dim(n, diagonal=0):
+    """Invert N = D(D+1)/2 (with optional diagonal offset folded in)."""
+    d = round(math.sqrt(0.25 + 2 * n) - 0.5)
+    return d - diagonal
 
 
 def _matrix_forward_shape(shape, offset=0):
     # (..., N) -> (..., D, D) where N = D*(D+1)/2 + offset*D
-    if len(shape) < 1:
+    if not shape:
         raise ValueError("Too few dimensions on input")
-    N = shape[-1]
-    D = round((0.25 + 2 * N) ** 0.5 - 0.5)
-    if D * (D + 1) // 2 != N:
+    n = shape[-1]
+    d = _tril_size_to_dim(n)
+    if d * (d + 1) // 2 != n:
         raise ValueError("Input is not a flattened lower-diagonal number")
-    D = D - offset
-    return shape[:-1] + (D, D)
+    d = d - offset
+    return shape[:-1] + (d, d)
 
 
 def _matrix_inverse_shape(shape, offset=0):
@@ -636,24 +644,26 @@ def _matrix_inverse_shape(shape, offset=0):
         raise ValueError("Too few dimensions on input")
     if shape[-2] != shape[-1]:
         raise ValueError("Input is not square")
-    D = shape[-1]
-    N = (D + offset) * (D + offset + 1) // 2
-    return shape[:-2] + (N,)
+    d = shape[-1] + offset
+    return shape[:-2] + (d * (d + 1) // 2,)
 
 
 def vec_to_tril_matrix(x, diagonal=0):
     """Unpack a (..., N) vector into a (..., D, D) lower-triangular matrix."""
-    N = x.shape[-1]
-    D = round((0.25 + 2 * N) ** 0.5 - 0.5) - diagonal
-    shape = x.shape[:-1] + (D, D)
-    idx = jnp.tril_indices(D, diagonal)
-    out = jnp.zeros(shape, dtype=x.dtype)
-    return out.at[..., idx[0], idx[1]].set(x)
+    d = _tril_size_to_dim(x.shape[-1], diagonal)
+    rows, cols = jnp.tril_indices(d, diagonal)
+    out = jnp.zeros(x.shape[:-1] + (d, d), dtype=x.dtype)
+    return out.at[..., rows, cols].set(x)
 
 
 def matrix_to_tril_vec(x, diagonal=0):
-    idx = jnp.tril_indices(x.shape[-1], diagonal)
-    return x[..., idx[0], idx[1]]
+    rows, cols = jnp.tril_indices(x.shape[-1], diagonal)
+    return x[..., rows, cols]
+
+
+def _embed_diag(vals):
+    """(..., D) -> (..., D, D) diagonal matrices, batched."""
+    return vals[..., None] * jnp.eye(vals.shape[-1], dtype=vals.dtype)
 
 
 class CorrCholeskyTransform(Transform):
@@ -668,52 +678,38 @@ class CorrCholeskyTransform(Transform):
     codomain = constraints.corr_cholesky
 
     def __call__(self, x):
-        # 1. vector to lower-triangular (strictly below diagonal)
-        z = jnp.tanh(x)
-        t = vec_to_tril_matrix(z, diagonal=-1)
+        # 1. vector to strictly-lower triangular of tanh values
+        t = vec_to_tril_matrix(jnp.tanh(x), diagonal=-1)
         # 2. row-wise stick breaking onto the sphere:
         # r_ij = t_ij * sqrt(prod_{k<j} (1 - t_ik^2))
-        t_sq = t**2
-        remainder = jnp.cumprod(1 - t_sq, axis=-1)
-        shifted = jnp.pad(
-            remainder[..., :-1],
+        budget = jnp.cumprod(1.0 - jnp.square(t), axis=-1)
+        budget_before = jnp.pad(
+            budget[..., :-1],
             [(0, 0)] * (t.ndim - 1) + [(1, 0)],
             constant_values=1.0,
         )
-        scale = jnp.sqrt(jnp.clip(shifted, 0.0))
-        r = t * scale
-        # diagonal: sqrt(1 - sum of squares of the row)
-        diag = jnp.sqrt(jnp.clip(1 - jnp.sum(r**2, axis=-1), 0.0))
-        r = r + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(diag)
-        return r
+        r = t * jnp.sqrt(jnp.clip(budget_before, 0.0))
+        # diagonal completes each row to unit norm
+        diag = jnp.sqrt(jnp.clip(1.0 - jnp.square(r).sum(-1), 0.0))
+        return r + _embed_diag(diag)
 
     def _inverse(self, y):
         # z_ij = y_ij / sqrt(1 - sum_{k<j} y_ik^2)
-        y_sq = y**2
-        cumsum = jnp.cumsum(y_sq, axis=-1) - y_sq
-        denom = jnp.sqrt(jnp.clip(1 - cumsum, jnp.finfo(y.dtype).tiny))
-        z = y / denom
-        z_tril = matrix_to_tril_vec(z, diagonal=-1)
-        return jnp.arctanh(z_tril)
+        used = jnp.cumsum(jnp.square(y), axis=-1) - jnp.square(y)
+        room = jnp.sqrt(jnp.clip(1.0 - used, jnp.finfo(y.dtype).tiny))
+        return jnp.arctanh(matrix_to_tril_vec(y / room, diagonal=-1))
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        # tanh part: sum log(1 - z^2) = sum 2*(log2 - x - softplus(-2x))
-        tanh_logdet = -2 * jnp.sum(x + softplus(-2 * x) - math.log(2.0), axis=-1)
-        # stick-breaking part: for row i, sum_j (i - j) * ... — equivalently
-        # each column j contributes (D - 1 - j)?? Use: log|dr/dz| =
-        # sum over strictly-lower entries of log(scale) where the row-sphere
-        # factors accumulate; compute directly from y:
-        # |det J| rows: prod_i prod_{j<i} (1 - sum_{k<j} y_ik^2)^{1/2}
-        y_sq = y**2
-        cumsum = jnp.cumsum(y_sq, axis=-1) - y_sq
-        one_minus = jnp.clip(1 - cumsum, jnp.finfo(y.dtype).tiny)
-        # only strictly-lower-triangular entries count
-        D = y.shape[-1]
-        mask = jnp.tril(jnp.ones((D, D), dtype=bool), k=-1)
-        stick_logdet = 0.5 * jnp.sum(
-            jnp.where(mask, jnp.log(one_minus), 0.0), axis=(-2, -1)
-        )
-        return stick_logdet + tanh_logdet
+        # tanh part: sum log(1 - tanh^2 x) = sum 2(log2 - x - softplus(-2x))
+        tanh_part = -2.0 * (x + softplus(-2.0 * x) - math.log(2.0)).sum(-1)
+        # sphere part: half log of the per-entry remaining budget, summed
+        # over the strictly-lower triangle
+        used = jnp.cumsum(jnp.square(y), axis=-1) - jnp.square(y)
+        room = jnp.clip(1.0 - used, jnp.finfo(y.dtype).tiny)
+        d = y.shape[-1]
+        below_diag = jnp.tril(jnp.ones((d, d), dtype=bool), k=-1)
+        sphere_part = 0.5 * jnp.where(below_diag, jnp.log(room), 0.0).sum((-2, -1))
+        return sphere_part + tanh_part
 
     def forward_shape(self, shape):
         return _matrix_forward_shape(shape, offset=-1)
@@ -732,14 +728,14 @@ class CholeskyTransform(Transform):
         return jnp.linalg.cholesky(x)
 
     def _inverse(self, y):
-        return jnp.matmul(y, jnp.swapaxes(y, -2, -1))
+        return y @ jnp.swapaxes(y, -2, -1)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         # log det of dL/dX for X = L L^T
-        D = x.shape[-1]
+        d = x.shape[-1]
         diag = jnp.diagonal(y, axis1=-2, axis2=-1)
-        order = -jnp.arange(D, 0, -1, dtype=x.dtype)
-        return -D * math.log(2.0) + (order * jnp.log(diag)).sum(-1)
+        weights = -jnp.arange(d, 0, -1, dtype=x.dtype)
+        return (weights * jnp.log(diag)).sum(-1) - d * math.log(2.0)
 
 
 class CorrMatrixCholeskyTransform(CholeskyTransform):
@@ -747,10 +743,10 @@ class CorrMatrixCholeskyTransform(CholeskyTransform):
     codomain = constraints.corr_cholesky
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        D = x.shape[-1]
+        d = x.shape[-1]
         diag = jnp.diagonal(y, axis1=-2, axis2=-1)
-        order = -jnp.arange(D - 1, -1, -1, dtype=x.dtype)
-        return (order * jnp.log(diag)).sum(-1)
+        weights = -jnp.arange(d - 1, -1, -1, dtype=x.dtype)
+        return (weights * jnp.log(diag)).sum(-1)
 
 
 class LowerCholeskyTransform(Transform):
@@ -765,20 +761,24 @@ class LowerCholeskyTransform(Transform):
     def _diag_inverse(self, y):
         return jnp.log(y)
 
+    def _split(self, x):
+        d = _tril_size_to_dim(x.shape[-1])
+        return x[..., :-d], x[..., -d:], d
+
     def __call__(self, x):
-        n = round((math.sqrt(1 + 8 * x.shape[-1]) - 1) / 2)
-        z = vec_to_tril_matrix(x[..., :-n], diagonal=-1)
-        diag = self._diag_transform(x[..., -n:])
-        return z + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(diag)
+        below, raw_diag, _ = self._split(x)
+        return vec_to_tril_matrix(below, diagonal=-1) + _embed_diag(
+            self._diag_transform(raw_diag)
+        )
 
     def _inverse(self, y):
-        z = matrix_to_tril_vec(y, diagonal=-1)
-        diag = self._diag_inverse(jnp.diagonal(y, axis1=-2, axis2=-1))
-        return jnp.concatenate([z, diag], axis=-1)
+        below = matrix_to_tril_vec(y, diagonal=-1)
+        raw_diag = self._diag_inverse(jnp.diagonal(y, axis1=-2, axis2=-1))
+        return jnp.concatenate([below, raw_diag], axis=-1)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        n = round((math.sqrt(1 + 8 * x.shape[-1]) - 1) / 2)
-        return x[..., -n:].sum(-1)
+        _, raw_diag, _ = self._split(x)
+        return raw_diag.sum(-1)
 
     def forward_shape(self, shape):
         return _matrix_forward_shape(shape)
@@ -797,8 +797,8 @@ class SoftplusLowerCholeskyTransform(LowerCholeskyTransform):
         return y + jnp.log(-jnp.expm1(-y))
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        n = round((math.sqrt(1 + 8 * x.shape[-1]) - 1) / 2)
-        return -softplus(-x[..., -n:]).sum(-1)
+        _, raw_diag, _ = self._split(x)
+        return -softplus(-raw_diag).sum(-1)
 
 
 class ScaledUnitLowerCholeskyTransform(LowerCholeskyTransform):
@@ -809,40 +809,30 @@ class ScaledUnitLowerCholeskyTransform(LowerCholeskyTransform):
     codomain = constraints.scaled_unit_lower_cholesky
 
     def __call__(self, x):
-        n = round((math.sqrt(1 + 8 * x.shape[-1]) - 1) / 2)
-        z = vec_to_tril_matrix(x[..., :-n], diagonal=-1)
-        diag = jnp.exp(x[..., -n:])
+        below, log_scales, d = self._split(x)
         # unit-row-norm lower cholesky from unconstrained strictly-lower part
-        unit = z + jnp.broadcast_to(jnp.eye(n, dtype=x.dtype), z.shape)
-        norm = jnp.linalg.norm(unit, axis=-1, keepdims=True)
-        unit = unit / norm
-        return unit * diag[..., None]
+        rows = vec_to_tril_matrix(below, diagonal=-1) + jnp.eye(d, dtype=x.dtype)
+        rows = rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+        return rows * jnp.exp(log_scales)[..., None]
 
     def _inverse(self, y):
-        diag = jnp.linalg.norm(y, axis=-1)
-        unit = y / diag[..., None]
-        z = unit / jnp.diagonal(unit, axis1=-2, axis2=-1)[..., None]
+        scales = jnp.linalg.norm(y, axis=-1)
+        rows = y / scales[..., None]
+        rows = rows / jnp.diagonal(rows, axis1=-2, axis2=-1)[..., None]
         return jnp.concatenate(
-            [matrix_to_tril_vec(z, diagonal=-1), jnp.log(diag)], axis=-1
+            [matrix_to_tril_vec(rows, diagonal=-1), jnp.log(scales)], axis=-1
         )
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        # computed numerically via jacfwd fallback for correctness; this
-        # transform is used for guide params (no HMC hot path), so a
-        # per-event jacobian determinant is acceptable.
-        flat_fn = lambda v: self(v).reshape(v.shape[:-1] + (-1,))
-        def _single(v):
-            n = round((math.sqrt(1 + 8 * v.shape[-1]) - 1) / 2)
+        # numeric per-event jacobian determinant: this transform only
+        # parameterizes guide covariances (no HMC hot path)
+        def one(v):
             jac = jax.jacfwd(lambda u: matrix_to_tril_vec(self(u)))(v)
             return jnp.linalg.slogdet(jac)[1]
 
-        batch_shape = x.shape[:-1]
-        if batch_shape:
-            fn = _single
-            for _ in range(len(batch_shape)):
-                fn = jax.vmap(fn)
-            return fn(x)
-        return _single(x)
+        for _ in range(x.ndim - 1):
+            one = jax.vmap(one)
+        return one(x)
 
 
 class L1BallTransform(Transform):
@@ -852,33 +842,29 @@ class L1BallTransform(Transform):
     codomain = constraints.l1_ball
 
     def __call__(self, x):
-        # map to (-1, 1)^K via tanh of cumulative logistic sticks
         # stick-breaking on the absolute values, signs carried by x
-        finfo = jnp.finfo(x.dtype)
-        s = jax.nn.sigmoid(jnp.abs(x))  # in (1/2, 1)
-        t = 2 * s - 1  # in (0, 1)
-        remainder = jnp.cumprod(1 - t, axis=-1) / jnp.clip(1 - t, finfo.tiny)
-        y = jnp.sign(x) * t * remainder
-        return y
+        eps = jnp.finfo(x.dtype)
+        sticks = 2.0 * sigmoid(jnp.abs(x)) - 1.0  # in (0, 1)
+        budget = jnp.cumprod(1.0 - sticks, axis=-1) / jnp.clip(
+            1.0 - sticks, eps.tiny
+        )
+        return jnp.sign(x) * sticks * budget
 
     def _inverse(self, y):
-        finfo = jnp.finfo(y.dtype)
-        abs_y = jnp.abs(y)
-        remainder = 1 - jnp.cumsum(abs_y, axis=-1) + abs_y
-        t = abs_y / jnp.clip(remainder, finfo.tiny)
-        s = (t + 1) / 2
-        return jnp.sign(y) * jax.scipy.special.logit(jnp.clip(s, finfo.tiny, 1 - finfo.eps))
+        eps = jnp.finfo(y.dtype)
+        mag = jnp.abs(y)
+        budget = 1.0 - jnp.cumsum(mag, axis=-1) + mag
+        sticks = mag / jnp.clip(budget, eps.tiny)
+        half = jnp.clip(0.5 * (sticks + 1.0), eps.tiny, 1.0 - eps.eps)
+        return jnp.sign(y) * logit(half)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        def _single(v):
-            jac = jax.jacfwd(self)(v)
-            return jnp.linalg.slogdet(jac)[1]
+        def one(v):
+            return jnp.linalg.slogdet(jax.jacfwd(self)(v))[1]
 
-        batch_shape = x.shape[:-1]
-        fn = _single
-        for _ in range(len(batch_shape)):
-            fn = jax.vmap(fn)
-        return fn(x)
+        for _ in range(x.ndim - 1):
+            one = jax.vmap(one)
+        return one(x)
 
 
 class PermuteTransform(Transform):
@@ -893,31 +879,24 @@ class PermuteTransform(Transform):
         return x[..., self.permutation]
 
     def _inverse(self, y):
-        size = self.permutation.size
-        permutation_inv = (
-            jnp.zeros(size, dtype=jnp.result_type(int))
-            .at[self.permutation]
-            .set(jnp.arange(size))
+        order = self.permutation
+        undo = jnp.zeros_like(jnp.asarray(order)).at[order].set(
+            jnp.arange(jnp.size(order))
         )
-        return y[..., permutation_inv]
+        return y[..., undo]
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         return jnp.zeros(jnp.shape(x)[:-1], dtype=x.dtype)
 
     def __eq__(self, other):
-        if type(other) is not PermuteTransform:
-            return False
-        import numpy as np
-
-        return np.array_equal(self.permutation, other.permutation)
+        return _same_params(self, other, ("permutation",))
 
 
 class ReshapeTransform(Transform):
     pytree_aux_fields = ("_forward_shape", "_inverse_shape")
+
     def __init__(self, forward_shape, inverse_shape):
-        forward_size = math.prod(forward_shape)
-        inverse_size = math.prod(inverse_shape)
-        if forward_size != inverse_size:
+        if math.prod(forward_shape) != math.prod(inverse_shape):
             raise ValueError("shape sizes must match")
         self._forward_shape = tuple(forward_shape)
         self._inverse_shape = tuple(inverse_shape)
@@ -930,17 +909,17 @@ class ReshapeTransform(Transform):
     def codomain(self):
         return constraints.independent(constraints.real, len(self._forward_shape))
 
-    def forward_shape(self, shape):
-        batch_ndim = len(shape) - len(self._inverse_shape)
-        if batch_ndim < 0 or shape[batch_ndim:] != self._inverse_shape:
+    def _swap_event(self, shape, source, target):
+        keep = len(shape) - len(source)
+        if keep < 0 or shape[keep:] != source:
             raise ValueError(f"cannot reshape {shape}")
-        return shape[:batch_ndim] + self._forward_shape
+        return shape[:keep] + target
+
+    def forward_shape(self, shape):
+        return self._swap_event(shape, self._inverse_shape, self._forward_shape)
 
     def inverse_shape(self, shape):
-        batch_ndim = len(shape) - len(self._forward_shape)
-        if batch_ndim < 0 or shape[batch_ndim:] != self._forward_shape:
-            raise ValueError(f"cannot reshape {shape}")
-        return shape[:batch_ndim] + self._inverse_shape
+        return self._swap_event(shape, self._forward_shape, self._inverse_shape)
 
     def __call__(self, x):
         return jnp.reshape(x, self.forward_shape(jnp.shape(x)))
@@ -949,8 +928,8 @@ class ReshapeTransform(Transform):
         return jnp.reshape(y, self.inverse_shape(jnp.shape(y)))
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        batch_ndim = jnp.ndim(x) - len(self._inverse_shape)
-        return jnp.zeros(jnp.shape(x)[:batch_ndim], dtype=x.dtype)
+        keep = jnp.ndim(x) - len(self._inverse_shape)
+        return jnp.zeros(jnp.shape(x)[:keep], dtype=x.dtype)
 
     def __eq__(self, other):
         return (
@@ -961,9 +940,9 @@ class ReshapeTransform(Transform):
 
 
 class LowerCholeskyAffine(Transform):
-    pytree_data_fields = ("loc", "scale_tril")
     """y = loc + L @ x with L lower-triangular (MVN whitening transform)."""
 
+    pytree_data_fields = ("loc", "scale_tril")
     domain = constraints.real_vector
     codomain = constraints.real_vector
 
@@ -974,25 +953,24 @@ class LowerCholeskyAffine(Transform):
         self.scale_tril = scale_tril
 
     def __call__(self, x):
-        return self.loc + jnp.squeeze(
-            jnp.matmul(self.scale_tril, x[..., jnp.newaxis]), axis=-1
-        )
+        return self.loc + (self.scale_tril @ x[..., None])[..., 0]
 
     def _inverse(self, y):
-        y = y - self.loc
-        original_shape = jnp.shape(y)
-        yt = jnp.reshape(y, (-1, original_shape[-1])).T
-        xt = jax.scipy.linalg.solve_triangular(self.scale_tril, yt, lower=True)
-        return jnp.reshape(xt.T, original_shape)
+        centered = y - self.loc
+        flat_t = jnp.reshape(centered, (-1, jnp.shape(y)[-1])).T
+        solved = jax.scipy.linalg.solve_triangular(
+            self.scale_tril, flat_t, lower=True
+        )
+        return jnp.reshape(solved.T, jnp.shape(y))
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        return jnp.broadcast_to(
-            jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)).sum(-1),
-            jnp.shape(x)[:-1],
-        )
+        half_logdet = jnp.log(
+            jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)
+        ).sum(-1)
+        return jnp.broadcast_to(half_logdet, jnp.shape(x)[:-1])
 
     def forward_shape(self, shape):
-        if len(shape) < 1:
+        if not shape:
             raise ValueError("Too few dimensions on input")
         return lax.broadcast_shapes(
             shape, jnp.shape(self.loc), jnp.shape(self.scale_tril)[:-1]
@@ -1001,19 +979,14 @@ class LowerCholeskyAffine(Transform):
     inverse_shape = forward_shape
 
     def __eq__(self, other):
-        if type(other) is not LowerCholeskyAffine:
-            return False
-        import numpy as np
-
-        return np.array_equal(self.loc, other.loc) and np.array_equal(
-            self.scale_tril, other.scale_tril
-        )
+        return _same_params(self, other, ("loc", "scale_tril"))
 
 
 class ZeroSumTransform(Transform):
-    pytree_aux_fields = ("transform_ndims",)
     """R^{n-1} per axis -> zero-sum vectors via the Householder-style map
     used for ZeroSumNormal."""
+
+    pytree_aux_fields = ("transform_ndims",)
 
     def __init__(self, transform_ndims=1):
         self.transform_ndims = transform_ndims
@@ -1026,204 +999,48 @@ class ZeroSumTransform(Transform):
     def codomain(self):
         return constraints.zero_sum(self.transform_ndims)
 
-    def _extend_axis(self, x, axis):
+    @staticmethod
+    def _append_zero_sum_slot(x, axis):
         n = x.shape[axis] + 1
-        sum_vals = x.sum(axis, keepdims=True)
-        norm = sum_vals / (math.sqrt(n) + n)
-        fill_val = norm - sum_vals / math.sqrt(n)
-        return jnp.concatenate([x, fill_val], axis=axis) - norm
+        total = x.sum(axis, keepdims=True)
+        shift = total / (math.sqrt(n) + n)
+        slot = shift - total / math.sqrt(n)
+        return jnp.concatenate([x, slot], axis=axis) - shift
 
-    def _extend_axis_rev(self, x, axis):
-        n = x.shape[axis]
-        last = jnp.take(x, jnp.array([n - 1]), axis=axis)
-        sum_vals = -last * math.sqrt(n)
-        norm = sum_vals / (math.sqrt(n) + n)
-        slice_before = jnp.take(x, jnp.arange(n - 1), axis=axis)
-        return slice_before + norm
+    @staticmethod
+    def _drop_zero_sum_slot(y, axis):
+        n = y.shape[axis]
+        slot = jnp.take(y, jnp.array([n - 1]), axis=axis)
+        total = -slot * math.sqrt(n)
+        shift = total / (math.sqrt(n) + n)
+        return jnp.take(y, jnp.arange(n - 1), axis=axis) + shift
 
     def __call__(self, x):
         for axis in range(-self.transform_ndims, 0):
-            x = self._extend_axis(x, axis)
+            x = self._append_zero_sum_slot(x, axis)
         return x
 
     def _inverse(self, y):
         for axis in range(-self.transform_ndims, 0):
-            y = self._extend_axis_rev(y, axis)
+            y = self._drop_zero_sum_slot(y, axis)
         return y
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         return jnp.zeros(x.shape[: x.ndim - self.transform_ndims], dtype=x.dtype)
 
     def forward_shape(self, shape):
-        return shape[: -self.transform_ndims] + tuple(
-            s + 1 for s in shape[-self.transform_ndims :]
-        )
+        k = self.transform_ndims
+        return shape[:-k] + tuple(s + 1 for s in shape[-k:])
 
     def inverse_shape(self, shape):
-        return shape[: -self.transform_ndims] + tuple(
-            s - 1 for s in shape[-self.transform_ndims :]
-        )
+        k = self.transform_ndims
+        return shape[:-k] + tuple(s - 1 for s in shape[-k:])
 
     def __eq__(self, other):
         return (
-            type(self) is type(other) and self.transform_ndims == other.transform_ndims
+            type(self) is type(other)
+            and self.transform_ndims == other.transform_ndims
         )
-
-
-# ---------------------------------------------------------------------------
-# biject_to registry: constraint -> transform onto that constraint
-# ---------------------------------------------------------------------------
-
-
-class ConstraintRegistry:
-    def __init__(self):
-        self._registry = {}
-
-    def register(self, constraint, factory=None):
-        if factory is None:
-            return lambda factory: self.register(constraint, factory)
-        if isinstance(constraint, constraints.Constraint):
-            constraint = type(constraint)
-        self._registry[constraint] = factory
-        return factory
-
-    def __call__(self, constraint):
-        try:
-            factory = self._registry[type(constraint)]
-        except KeyError as e:
-            raise NotImplementedError(
-                f"Cannot transform {type(constraint).__name__} constraint"
-            ) from e
-        return factory(constraint)
-
-
-biject_to = ConstraintRegistry()
-
-
-@biject_to.register(constraints.real)
-def _transform_to_real(constraint):
-    return IdentityTransform()
-
-
-@biject_to.register(constraints.independent)
-def _transform_to_independent(constraint):
-    return IndependentTransform(
-        biject_to(constraint.base_constraint), constraint.reinterpreted_batch_ndims
-    )
-
-
-@biject_to.register(constraints.positive)
-@biject_to.register(constraints.nonnegative)
-def _transform_to_positive(constraint):
-    return ExpTransform()
-
-
-@biject_to.register(constraints.softplus_positive)
-def _transform_to_softplus_positive(constraint):
-    return SoftplusTransform()
-
-
-@biject_to.register(constraints.greater_than)
-@biject_to.register(constraints.greater_than_eq)
-def _transform_to_greater_than(constraint):
-    return ComposeTransform(
-        [ExpTransform(), AffineTransform(constraint.lower_bound, 1.0, domain=constraints.positive)]
-    )
-
-
-@biject_to.register(constraints.less_than)
-@biject_to.register(constraints.less_than_eq)
-def _transform_to_less_than(constraint):
-    return ComposeTransform(
-        [ExpTransform(), AffineTransform(constraint.upper_bound, -1.0, domain=constraints.positive)]
-    )
-
-
-@biject_to.register(constraints.unit_interval)
-def _transform_to_unit_interval(constraint):
-    return SigmoidTransform()
-
-
-@biject_to.register(constraints.interval)
-@biject_to.register(constraints.open_interval)
-def _transform_to_interval(constraint):
-    scale = constraint.upper_bound - constraint.lower_bound
-    return ComposeTransform(
-        [
-            SigmoidTransform(),
-            AffineTransform(
-                constraint.lower_bound, scale, domain=constraints.unit_interval
-            ),
-        ]
-    )
-
-
-@biject_to.register(constraints.circular)
-def _transform_to_circular(constraint):
-    return ComposeTransform(
-        [
-            SigmoidTransform(),
-            AffineTransform(-math.pi, 2 * math.pi, domain=constraints.unit_interval),
-        ]
-    )
-
-
-@biject_to.register(constraints.simplex)
-def _transform_to_simplex(constraint):
-    return StickBreakingTransform()
-
-
-@biject_to.register(constraints.ordered_vector)
-def _transform_to_ordered(constraint):
-    return OrderedTransform()
-
-
-@biject_to.register(constraints.positive_ordered_vector)
-def _transform_to_positive_ordered(constraint):
-    return ComposeTransform([OrderedTransform(), ExpTransform()])
-
-
-@biject_to.register(constraints.corr_cholesky)
-def _transform_to_corr_cholesky(constraint):
-    return CorrCholeskyTransform()
-
-
-@biject_to.register(constraints.corr_matrix)
-def _transform_to_corr_matrix(constraint):
-    return ComposeTransform(
-        [CorrCholeskyTransform(), CorrMatrixCholeskyTransform().inv]
-    )
-
-
-@biject_to.register(constraints.lower_cholesky)
-def _transform_to_lower_cholesky(constraint):
-    return LowerCholeskyTransform()
-
-
-@biject_to.register(constraints.scaled_unit_lower_cholesky)
-def _transform_to_scaled_unit_lower_cholesky(constraint):
-    return ScaledUnitLowerCholeskyTransform()
-
-
-@biject_to.register(constraints.softplus_lower_cholesky)
-def _transform_to_softplus_lower_cholesky(constraint):
-    return SoftplusLowerCholeskyTransform()
-
-
-@biject_to.register(constraints.positive_definite)
-@biject_to.register(constraints.positive_semidefinite)
-def _transform_to_positive_definite(constraint):
-    return ComposeTransform([LowerCholeskyTransform(), CholeskyTransform().inv])
-
-
-@biject_to.register(constraints.l1_ball)
-def _transform_to_l1_ball(constraint):
-    return L1BallTransform()
-
-
-@biject_to.register(constraints.zero_sum)
-def _transform_to_zero_sum(constraint):
-    return ZeroSumTransform(constraint.event_dim)
 
 
 class ComplexTransform(Transform):
@@ -1235,7 +1052,7 @@ class ComplexTransform(Transform):
 
     def __call__(self, x):
         assert x.shape[-1] == 2, "Input must have a trailing dimension of size 2."
-        return jax.lax.complex(x[..., 0], x[..., 1])
+        return lax.complex(x[..., 0], x[..., 1])
 
     def _inverse(self, y):
         return jnp.stack([y.real, y.imag], axis=-1)
@@ -1251,16 +1068,11 @@ class ComplexTransform(Transform):
         return shape + (2,)
 
 
-def _normalize_rfft_shape(shape, transform_shape):
-    if transform_shape is None:
-        return shape
-    return shape[: len(shape) - len(transform_shape)] + tuple(transform_shape)
-
-
 class RealFastFourierTransform(Transform):
-    pytree_aux_fields = ("transform_shape", "transform_ndims")
     """N-dimensional real FFT over the trailing ``transform_ndims`` axes
     (reference: numpyro/distributions/transforms.py:1269)."""
+
+    pytree_aux_fields = ("transform_shape", "transform_ndims")
 
     def __init__(self, transform_shape=None, transform_ndims=1):
         if isinstance(transform_shape, int):
@@ -1273,35 +1085,40 @@ class RealFastFourierTransform(Transform):
         self.transform_shape = transform_shape
         self.transform_ndims = transform_ndims
 
+    def _axes(self):
+        return tuple(range(-self.transform_ndims, 0))
+
+    def _with_event(self, shape):
+        if self.transform_shape is None:
+            return shape
+        keep = len(shape) - len(self.transform_shape)
+        return shape[:keep] + tuple(self.transform_shape)
+
     def __call__(self, x):
-        axes = tuple(range(-self.transform_ndims, 0))
-        return jnp.fft.rfftn(x, self.transform_shape, axes)
+        return jnp.fft.rfftn(x, self.transform_shape, self._axes())
 
     def _inverse(self, y):
-        axes = tuple(range(-self.transform_ndims, 0))
-        return jnp.fft.irfftn(y, self.transform_shape, axes)
+        return jnp.fft.irfftn(y, self.transform_shape, self._axes())
 
     def forward_shape(self, shape):
-        shape = _normalize_rfft_shape(shape, self.transform_shape)
+        shape = self._with_event(shape)
         return shape[:-1] + (shape[-1] // 2 + 1,)
 
     def inverse_shape(self, shape):
         if self.transform_shape:
-            return _normalize_rfft_shape(shape, self.transform_shape)
-        size = 2 * (shape[-1] - 1)
-        return shape[:-1] + (size,)
+            return self._with_event(shape)
+        return shape[:-1] + (2 * (shape[-1] - 1),)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        batch_shape = jnp.broadcast_shapes(
-            x.shape[: x.ndim - self.transform_ndims],
-            y.shape[: y.ndim - self.transform_ndims],
+        k = self.transform_ndims
+        batch = jnp.broadcast_shapes(x.shape[: x.ndim - k], y.shape[: y.ndim - k])
+        event = x.shape[x.ndim - k:]
+        size = math.prod(event)
+        n_self_conjugate = math.prod(2 - s % 2 for s in event)
+        const = 0.5 * (
+            size * math.log(size) - math.log(2.0) * (size - n_self_conjugate)
         )
-        event_shape = x.shape[x.ndim - self.transform_ndims :]
-        size = math.prod(event_shape)
-        q = math.prod(2 - s % 2 for s in event_shape)
-        return jnp.broadcast_to(
-            (size * jnp.log(size) - jnp.log(2) * (size - q)) / 2, batch_shape
-        )
+        return jnp.full(batch, const)
 
     @property
     def domain(self):
@@ -1320,54 +1137,52 @@ class RealFastFourierTransform(Transform):
 
 
 class PackRealFastFourierCoefficientsTransform(Transform):
-    pytree_aux_fields = ("shape",)
     """Real vector <-> packed complex rFFT coefficient vector
     (reference: numpyro/distributions/transforms.py:1348)."""
 
+    pytree_aux_fields = ("shape",)
     domain = constraints.real_vector
     codomain = constraints.independent(constraints.complex, 1)
 
     def __init__(self, transform_shape=None):
-        assert transform_shape is None or len(transform_shape) == 1, (
-            "Packing Fourier coefficients is only implemented for vectors."
-        )
+        if transform_shape is not None and len(transform_shape) != 1:
+            raise AssertionError(
+                "Packing Fourier coefficients is only implemented for vectors."
+            )
         self.shape = transform_shape
 
+    @staticmethod
+    def _split_counts(n):
+        n_real = n // 2 + 1
+        return n_real, n - n_real
+
     def forward_shape(self, shape):
-        *batch_shape, n = shape
-        n_rfft = n // 2 + 1
-        return (*batch_shape, n_rfft)
+        return shape[:-1] + (shape[-1] // 2 + 1,)
 
     def inverse_shape(self, shape):
-        *batch_shape, n_rfft = shape
-        assert self.shape is not None, (
-            "Shape must be specified in `__init__` for inverse transform."
-        )
+        if self.shape is None:
+            raise AssertionError(
+                "Shape must be specified in `__init__` for inverse transform."
+            )
         (n,) = self.shape
-        assert n_rfft == n // 2 + 1
-        return (*batch_shape, n)
+        if shape[-1] != n // 2 + 1:
+            raise AssertionError("packed length mismatch")
+        return shape[:-1] + (n,)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
-        shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
-        return jnp.zeros(shape, dtype=jnp.result_type(float))
+        batch = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+        return jnp.zeros(batch, dtype=jnp.result_type(float))
 
     def __call__(self, x):
         assert self.shape is None or self.shape == x.shape[-1:]
-        n = x.shape[-1]
-        n_real = n // 2 + 1
-        n_imag = n - n_real
-        complex_dtype = jnp.result_type(x.dtype, jnp.complex64)
-        return (
-            x[..., :n_real]
-            .astype(complex_dtype)
-            .at[..., 1 : 1 + n_imag]
-            .add(1j * x[..., n_real:])
-        )
+        n_real, n_imag = self._split_counts(x.shape[-1])
+        cplx = jnp.result_type(x.dtype, jnp.complex64)
+        packed = x[..., :n_real].astype(cplx)
+        return packed.at[..., 1 : 1 + n_imag].add(1j * x[..., n_real:])
 
     def _inverse(self, y):
         (n,) = self.shape
-        n_real = n // 2 + 1
-        n_imag = n - n_real
+        _, n_imag = self._split_counts(n)
         return jnp.concatenate([y.real, y.imag[..., 1 : n_imag + 1]], axis=-1)
 
     def __eq__(self, other):
@@ -1378,38 +1193,42 @@ class PackRealFastFourierCoefficientsTransform(Transform):
 
 
 class RecursiveLinearTransform(Transform):
-    pytree_data_fields = ("transition_matrix",)
     """y_t = A y_{t-1} + x_t over the second-to-last axis (volume preserving;
     the scan is the only sequential axis — reference:
     numpyro/distributions/transforms.py:1416)."""
 
+    pytree_data_fields = ("transition_matrix",)
     domain = constraints.real_matrix
     codomain = constraints.real_matrix
 
     def __init__(self, transition_matrix):
         self.transition_matrix = transition_matrix
 
+    def _push(self, state):
+        return jnp.einsum("...ij,...j->...i", self.transition_matrix, state)
+
     def __call__(self, x):
-        x = jnp.moveaxis(x, -2, 0)
+        shocks = jnp.moveaxis(x, -2, 0)
 
-        def f(y, x_t):
-            y = jnp.einsum("...ij,...j->...i", self.transition_matrix, y) + x_t
-            return y, y
+        def accumulate(state, shock):
+            state = self._push(state) + shock
+            return state, state
 
-        _, y = jax.lax.scan(f, jnp.zeros_like(x, shape=x.shape[1:]), x)
-        return jnp.moveaxis(y, 0, -2)
+        _, path = lax.scan(
+            accumulate, jnp.zeros_like(shocks, shape=shocks.shape[1:]), shocks
+        )
+        return jnp.moveaxis(path, 0, -2)
 
     def _inverse(self, y):
-        y = jnp.moveaxis(y, -2, 0)
+        path = jnp.moveaxis(y, -2, 0)
+        lagged = jnp.roll(path, 1, axis=0).at[0].set(0)
 
-        def f(y_t, prev):
-            x = y_t - jnp.einsum("...ij,...j->...i", self.transition_matrix, prev)
-            return prev, x
+        def recover(carry, pair):
+            y_t, y_prev = pair
+            return carry, y_t - self._push(y_prev)
 
-        _, x = jax.lax.scan(
-            f, y[-1], jnp.roll(y, 1, axis=0).at[0].set(0), reverse=True
-        )
-        return jnp.moveaxis(x, 0, -2)
+        _, shocks = lax.scan(recover, path[-1], (path, lagged), reverse=True)
+        return jnp.moveaxis(shocks, 0, -2)
 
     def log_abs_det_jacobian(self, x, y, intermediates=None):
         return jnp.zeros(x.shape[:-2], dtype=jnp.result_type(float))
@@ -1418,3 +1237,121 @@ class RecursiveLinearTransform(Transform):
         return isinstance(other, RecursiveLinearTransform) and jnp.array_equal(
             self.transition_matrix, other.transition_matrix
         )
+
+
+# ---------------------------------------------------------------------------
+# biject_to registry: constraint -> transform onto that constraint
+# ---------------------------------------------------------------------------
+
+
+class ConstraintRegistry:
+    def __init__(self):
+        self._registry = {}
+
+    def register(self, constraint, factory=None):
+        if factory is None:
+            return lambda factory: self.register(constraint, factory)
+        key = type(constraint) if isinstance(
+            constraint, constraints.Constraint
+        ) else constraint
+        self._registry[key] = factory
+        return factory
+
+    def __call__(self, constraint):
+        try:
+            factory = self._registry[type(constraint)]
+        except KeyError as e:
+            raise NotImplementedError(
+                f"Cannot transform {type(constraint).__name__} constraint"
+            ) from e
+        return factory(constraint)
+
+
+biject_to = ConstraintRegistry()
+
+
+def _onto_interval(lo, width, domain):
+    return ComposeTransform(
+        [SigmoidTransform(), AffineTransform(lo, width, domain=domain)]
+    )
+
+
+def _onto_halfline(bound, direction):
+    return ComposeTransform(
+        [
+            ExpTransform(),
+            AffineTransform(bound, direction, domain=constraints.positive),
+        ]
+    )
+
+
+# the built-in table: each row is (constraint singleton(s), factory)
+_BUILTIN_BIJECTIONS = (
+    (constraints.real, lambda c: IdentityTransform()),
+    (
+        constraints.independent,
+        lambda c: IndependentTransform(
+            biject_to(c.base_constraint), c.reinterpreted_batch_ndims
+        ),
+    ),
+    ((constraints.positive, constraints.nonnegative), lambda c: ExpTransform()),
+    (constraints.softplus_positive, lambda c: SoftplusTransform()),
+    (
+        (constraints.greater_than, constraints.greater_than_eq),
+        lambda c: _onto_halfline(c.lower_bound, 1.0),
+    ),
+    (
+        (constraints.less_than, constraints.less_than_eq),
+        lambda c: _onto_halfline(c.upper_bound, -1.0),
+    ),
+    (constraints.unit_interval, lambda c: SigmoidTransform()),
+    (
+        (constraints.interval, constraints.open_interval),
+        lambda c: _onto_interval(
+            c.lower_bound,
+            c.upper_bound - c.lower_bound,
+            constraints.unit_interval,
+        ),
+    ),
+    (
+        constraints.circular,
+        lambda c: _onto_interval(-math.pi, 2 * math.pi, constraints.unit_interval),
+    ),
+    (constraints.simplex, lambda c: StickBreakingTransform()),
+    (constraints.ordered_vector, lambda c: OrderedTransform()),
+    (
+        constraints.positive_ordered_vector,
+        lambda c: ComposeTransform([OrderedTransform(), ExpTransform()]),
+    ),
+    (constraints.corr_cholesky, lambda c: CorrCholeskyTransform()),
+    (
+        constraints.corr_matrix,
+        lambda c: ComposeTransform(
+            [CorrCholeskyTransform(), CorrMatrixCholeskyTransform().inv]
+        ),
+    ),
+    (constraints.lower_cholesky, lambda c: LowerCholeskyTransform()),
+    (
+        constraints.scaled_unit_lower_cholesky,
+        lambda c: ScaledUnitLowerCholeskyTransform(),
+    ),
+    (
+        constraints.softplus_lower_cholesky,
+        lambda c: SoftplusLowerCholeskyTransform(),
+    ),
+    (
+        (constraints.positive_definite, constraints.positive_semidefinite),
+        lambda c: ComposeTransform(
+            [LowerCholeskyTransform(), CholeskyTransform().inv]
+        ),
+    ),
+    (constraints.l1_ball, lambda c: L1BallTransform()),
+    (constraints.zero_sum, lambda c: ZeroSumTransform(c.event_dim)),
+)
+
+for _targets, _factory in _BUILTIN_BIJECTIONS:
+    if not isinstance(_targets, tuple):
+        _targets = (_targets,)
+    for _t in _targets:
+        biject_to.register(_t, _factory)
+del _targets, _factory, _t

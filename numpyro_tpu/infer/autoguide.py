@@ -1,17 +1,22 @@
 """Automatic guide generation for SVI/ADVI.
 
-Fresh implementation of the autoguide family of numpyro/infer/autoguide.py:
+Implementation of the autoguide family of numpyro/infer/autoguide.py:
 AutoNormal, AutoDelta, AutoContinuous (packed-latent base), AutoDiagonalNormal,
 AutoMultivariateNormal, AutoLowRankMultivariateNormal, AutoLaplaceApproximation,
-AutoGuideList.
+AutoGuideList, flows, DAIS variants, batched guides.
 
 Chain/particle-massive note: every guide's ``sample_posterior`` vmaps over a
 sample axis inside one program; the packed latent of AutoContinuous is a flat
 (D,) vector so ELBO particles batch as (P, D) matmuls on the MXU.
+
+Organisation: site iteration, constrained/unconstrained mapping, sample-axis
+flattening and the DAIS annealing loop are single shared helpers — each
+concrete guide only supplies its variational family.
 """
 
 from __future__ import annotations
 
+import math
 import warnings
 from abc import ABC, abstractmethod
 from contextlib import ExitStack
@@ -60,6 +65,33 @@ __all__ = [
 ]
 
 
+def _is_latent(site):
+    """Continuous non-observed sample site?"""
+    return (
+        site["type"] == "sample"
+        and not site["is_observed"]
+        and not site["fn"].support.is_discrete
+    )
+
+
+def _support_bijector(site):
+    """biject_to(site.support), built outside the handler stack."""
+    with handlers.block():
+        return biject_to(site["fn"].support)
+
+
+def _map_leading_axes(fn, tree, n_leading):
+    """Apply ``fn`` (defined on unbatched inputs) under ``n_leading`` extra
+    leading axes by collapsing them to one vmapped axis."""
+    if n_leading == 0:
+        return fn(tree)
+    leaves = jax.tree.leaves(tree)
+    lead = jnp.shape(leaves[0])[:n_leading]
+    flat = jax.tree.map(lambda a: jnp.reshape(a, (-1,) + a.shape[n_leading:]), tree)
+    out = vmap(fn)(flat)
+    return jax.tree.map(lambda a: jnp.reshape(a, lead + a.shape[1:]), out)
+
+
 class AutoGuide(ABC):
     """Base: traces the model once (prototype), recreates its plates, and
     generates guide sample statements (reference: autoguide.py:73-223)."""
@@ -80,6 +112,23 @@ class AutoGuide(ABC):
         self._prototype_frames = {}
         self._prototype_frame_full_sizes = {}
 
+    # -- shared small helpers -------------------------------------------
+
+    def _pname(self, *suffix):
+        return "_".join((self.prefix,) + suffix)
+
+    def _latent_sites(self):
+        for name, site in self.prototype_trace.items():
+            if _is_latent(site):
+                yield name, site
+
+    def _constrain_dict(self, latent):
+        """Map unconstrained site values onto their supports."""
+        return {
+            name: _support_bijector(self.prototype_trace[name])(value)
+            for name, value in latent.items()
+        }
+
     def _create_plates(self, *args, **kwargs):
         # NB: returned fresh each call and NOT stored on self — plate
         # objects hold their subsample indices, and retaining them would
@@ -98,9 +147,12 @@ class AutoGuide(ABC):
         for name, frame in sorted(self._prototype_frames.items()):
             if name not in plates:
                 full_size = self._prototype_frame_full_sizes[name]
+                sub = frame.subsample_size
                 plates[name] = numpyro_tpu.plate(
-                    name, full_size, dim=frame.dim,
-                    subsample_size=frame.subsample_size if frame.subsample_size != full_size else None,
+                    name,
+                    full_size,
+                    dim=frame.dim,
+                    subsample_size=None if sub == full_size else sub,
                 )
         return plates
 
@@ -169,13 +221,16 @@ class AutoGuideList(AutoGuide):
     def append(self, part):
         self._guides.append(part)
 
+    def _merged(self, method, *args, **kwargs):
+        merged = {}
+        for part in self._guides:
+            merged.update(getattr(part, method)(*args, **kwargs))
+        return merged
+
     def __call__(self, *args, **kwargs):
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
-        result = {}
-        for part in self._guides:
-            result.update(part(*args, **kwargs))
-        return result
+        return self._merged("__call__", *args, **kwargs)
 
     def __getitem__(self, key):
         return self._guides[key]
@@ -187,27 +242,21 @@ class AutoGuideList(AutoGuide):
         yield from self._guides
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        result = {}
+        merged = {}
         for part in self._guides:
-            rng_key, key = random.split(rng_key)
-            result.update(
+            rng_key, part_key = random.split(rng_key)
+            merged.update(
                 part.sample_posterior(
-                    key, params, *args, sample_shape=sample_shape, **kwargs
+                    part_key, params, *args, sample_shape=sample_shape, **kwargs
                 )
             )
-        return result
+        return merged
 
     def median(self, params):
-        result = {}
-        for part in self._guides:
-            result.update(part.median(params))
-        return result
+        return self._merged("median", params)
 
     def quantiles(self, params, quantiles):
-        result = {}
-        for part in self._guides:
-            result.update(part.quantiles(params, quantiles))
-        return result
+        return self._merged("quantiles", params, quantiles)
 
 
 class AutoNormal(AutoGuide):
@@ -233,132 +282,101 @@ class AutoNormal(AutoGuide):
 
     def _setup_prototype(self, *args, **kwargs):
         super()._setup_prototype(*args, **kwargs)
-        for name, site in self.prototype_trace.items():
-            if (
-                site["type"] != "sample"
-                or site["is_observed"]
-                or site["fn"].support.is_discrete
-            ):
-                continue
-            event_dim = (
+        for name, site in self._latent_sites():
+            # a site seen through a subsample plate has fewer dims in the
+            # trace than in the full-size init location
+            self._event_dims[name] = (
                 site["fn"].event_dim
                 + jnp.ndim(self._init_locs[name])
                 - jnp.ndim(site["value"])
             )
-            self._event_dims[name] = event_dim
+
+    def _site_family(self, name, init_loc, event_dim):
+        """The per-site variational factor: Normal(loc, scale) params."""
+        loc = numpyro_tpu.param(
+            self._pname(name, "loc"), init_loc, event_dim=event_dim
+        )
+        scale = numpyro_tpu.param(
+            self._pname(name, "scale"),
+            jnp.full(jnp.shape(init_loc), self._init_scale),
+            constraint=self.scale_constraint,
+            event_dim=event_dim,
+        )
+        return dist.Normal(loc, scale).to_event(event_dim)
+
+    @staticmethod
+    def _is_real_support(support):
+        if support is constraints.real:
+            return True
+        return isinstance(support, constraints.independent) and isinstance(
+            support.base_constraint, type(constraints.real)
+        )
 
     def __call__(self, *args, **kwargs):
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
 
         plates = self._create_plates(*args, **kwargs)
-        result = {}
-        for name, site in self.prototype_trace.items():
-            if (
-                site["type"] != "sample"
-                or site["is_observed"]
-                or site["fn"].support.is_discrete
-            ):
-                continue
-            event_dim = self._event_dims[name]
-            init_loc = self._init_locs[name]
+        out = {}
+        for name, site in self._latent_sites():
             with ExitStack() as stack:
                 for frame in site["cond_indep_stack"]:
                     stack.enter_context(plates[frame.name])
-
-                site_loc = numpyro_tpu.param(
-                    f"{self.prefix}_{name}_loc", init_loc, event_dim=event_dim
+                factor = self._site_family(
+                    name, self._init_locs[name], self._event_dims[name]
                 )
-                site_scale = numpyro_tpu.param(
-                    f"{self.prefix}_{name}_scale",
-                    jnp.full(jnp.shape(init_loc), self._init_scale),
-                    constraint=self.scale_constraint,
-                    event_dim=event_dim,
-                )
-
-                site_fn = dist.Normal(site_loc, site_scale).to_event(event_dim)
-                if site["fn"].support is constraints.real or (
-                    isinstance(site["fn"].support, constraints.independent)
-                    and isinstance(
-                        site["fn"].support.base_constraint, type(constraints.real)
-                    )
-                ):
-                    result[name] = numpyro_tpu.sample(name, site_fn)
+                if self._is_real_support(site["fn"].support):
+                    out[name] = numpyro_tpu.sample(name, factor)
                 else:
-                    with handlers.block():
-                        transform = biject_to(site["fn"].support)
-                    guide_dist = dist.TransformedDistribution(site_fn, transform)
-                    result[name] = numpyro_tpu.sample(name, guide_dist)
-        return result
-
-    def _constrain(self, latent_samples):
-        name = list(latent_samples)[0]
-        sample_shape = jnp.shape(latent_samples[name])[
-            : jnp.ndim(latent_samples[name]) - jnp.ndim(self._init_locs[name])
-        ]
-        if sample_shape:
-            flat = {
-                k: v.reshape((-1,) + jnp.shape(self._init_locs[k]))
-                for k, v in latent_samples.items()
-            }
-            contrained_samples = vmap(self._postprocess_fn)(flat)
-            return {
-                k: v.reshape(sample_shape + jnp.shape(v)[1:])
-                for k, v in contrained_samples.items()
-            }
-        return self._postprocess_fn(latent_samples)
-
-    def _postprocess_fn(self, latent):
-        def substitute_fn(site):
-            if site["name"] in latent:
-                with handlers.block():
-                    return biject_to(site["fn"].support)(latent[site["name"]])
-
-        # transform via site supports
-        out = {}
-        for name, value in latent.items():
-            site = self.prototype_trace[name]
-            with handlers.block():
-                out[name] = biject_to(site["fn"].support)(value)
+                    pushed = dist.TransformedDistribution(
+                        factor, _support_bijector(site)
+                    )
+                    out[name] = numpyro_tpu.sample(name, pushed)
         return out
 
+    def _constrain(self, latent_samples):
+        probe = next(iter(latent_samples))
+        n_sample_dims = jnp.ndim(latent_samples[probe]) - jnp.ndim(
+            self._init_locs[probe]
+        )
+        return _map_leading_axes(
+            self._constrain_dict, latent_samples, n_sample_dims
+        )
+
+    def _site_params(self, params, suffix):
+        return {
+            name: params[self._pname(name, suffix)] for name in self._init_locs
+        }
+
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        locs = {
-            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
-        }
-        scales = {
-            name: params[f"{self.prefix}_{name}_scale"] for name in self._init_locs
-        }
+        locs = self._site_params(params, "loc")
+        scales = self._site_params(params, "scale")
         with handlers.seed(rng_seed=rng_key):
-            latent_samples = {}
-            for name in locs:
-                latent_samples[name] = numpyro_tpu.sample(
+            latent = {
+                name: numpyro_tpu.sample(
                     name + "_latent",
                     dist.Normal(locs[name], scales[name]).to_event(
                         self._event_dims[name]
                     ),
                     sample_shape=sample_shape,
                 )
-        return self._constrain(latent_samples)
+                for name in locs
+            }
+        return self._constrain(latent)
 
     def median(self, params):
-        locs = {
-            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
-        }
-        return self._postprocess_fn(locs)
+        return self._constrain_dict(self._site_params(params, "loc"))
 
     def quantiles(self, params, quantiles):
-        quantiles = jnp.array(quantiles)
+        q = jnp.array(quantiles)
         out = {}
         for name in self._init_locs:
-            loc = params[f"{self.prefix}_{name}_loc"]
-            scale = params[f"{self.prefix}_{name}_scale"]
+            loc = params[self._pname(name, "loc")]
+            scale = params[self._pname(name, "scale")]
             latent = dist.Normal(loc, scale).icdf(
-                quantiles.reshape((-1,) + (1,) * jnp.ndim(loc))
+                q.reshape((-1,) + (1,) * jnp.ndim(loc))
             )
-            site = self.prototype_trace[name]
-            with handlers.block():
-                out[name] = biject_to(site["fn"].support)(latent)
+            out[name] = _support_bijector(self.prototype_trace[name])(latent)
         return out
 
 
@@ -380,75 +398,49 @@ class AutoDelta(AutoGuide):
 
     def _setup_prototype(self, *args, **kwargs):
         super()._setup_prototype(*args, **kwargs)
+        # AutoDelta parameterizes in *constrained* space
         with handlers.block():
-            self._init_locs = {
-                k: v
-                for k, v in self._postprocess_fn(self._init_locs).items()
-                if k in self._init_locs
-            }
-        self._event_dims = {}
-        for name, site in self.prototype_trace.items():
-            if (
-                site["type"] != "sample"
-                or site["is_observed"]
-                or site["fn"].support.is_discrete
-            ):
-                continue
-            self._event_dims[name] = site["fn"].event_dim
-
-    def _postprocess_fn(self, latent):
-        out = {}
-        for name, value in latent.items():
-            site = self.prototype_trace[name]
-            with handlers.block():
-                out[name] = biject_to(site["fn"].support)(value)
-        return out
+            constrained = self._constrain_dict(self._init_locs)
+        self._init_locs = {k: constrained[k] for k in self._init_locs}
+        self._event_dims = {
+            name: site["fn"].event_dim for name, site in self._latent_sites()
+        }
 
     def __call__(self, *args, **kwargs):
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
 
         plates = self._create_plates(*args, **kwargs)
-        result = {}
-        for name, site in self.prototype_trace.items():
-            if (
-                site["type"] != "sample"
-                or site["is_observed"]
-                or site["fn"].support.is_discrete
-            ):
-                continue
+        out = {}
+        for name, site in self._latent_sites():
             event_dim = self._event_dims[name]
-            init_loc = self._init_locs[name]
             with ExitStack() as stack:
                 for frame in site["cond_indep_stack"]:
                     stack.enter_context(plates[frame.name])
-                site_loc = numpyro_tpu.param(
-                    f"{self.prefix}_{name}_loc",
-                    init_loc,
+                point = numpyro_tpu.param(
+                    self._pname(name, "loc"),
+                    self._init_locs[name],
                     constraint=site["fn"].support,
                     event_dim=event_dim,
                 )
-                result[name] = numpyro_tpu.sample(
-                    name, dist.Delta(site_loc, event_dim=event_dim)
+                out[name] = numpyro_tpu.sample(
+                    name, dist.Delta(point, event_dim=event_dim)
                 )
-        return result
+        return out
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        locs = {
-            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+        return {
+            name: jnp.broadcast_to(
+                params[self._pname(name, "loc")],
+                sample_shape + jnp.shape(params[self._pname(name, "loc")]),
+            )
+            for name in self._init_locs
         }
-        latent_samples = {
-            k: jnp.broadcast_to(v, sample_shape + jnp.shape(v))
-            for k, v in locs.items()
-        }
-        return latent_samples
 
     def median(self, params):
         return {
-            name: params[f"{self.prefix}_{name}_loc"] for name in self._init_locs
+            name: params[self._pname(name, "loc")] for name in self._init_locs
         }
-
-
 class AutoContinuous(AutoGuide):
     """Base for guides over a single packed unconstrained latent vector
     (reference: autoguide.py:642).  The packed layout is what makes ELBO
@@ -457,8 +449,7 @@ class AutoContinuous(AutoGuide):
     def _setup_prototype(self, *args, **kwargs):
         super()._setup_prototype(*args, **kwargs)
         self._init_latent, unpack_latent = ravel_pytree(self._init_locs)
-        # this is to match the behavior of Pyro, where we can apply
-        # unpack_latent for a batch of samples
+        # wrapped so a batch of packed samples unpacks too (pyro parity)
         self._unpack_latent = UnpackTransform(unpack_latent)
         self.latent_dim = jnp.size(self._init_latent)
         if self.latent_dim == 0:
@@ -482,53 +473,35 @@ class AutoContinuous(AutoGuide):
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
 
-        latent = self._sample_latent(*args, **kwargs)
+        packed = self._sample_latent(*args, **kwargs)
 
         # unpack into constrained sites, with explicit density correction
-        result = {}
-        for name, unconstrained_value in self._unpack_latent(latent).items():
+        out = {}
+        for name, unconstrained in self._unpack_latent(packed).items():
             site = self.prototype_trace[name]
-            with handlers.block():
-                transform = biject_to(site["fn"].support)
-            value = transform(unconstrained_value)
+            push = _support_bijector(site)
+            value = push(unconstrained)
             event_ndim = site["fn"].event_dim
             if numpyro_tpu.get_mask() is False:
-                log_density = 0.0
+                correction = 0.0
             else:
-                log_density = -transform.log_abs_det_jacobian(
-                    unconstrained_value, value
+                correction = -push.log_abs_det_jacobian(unconstrained, value)
+                correction = sum_rightmost(
+                    correction,
+                    jnp.ndim(correction) - jnp.ndim(value) + event_ndim,
                 )
-                log_density = sum_rightmost(
-                    log_density, jnp.ndim(log_density) - jnp.ndim(value) + event_ndim
-                )
-            delta_dist = dist.Delta(
-                value, log_density=log_density, event_dim=event_ndim
+            out[name] = numpyro_tpu.sample(
+                name,
+                dist.Delta(value, log_density=correction, event_dim=event_ndim),
             )
-            result[name] = numpyro_tpu.sample(name, delta_dist)
-
-        return result
+        return out
 
     def _unpack_and_constrain(self, latent_sample, params):
-        def unpack_single_latent(latent):
-            unpacked_samples = self._unpack_latent(latent)
-            out = {}
-            for name, value in unpacked_samples.items():
-                site = self.prototype_trace[name]
-                with handlers.block():
-                    out[name] = biject_to(site["fn"].support)(value)
-            return out
+        def one(flat):
+            return self._constrain_dict(self._unpack_latent(flat))
 
-        sample_shape = jnp.shape(latent_sample)[:-1]
-        if sample_shape:
-            latent_sample = jnp.reshape(
-                latent_sample, (-1, jnp.shape(latent_sample)[-1])
-            )
-            unpacked_samples = vmap(unpack_single_latent)(latent_sample)
-            return {
-                k: jnp.reshape(v, sample_shape + jnp.shape(v)[1:])
-                for k, v in unpacked_samples.items()
-            }
-        return unpack_single_latent(latent_sample)
+        n_sample_dims = jnp.ndim(latent_sample) - 1
+        return _map_leading_axes(one, latent_sample, n_sample_dims)
 
     def get_base_dist(self):
         """The (fixed) base distribution of the learned transport."""
@@ -543,12 +516,8 @@ class AutoContinuous(AutoGuide):
             raise NotImplementedError(
                 "posterior is not a transformed distribution"
             )
-        transforms = posterior.transforms
-        return (
-            ComposeTransform(transforms)
-            if len(transforms) > 1
-            else transforms[0]
-        )
+        chain = posterior.transforms
+        return ComposeTransform(chain) if len(chain) > 1 else chain[0]
 
     def get_posterior(self, params):
         """Unconstrained posterior over the packed latent."""
@@ -557,10 +526,10 @@ class AutoContinuous(AutoGuide):
         )
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        latent_sample = handlers.substitute(
+        packed = handlers.substitute(
             handlers.seed(self._sample_latent, rng_key), params
         )(sample_shape=sample_shape)
-        return self._unpack_and_constrain(latent_sample, params)
+        return self._unpack_and_constrain(packed, params)
 
     def median(self, params):
         raise NotImplementedError
@@ -576,185 +545,149 @@ class UnpackTransform:
         self.unpack_fn = unpack_fn
 
     def __call__(self, x):
-        batch_shape = x.shape[:-1]
-        if batch_shape:
-            unpacked = vmap(self.unpack_fn)(x.reshape((-1,) + x.shape[-1:]))
-            return jax.tree.map(
-                lambda y: jnp.reshape(y, batch_shape + y.shape[1:]), unpacked
-            )
-        return self.unpack_fn(x)
+        return _map_leading_axes(self.unpack_fn, x, x.ndim - 1)
 
 
-class AutoDiagonalNormal(AutoContinuous):
+class _PackedNormalGuide(AutoContinuous):
+    """Shared init_scale plumbing for the packed gaussian-family guides."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        prefix="auto",
+        init_loc_fn=init_to_uniform,
+        init_scale=0.1,
+        create_plates=None,
+    ):
+        if init_scale <= 0:
+            raise ValueError("Expected init_scale > 0.")
+        self._init_scale = init_scale
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
+        )
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+
+    def median(self, params):
+        return self._unpack_and_constrain(params[self._pname("loc")], params)
+
+    def _marginal_normal(self, params):
+        """Per-coordinate Normal matching the posterior marginals."""
+        raise NotImplementedError
+
+    def quantiles(self, params, quantiles):
+        q = jnp.array(quantiles)[..., None]
+        latent = self._marginal_normal(params).icdf(q)
+        return self._unpack_and_constrain(latent, params)
+
+
+class AutoDiagonalNormal(_PackedNormalGuide):
     """Diagonal Normal over the packed latent — classic ADVI (reference:
     autoguide.py:1725)."""
 
     scale_constraint = constraints.softplus_positive
 
-    def __init__(
-        self,
-        model,
-        *,
-        prefix="auto",
-        init_loc_fn=init_to_uniform,
-        init_scale=0.1,
-        create_plates=None,
-    ):
-        if init_scale <= 0:
-            raise ValueError("Expected init_scale > 0.")
-        self._init_scale = init_scale
-        super().__init__(
-            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
-        )
-
     def _get_posterior(self):
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        loc = numpyro_tpu.param(self._pname("loc"), self._init_latent)
         scale = numpyro_tpu.param(
-            f"{self.prefix}_scale",
+            self._pname("scale"),
             jnp.full(self.latent_dim, self._init_scale),
             constraint=self.scale_constraint,
         )
         return dist.Normal(loc, scale).to_event(1)
 
-    def get_base_dist(self):
-        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
-
     def get_transform(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        scale = params[f"{self.prefix}_scale"]
-        return IndependentTransform(AffineTransform(loc, scale), 1)
+        return IndependentTransform(
+            AffineTransform(params[self._pname("loc")], params[self._pname("scale")]),
+            1,
+        )
 
     def get_posterior(self, params):
         return dist.Normal(
-            params[f"{self.prefix}_loc"], params[f"{self.prefix}_scale"]
+            params[self._pname("loc")], params[self._pname("scale")]
         ).to_event(1)
 
-    def median(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        return self._unpack_and_constrain(loc, params)
-
-    def quantiles(self, params, quantiles):
-        quantiles = jnp.array(quantiles)[..., None]
-        latent = self.get_posterior(params).base_dist.icdf(quantiles)
-        return self._unpack_and_constrain(latent, params)
+    def _marginal_normal(self, params):
+        return dist.Normal(
+            params[self._pname("loc")], params[self._pname("scale")]
+        )
 
 
-class AutoMultivariateNormal(AutoContinuous):
+class AutoMultivariateNormal(_PackedNormalGuide):
     """Full-covariance MVN (reference: autoguide.py:1786)."""
 
     scale_tril_constraint = constraints.scaled_unit_lower_cholesky
 
-    def __init__(
-        self,
-        model,
-        *,
-        prefix="auto",
-        init_loc_fn=init_to_uniform,
-        init_scale=0.1,
-        create_plates=None,
-    ):
-        if init_scale <= 0:
-            raise ValueError("Expected init_scale > 0.")
-        self._init_scale = init_scale
-        super().__init__(
-            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
-        )
-
     def _get_posterior(self):
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
+        loc = numpyro_tpu.param(self._pname("loc"), self._init_latent)
         scale_tril = numpyro_tpu.param(
-            f"{self.prefix}_scale_tril",
+            self._pname("scale_tril"),
             jnp.identity(self.latent_dim) * self._init_scale,
             constraint=self.scale_tril_constraint,
         )
         return dist.MultivariateNormal(loc, scale_tril=scale_tril)
 
-    def get_base_dist(self):
-        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
-
     def get_transform(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        scale_tril = params[f"{self.prefix}_scale_tril"]
-        return LowerCholeskyAffine(loc, scale_tril)
+        return LowerCholeskyAffine(
+            params[self._pname("loc")], params[self._pname("scale_tril")]
+        )
 
     def get_posterior(self, params):
         return dist.MultivariateNormal(
-            params[f"{self.prefix}_loc"],
-            scale_tril=params[f"{self.prefix}_scale_tril"],
+            params[self._pname("loc")],
+            scale_tril=params[self._pname("scale_tril")],
         )
 
-    def median(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        return self._unpack_and_constrain(loc, params)
-
-    def quantiles(self, params, quantiles):
-        quantiles = jnp.array(quantiles)[..., None]
-        loc = params[f"{self.prefix}_loc"]
-        scale = jnp.linalg.norm(params[f"{self.prefix}_scale_tril"], axis=-1)
-        latent = dist.Normal(loc, scale).icdf(quantiles)
-        return self._unpack_and_constrain(latent, params)
+    def _marginal_normal(self, params):
+        root = params[self._pname("scale_tril")]
+        return dist.Normal(
+            params[self._pname("loc")], jnp.linalg.norm(root, axis=-1)
+        )
 
 
-class AutoLowRankMultivariateNormal(AutoContinuous):
+class AutoLowRankMultivariateNormal(_PackedNormalGuide):
     """Low-rank-plus-diagonal MVN (reference: autoguide.py:1962)."""
 
     scale_constraint = constraints.softplus_positive
 
-    def __init__(
-        self,
-        model,
-        *,
-        prefix="auto",
-        init_loc_fn=init_to_uniform,
-        init_scale=0.1,
-        rank=None,
-        create_plates=None,
-    ):
-        if init_scale <= 0:
-            raise ValueError("Expected init_scale > 0.")
-        self._init_scale = init_scale
+    def __init__(self, model, *, rank=None, **kwargs):
         self.rank = rank
-        super().__init__(
-            model, prefix=prefix, init_loc_fn=init_loc_fn, create_plates=create_plates
-        )
+        super().__init__(model, **kwargs)
 
-    def _get_posterior(self, *args, **kwargs):
-        rank = int(round(self.latent_dim**0.5)) if self.rank is None else self.rank
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
-        cov_factor = numpyro_tpu.param(
-            f"{self.prefix}_cov_factor", jnp.zeros((self.latent_dim, rank))
+    def _factor_params(self):
+        rank = (
+            int(round(self.latent_dim**0.5)) if self.rank is None else self.rank
+        )
+        loc = numpyro_tpu.param(self._pname("loc"), self._init_latent)
+        raw_factor = numpyro_tpu.param(
+            self._pname("cov_factor"), jnp.zeros((self.latent_dim, rank))
         )
         scale = numpyro_tpu.param(
-            f"{self.prefix}_scale",
+            self._pname("scale"),
             jnp.full(self.latent_dim, self._init_scale),
             constraint=self.scale_constraint,
         )
-        cov_diag = scale * scale
-        cov_factor = cov_factor * scale[..., None]
-        return dist.LowRankMultivariateNormal(loc, cov_factor, cov_diag)
+        return loc, raw_factor, scale
 
-    def get_base_dist(self):
-        return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
-
-    def get_posterior(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        cov_factor = params[f"{self.prefix}_cov_factor"]
-        scale = params[f"{self.prefix}_scale"]
+    def _get_posterior(self, *args, **kwargs):
+        loc, raw_factor, scale = self._factor_params()
         return dist.LowRankMultivariateNormal(
-            loc, cov_factor * scale[..., None], scale * scale
+            loc, raw_factor * scale[..., None], jnp.square(scale)
         )
 
-    def median(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        return self._unpack_and_constrain(loc, params)
+    def get_posterior(self, params):
+        loc = params[self._pname("loc")]
+        raw_factor = params[self._pname("cov_factor")]
+        scale = params[self._pname("scale")]
+        return dist.LowRankMultivariateNormal(
+            loc, raw_factor * scale[..., None], jnp.square(scale)
+        )
 
-    def quantiles(self, params, quantiles):
-        quantiles = jnp.array(quantiles)[..., None]
+    def _marginal_normal(self, params):
         posterior = self.get_posterior(params)
-        latent = dist.Normal(
-            posterior.loc, jnp.sqrt(posterior.variance)
-        ).icdf(quantiles)
-        return self._unpack_and_constrain(latent, params)
+        return dist.Normal(posterior.loc, jnp.sqrt(posterior.variance))
 
 
 class AutoLaplaceApproximation(AutoContinuous):
@@ -783,22 +716,21 @@ class AutoLaplaceApproximation(AutoContinuous):
         self._kwargs = kwargs
 
     def _get_posterior(self, *args, **kwargs):
-        # sample from Delta guide centered at the MAP estimate
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", self._init_latent)
-        return dist.Delta(loc, event_dim=1)
+        # the fitted object is a Delta at the MAP point
+        point = numpyro_tpu.param(self._pname("loc"), self._init_latent)
+        return dist.Delta(point, event_dim=1)
 
     def get_base_dist(self):
         return dist.Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
 
-    def _loss_fn(self, z):
-        params = self._unpack_latent(z)
-        return self._potential_fn(params)
+    def _neg_log_joint(self, packed):
+        return self._potential_fn(self._unpack_latent(packed))
 
     def get_posterior(self, params):
         """Gaussian posterior using the Hessian at the fitted loc."""
-        loc = params[f"{self.prefix}_loc"]
-        precision = self._hessian_fn(self._loss_fn, loc)
-        scale_tril = jnp.linalg.cholesky(jnp.linalg.inv(precision))
+        point = params[self._pname("loc")]
+        curvature = self._hessian_fn(self._neg_log_joint, point)
+        scale_tril = jnp.linalg.cholesky(jnp.linalg.inv(curvature))
         if not_jax_tracer(scale_tril):
             if np.any(np.isnan(np.asarray(scale_tril))):
                 warnings.warn(
@@ -808,26 +740,58 @@ class AutoLaplaceApproximation(AutoContinuous):
                     stacklevel=find_stack_level(),
                 )
         scale_tril = jnp.where(jnp.isnan(scale_tril), 0.0, scale_tril)
-        return dist.MultivariateNormal(loc, scale_tril=scale_tril)
+        return dist.MultivariateNormal(point, scale_tril=scale_tril)
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        latent_sample = self.get_posterior(params).sample(rng_key, sample_shape)
-        return self._unpack_and_constrain(latent_sample, params)
+        packed = self.get_posterior(params).sample(rng_key, sample_shape)
+        return self._unpack_and_constrain(packed, params)
 
     def median(self, params):
-        loc = params[f"{self.prefix}_loc"]
-        return self._unpack_and_constrain(loc, params)
+        return self._unpack_and_constrain(params[self._pname("loc")], params)
 
     def quantiles(self, params, quantiles):
-        quantiles = jnp.array(quantiles)[..., None]
+        q = jnp.array(quantiles)[..., None]
         posterior = self.get_posterior(params)
-        latent = dist.Normal(
-            posterior.loc, jnp.sqrt(posterior.variance)
-        ).icdf(quantiles)
+        latent = dist.Normal(posterior.loc, jnp.sqrt(posterior.variance)).icdf(q)
         return self._unpack_and_constrain(latent, params)
 
 
-class AutoIAFNormal(AutoContinuous):
+class _FlowGuide(AutoContinuous):
+    """Shared flow-stack builder: interleaves reversing permutations between
+    learned flow layers registered as numpyro modules."""
+
+    def __init__(self, model, *, prefix="auto", init_loc_fn=None, num_flows=1):
+        self.num_flows = num_flows
+        super().__init__(
+            model,
+            prefix=prefix,
+            init_loc_fn=init_loc_fn if init_loc_fn is not None else init_to_uniform,
+        )
+
+    def _flow_layer(self, i):
+        raise NotImplementedError
+
+    def _get_posterior(self):
+        from numpyro_tpu.distributions.transforms import PermuteTransform
+
+        if self.latent_dim == 1:
+            raise ValueError(
+                "latent dim = 1. Consider using AutoDiagonalNormal instead"
+            )
+        layers = []
+        for i in range(self.num_flows):
+            if i:
+                layers.append(
+                    PermuteTransform(jnp.arange(self.latent_dim)[::-1])
+                )
+            layers.append(self._flow_layer(i))
+        return dist.TransformedDistribution(self.get_base_dist(), layers)
+
+    def get_base_dist(self):
+        return dist.Normal(jnp.zeros(self.latent_dim), 1).to_event(1)
+
+
+class AutoIAFNormal(_FlowGuide):
     """Diagonal-Normal base pushed through a stack of Inverse Autoregressive
     Flows over the packed latent (reference: autoguide.py:2202; Kingma et
     al. 2016).  The flow matmuls batch over ELBO particles on the MXU."""
@@ -845,52 +809,36 @@ class AutoIAFNormal(AutoContinuous):
     ):
         from jax.example_libraries import stax
 
-        self.num_flows = num_flows
         self._hidden_dims = hidden_dims
         self._skip_connections = skip_connections
         self._nonlinearity = nonlinearity if nonlinearity is not None else stax.Elu
-        if init_loc_fn is None:
-            init_loc_fn = init_to_uniform
-        super().__init__(model, prefix=prefix, init_loc_fn=init_loc_fn)
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, num_flows=num_flows
+        )
 
-    def _get_posterior(self):
+    def _flow_layer(self, i):
         from numpyro_tpu.distributions.flows import InverseAutoregressiveTransform
-        from numpyro_tpu.distributions.transforms import PermuteTransform
         from numpyro_tpu.nn import AutoregressiveNN
 
-        if self.latent_dim == 1:
-            raise ValueError(
-                "latent dim = 1. Consider using AutoDiagonalNormal instead"
-            )
-        hidden_dims = (
+        widths = (
             [self.latent_dim, self.latent_dim]
             if self._hidden_dims is None
             else self._hidden_dims
         )
-        flows = []
-        for i in range(self.num_flows):
-            if i > 0:
-                flows.append(
-                    PermuteTransform(jnp.arange(self.latent_dim)[::-1])
-                )
-            arn = AutoregressiveNN(
-                self.latent_dim,
-                hidden_dims,
-                permutation=jnp.arange(self.latent_dim),
-                skip_connections=self._skip_connections,
-                nonlinearity=self._nonlinearity,
-            )
-            arnn = numpyro_tpu.module(
-                f"{self.prefix}_arn__{i}", arn, (self.latent_dim,)
-            )
-            flows.append(InverseAutoregressiveTransform(arnn))
-        return dist.TransformedDistribution(self.get_base_dist(), flows)
-
-    def get_base_dist(self):
-        return dist.Normal(jnp.zeros(self.latent_dim), 1).to_event(1)
+        conditioner = AutoregressiveNN(
+            self.latent_dim,
+            widths,
+            permutation=jnp.arange(self.latent_dim),
+            skip_connections=self._skip_connections,
+            nonlinearity=self._nonlinearity,
+        )
+        net = numpyro_tpu.module(
+            self._pname(f"arn__{i}"), conditioner, (self.latent_dim,)
+        )
+        return InverseAutoregressiveTransform(net)
 
 
-class AutoBNAFNormal(AutoContinuous):
+class AutoBNAFNormal(_FlowGuide):
     """Diagonal-Normal base through a Block Neural Autoregressive Flow
     (reference: autoguide.py:2280; De Cao et al.)."""
 
@@ -903,41 +851,88 @@ class AutoBNAFNormal(AutoContinuous):
         num_flows=1,
         hidden_factors=[8, 8],
     ):
-        self.num_flows = num_flows
         self._hidden_factors = hidden_factors
-        if init_loc_fn is None:
-            init_loc_fn = init_to_uniform
-        super().__init__(model, prefix=prefix, init_loc_fn=init_loc_fn)
+        super().__init__(
+            model, prefix=prefix, init_loc_fn=init_loc_fn, num_flows=num_flows
+        )
 
-    def _get_posterior(self):
+    def _flow_layer(self, i):
         from numpyro_tpu.distributions.flows import (
             BlockNeuralAutoregressiveTransform,
         )
-        from numpyro_tpu.distributions.transforms import PermuteTransform
         from numpyro_tpu.nn import BlockNeuralAutoregressiveNN
 
-        if self.latent_dim == 1:
-            raise ValueError(
-                "latent dim = 1. Consider using AutoDiagonalNormal instead"
-            )
-        flows = []
-        for i in range(self.num_flows):
-            if i > 0:
-                flows.append(
-                    PermuteTransform(jnp.arange(self.latent_dim)[::-1])
-                )
-            residual = "gated" if i < (self.num_flows - 1) else None
-            arn = BlockNeuralAutoregressiveNN(
-                self.latent_dim, self._hidden_factors, residual
-            )
-            arnn = numpyro_tpu.module(
-                f"{self.prefix}_arn__{i}", arn, (self.latent_dim,)
-            )
-            flows.append(BlockNeuralAutoregressiveTransform(arnn))
-        return dist.TransformedDistribution(self.get_base_dist(), flows)
+        residual = "gated" if i < (self.num_flows - 1) else None
+        block_net = BlockNeuralAutoregressiveNN(
+            self.latent_dim, self._hidden_factors, residual
+        )
+        net = numpyro_tpu.module(
+            self._pname(f"arn__{i}"), block_net, (self.latent_dim,)
+        )
+        return BlockNeuralAutoregressiveTransform(net)
+def _check_dais_hyperparams(K, eta_init, eta_max, gamma_init, init_scale):
+    if K < 1:
+        raise ValueError(f"K must satisfy K >= 1 (got K = {K})")
+    if eta_init <= 0.0 or eta_init >= eta_max:
+        raise ValueError("eta_init must be positive with eta_init < eta_max.")
+    if eta_max <= 0.0:
+        raise ValueError("eta_max must be positive.")
+    if gamma_init <= 0.0 or gamma_init >= 1.0:
+        raise ValueError("gamma_init must be in the open interval (0, 1).")
+    if init_scale <= 0.0:
+        raise ValueError("init_scale must be positive.")
 
-    def get_base_dist(self):
-        return dist.Normal(jnp.zeros(self.latent_dim), 1).to_event(1)
+
+def _dais_anneal(
+    z_0,
+    eps_seq,
+    beta_seq,
+    *,
+    eta0,
+    eta_coeff,
+    eta_max,
+    gamma,
+    inv_mass,
+    momentum_lp,
+    base_grad,
+    target_grad,
+    widen,
+    log_factor_0,
+):
+    """The K uncorrected-leapfrog annealing steps shared by every DAIS guide.
+
+    One ``lax.scan`` whose carry is (position, velocity, accumulated
+    importance-weight correction).  ``widen`` right-expands per-instance
+    scalars (eta, beta, gamma) onto the latent axis — identity for the
+    global AutoDAIS, ``x[:, None]`` for the per-datum AutoSemiDAIS.
+    """
+
+    def anneal_step(carry, inputs):
+        eps_k, beta = inputs
+        z_prev, v_prev, log_factor = carry
+        eta = jnp.clip(eta0 + eta_coeff * beta, 0.0, eta_max)
+        eta_w, beta_w = widen(eta), widen(beta)
+        # leapfrog under the annealed density (1-beta)*base + beta*target
+        z_half = z_prev + v_prev * eta_w * inv_mass
+        pull = (1.0 - beta_w) * base_grad(z_half) + beta_w * target_grad(z_half)
+        v_hat = v_prev + eta_w * pull
+        z_next = z_half + v_hat * eta_w * inv_mass
+        # partial momentum refresh, with the kinetic-energy correction
+        v_next = widen(gamma) * v_hat + jnp.sqrt(1.0 - widen(gamma) ** 2) * eps_k
+        log_factor = log_factor + momentum_lp(v_prev) - momentum_lp(v_hat)
+        return (z_next, v_next, log_factor), None
+
+    # the last refresh draw is never consumed; reuse it as the initial v
+    v_0 = eps_seq[-1]
+    (z, _, log_factor), _ = jax.lax.scan(
+        anneal_step, (z_0, v_0, log_factor_0), (eps_seq, beta_seq)
+    )
+    return z, log_factor
+
+
+def _normalized_schedule(raw_increments):
+    steps = jnp.cumsum(raw_increments, axis=-1)
+    return steps / steps[..., -1:]
 
 
 class AutoDAIS(AutoContinuous):
@@ -959,18 +954,9 @@ class AutoDAIS(AutoContinuous):
         init_loc_fn=init_to_uniform,
         init_scale=0.1,
     ):
-        if K < 1:
-            raise ValueError(f"K must satisfy K >= 1 (got K = {K})")
+        _check_dais_hyperparams(K, eta_init, eta_max, gamma_init, init_scale)
         if base_dist not in ["diagonal", "cholesky"]:
             raise ValueError('base_dist must be one of "diagonal" or "cholesky".')
-        if eta_init <= 0.0 or eta_init >= eta_max:
-            raise ValueError("eta_init must be positive with eta_init < eta_max.")
-        if eta_max <= 0.0:
-            raise ValueError("eta_max must be positive.")
-        if gamma_init <= 0.0 or gamma_init >= 1.0:
-            raise ValueError("gamma_init must be in the open interval (0, 1).")
-        if init_scale <= 0.0:
-            raise ValueError("init_scale must be positive.")
         self.eta_init = eta_init
         self.eta_max = eta_max
         self.gamma_init = gamma_init
@@ -995,107 +981,97 @@ class AutoDAIS(AutoContinuous):
         raise NotImplementedError
 
     def _dais_log_density(self, x):
-        x_unpack = self._unpack_latent(x)
         with handlers.block():
-            return -self._potential_fn(x_unpack)
+            return -self._potential_fn(self._unpack_latent(x))
 
-    def _sample_latent(self, *args, **kwargs):
-        from jax import grad
-
-        log_density = self._dais_log_density
-
+    def _dais_schedule_params(self):
         eta0 = numpyro_tpu.param(
-            f"{self.prefix}_eta0",
+            self._pname("eta0"),
             self.eta_init,
             constraint=constraints.interval(0, self.eta_max),
         )
-        eta_coeff = numpyro_tpu.param(f"{self.prefix}_eta_coeff", 0.0)
+        eta_coeff = numpyro_tpu.param(self._pname("eta_coeff"), 0.0)
         gamma = numpyro_tpu.param(
-            f"{self.prefix}_gamma",
+            self._pname("gamma"),
             self.gamma_init,
             constraint=constraints.interval(0, 1),
         )
-        betas = numpyro_tpu.param(
-            f"{self.prefix}_beta_increments",
-            jnp.ones(self.K),
-            constraint=constraints.positive,
+        betas = _normalized_schedule(
+            numpyro_tpu.param(
+                self._pname("beta_increments"),
+                jnp.ones(self.K),
+                constraint=constraints.positive,
+            )
         )
-        betas = jnp.cumsum(betas)
-        betas = betas / betas[-1]
+        return eta0, eta_coeff, gamma, betas
 
-        mass_matrix = numpyro_tpu.param(
-            f"{self.prefix}_mass_matrix",
-            jnp.ones(self.latent_dim),
-            constraint=constraints.positive,
-        )
-        inv_mass_matrix = 0.5 / mass_matrix
-
-        init_z_loc = numpyro_tpu.param(f"{self.prefix}_z_0_loc", self._init_latent)
+    def _base_family(self):
+        anchor = numpyro_tpu.param(self._pname("z_0_loc"), self._init_latent)
         if self.base_dist == "diagonal":
-            init_z_scale = numpyro_tpu.param(
-                f"{self.prefix}_z_0_scale",
+            spread = numpyro_tpu.param(
+                self._pname("z_0_scale"),
                 jnp.full(self.latent_dim, self._init_scale),
                 constraint=constraints.positive,
             )
-            base_z_dist = dist.Normal(init_z_loc, init_z_scale).to_event()
-        else:
-            scale_tril = numpyro_tpu.param(
-                f"{self.prefix}_z_0_scale_tril",
-                jnp.identity(self.latent_dim) * self._init_scale,
-                constraint=constraints.scaled_unit_lower_cholesky,
-            )
-            base_z_dist = dist.MultivariateNormal(init_z_loc, scale_tril=scale_tril)
-
-        z_0 = numpyro_tpu.sample(
-            f"{self.prefix}_z_0", base_z_dist, infer={"is_auxiliary": True}
+            return dist.Normal(anchor, spread).to_event()
+        root = numpyro_tpu.param(
+            self._pname("z_0_scale_tril"),
+            jnp.identity(self.latent_dim) * self._init_scale,
+            constraint=constraints.scaled_unit_lower_cholesky,
         )
-        momentum_dist = dist.Normal(0, mass_matrix).to_event()
+        return dist.MultivariateNormal(anchor, scale_tril=root)
+
+    def _sample_latent(self, *args, **kwargs):
+        eta0, eta_coeff, gamma, betas = self._dais_schedule_params()
+        mass = numpyro_tpu.param(
+            self._pname("mass_matrix"),
+            jnp.ones(self.latent_dim),
+            constraint=constraints.positive,
+        )
+
+        base = self._base_family()
+        z_0 = numpyro_tpu.sample(
+            self._pname("z_0"), base, infer={"is_auxiliary": True}
+        )
+        momentum = dist.Normal(0, mass).to_event()
         eps = numpyro_tpu.sample(
-            f"{self.prefix}_momentum",
-            momentum_dist.expand((self.K,)).to_event().mask(False),
+            self._pname("momentum"),
+            momentum.expand((self.K,)).to_event().mask(False),
             infer={"is_auxiliary": True},
         )
 
-        def scan_body(carry, eps_beta):
-            eps, beta = eps_beta
-            eta = eta0 + eta_coeff * beta
-            eta = jnp.clip(eta, 0.0, self.eta_max)
-            z_prev, v_prev, log_factor = carry
-            # leapfrog under the annealed density (1-beta)*base + beta*target
-            z_half = z_prev + v_prev * eta * inv_mass_matrix
-            q_grad = (1.0 - beta) * grad(base_z_dist.log_prob)(z_half)
-            p_grad = beta * grad(log_density)(z_half)
-            v_hat = v_prev + eta * (q_grad + p_grad)
-            z = z_half + v_hat * eta * inv_mass_matrix
-            # partial momentum refresh
-            v = gamma * v_hat + jnp.sqrt(1 - gamma**2) * eps
-            delta_ke = momentum_dist.log_prob(v_prev) - momentum_dist.log_prob(v_hat)
-            log_factor = log_factor + delta_ke
-            return (z, v, log_factor), None
-
-        v_0 = eps[-1]  # scan output does not depend on eps[-1]
-        (z, _, log_factor), _ = jax.lax.scan(
-            scan_body, (z_0, v_0, 0.0), (eps, betas)
+        z, log_factor = _dais_anneal(
+            z_0,
+            eps,
+            betas,
+            eta0=eta0,
+            eta_coeff=eta_coeff,
+            eta_max=self.eta_max,
+            gamma=gamma,
+            inv_mass=0.5 / mass,
+            momentum_lp=momentum.log_prob,
+            base_grad=grad(base.log_prob),
+            target_grad=grad(self._dais_log_density),
+            widen=lambda s: s,
+            log_factor_0=0.0,
         )
-        numpyro_tpu.factor(f"{self.prefix}_factor", log_factor)
+        numpyro_tpu.factor(self._pname("factor"), log_factor)
         return z
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        import numpy as np
-
-        def _single_sample(_rng_key):
-            latent_sample = handlers.substitute(
-                handlers.seed(self._sample_latent, _rng_key), params
+        def one_draw(key):
+            packed = handlers.substitute(
+                handlers.seed(self._sample_latent, key), params
             )(sample_shape=())
-            return self._unpack_and_constrain(latent_sample, params)
+            return self._unpack_and_constrain(packed, params)
 
-        if sample_shape:
-            rng_key = random.split(rng_key, int(np.prod(sample_shape)))
-            samples = jax.lax.map(_single_sample, rng_key)
-            return jax.tree.map(
-                lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), samples
-            )
-        return _single_sample(rng_key)
+        if not sample_shape:
+            return one_draw(rng_key)
+        keys = random.split(rng_key, int(np.prod(sample_shape)))
+        draws = jax.lax.map(one_draw, keys)
+        return jax.tree.map(
+            lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), draws
+        )
 
 
 class AutoSurrogateLikelihoodDAIS(AutoDAIS):
@@ -1151,9 +1127,8 @@ class AutoSurrogateLikelihoodDAIS(AutoDAIS):
             )
 
     def _dais_log_density(self, x):
-        x_unpack = self._unpack_latent(x)
         with handlers.block():
-            return -self._surrogate_potential_fn(x_unpack)
+            return -self._surrogate_potential_fn(self._unpack_latent(x))
 
     def _sample_latent(self, *args, **kwargs):
         # register surrogate params so they are optimized jointly
@@ -1174,8 +1149,6 @@ class AutoBatchedMixin:
         super().__init__(*args, **kwargs)
 
     def _setup_prototype(self, *args, **kwargs):
-        import math
-
         super()._setup_prototype(*args, **kwargs)
         batch_shape = None
         for site in self.prototype_trace.values():
@@ -1204,7 +1177,7 @@ class AutoBatchedMixin:
         raise NotImplementedError
 
     def _get_posterior(self):
-        from numpyro_tpu.distributions.transforms import ReshapeTransform  # noqa: F401
+        from numpyro_tpu.distributions.transforms import ReshapeTransform
 
         return dist.TransformedDistribution(
             self._get_batched_posterior(),
@@ -1212,6 +1185,10 @@ class AutoBatchedMixin:
                 (self.latent_dim,), self._batch_shape + self._event_shape
             ),
         )
+
+    def median(self, params):
+        flat = params[self._pname("loc")].reshape((self.latent_dim,))
+        return self._unpack_and_constrain(flat, params)
 
 
 class AutoBatchedMultivariateNormal(AutoBatchedMixin, AutoContinuous):
@@ -1237,25 +1214,15 @@ class AutoBatchedMultivariateNormal(AutoBatchedMixin, AutoContinuous):
         )
 
     def _get_batched_posterior(self):
-        init_latent = self._init_latent.reshape(
-            self._batch_shape + self._event_shape
-        )
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", init_latent)
-        init_scale = (
-            jnp.ones(self._batch_shape + (1, 1))
-            * jnp.identity(init_latent.shape[-1])
-            * self._init_scale
-        )
+        grouped = self._init_latent.reshape(self._batch_shape + self._event_shape)
+        loc = numpyro_tpu.param(self._pname("loc"), grouped)
+        eye = jnp.identity(grouped.shape[-1]) * self._init_scale
         scale_tril = numpyro_tpu.param(
-            f"{self.prefix}_scale_tril",
-            init_scale,
+            self._pname("scale_tril"),
+            jnp.broadcast_to(eye, self._batch_shape + eye.shape),
             constraint=self.scale_tril_constraint,
         )
         return dist.MultivariateNormal(loc, scale_tril=scale_tril)
-
-    def median(self, params):
-        loc = params[f"{self.prefix}_loc"].reshape((self.latent_dim,))
-        return self._unpack_and_constrain(loc, params)
 
 
 class AutoBatchedLowRankMultivariateNormal(AutoBatchedMixin, AutoContinuous):
@@ -1288,26 +1255,20 @@ class AutoBatchedLowRankMultivariateNormal(AutoBatchedMixin, AutoContinuous):
             if self.rank is None
             else self.rank
         )
-        init_latent = self._init_latent.reshape(
-            self._batch_shape + self._event_shape
-        )
-        loc = numpyro_tpu.param(f"{self.prefix}_loc", init_latent)
-        cov_factor = numpyro_tpu.param(
-            f"{self.prefix}_cov_factor",
+        grouped = self._init_latent.reshape(self._batch_shape + self._event_shape)
+        loc = numpyro_tpu.param(self._pname("loc"), grouped)
+        raw_factor = numpyro_tpu.param(
+            self._pname("cov_factor"),
             jnp.zeros(self._batch_shape + self._event_shape + (rank,)),
         )
         scale = numpyro_tpu.param(
-            f"{self.prefix}_scale",
+            self._pname("scale"),
             jnp.full(self._batch_shape + self._event_shape, self._init_scale),
             constraint=self.scale_constraint,
         )
-        cov_diag = scale * scale
-        cov_factor = cov_factor * scale[..., None]
-        return dist.LowRankMultivariateNormal(loc, cov_factor, cov_diag)
-
-    def median(self, params):
-        loc = params[f"{self.prefix}_loc"].reshape((self.latent_dim,))
-        return self._unpack_and_constrain(loc, params)
+        return dist.LowRankMultivariateNormal(
+            loc, raw_factor * scale[..., None], jnp.square(scale)
+        )
 
 
 def _flatten_local_dict(values):
@@ -1371,16 +1332,7 @@ class AutoSemiDAIS(AutoGuide):
         use_global_dais_params=False,
     ):
         super().__init__(model, prefix=prefix, init_loc_fn=init_to_uniform)
-        if K < 1:
-            raise ValueError(f"K must satisfy K >= 1 (got K = {K})")
-        if eta_init <= 0.0 or eta_init >= eta_max:
-            raise ValueError("eta_init must be positive with eta_init < eta_max.")
-        if eta_max <= 0.0:
-            raise ValueError("eta_max must be positive.")
-        if gamma_init <= 0.0 or gamma_init >= 1.0:
-            raise ValueError("gamma_init must be in the open interval (0, 1).")
-        if init_scale <= 0.0:
-            raise ValueError("init_scale must be positive.")
+        _check_dais_hyperparams(K, eta_init, eta_max, gamma_init, init_scale)
         self.local_model = local_model
         self.global_guide = global_guide
         self.local_guide = local_guide
@@ -1392,47 +1344,55 @@ class AutoSemiDAIS(AutoGuide):
         self.subsample_plate = subsample_plate
         self.use_global_dais_params = use_global_dais_params
 
-    def _setup_prototype(self, *args, **kwargs):
-        super()._setup_prototype(*args, **kwargs)
-        subsample_plates = {
-            name: site
-            for name, site in self.prototype_trace.items()
-            if site["type"] == "plate"
-            and isinstance(site["args"][1], int)
-            and site["args"][0] > site["args"][1]
+    # -- prototype ------------------------------------------------------
+
+    def _find_subsample_plate(self):
+        def is_subsampled(site):
+            return (
+                site["type"] == "plate"
+                and isinstance(site["args"][1], int)
+                and site["args"][0] > site["args"][1]
+            )
+
+        candidates = {
+            n: s for n, s in self.prototype_trace.items() if is_subsampled(s)
         }
         if self.subsample_plate is not None:
-            subsample_plates[self.subsample_plate] = self.prototype_trace[
+            candidates[self.subsample_plate] = self.prototype_trace[
                 self.subsample_plate
             ]
-        elif not subsample_plates:
-            subsample_plates = {
-                name: site
-                for name, site in self.prototype_trace.items()
-                if site["type"] == "plate"
+        elif not candidates:
+            candidates = {
+                n: s
+                for n, s in self.prototype_trace.items()
+                if s["type"] == "plate"
             }
-        if len(subsample_plates) != 1:
+        if len(candidates) != 1:
             raise ValueError(
                 "AutoSemiDAIS expects exactly one data (subsample) plate, "
-                f"found {len(subsample_plates)}"
+                f"found {len(candidates)}"
             )
-        plate_name = next(iter(subsample_plates))
-        N, subsample_size = subsample_plates[plate_name]["args"]
-        if subsample_size is None:
-            subsample_size = N
+        name = next(iter(candidates))
+        full, sub = candidates[name]["args"]
+        return name, full, full if sub is None else sub
 
-        # identify local latents (inside the plate) and the axis the plate
-        # occupies in each one
+    def _setup_prototype(self, *args, **kwargs):
+        super()._setup_prototype(*args, **kwargs)
+        plate_name, N, subsample_size = self._find_subsample_plate()
+
+        # locate local latents (inside the plate) and which axis of each the
+        # plate occupies
         self._local_axes = {}
         plate_dim = None
         for name, site in self.prototype_trace.items():
-            if site["type"] == "sample" and not site["is_observed"]:
-                for frame in site["cond_indep_stack"]:
-                    if frame.name == plate_name:
-                        if plate_dim is None:
-                            plate_dim = frame.dim
-                        self._local_axes[name] = plate_dim - site["fn"].event_dim
-                        break
+            if site["type"] != "sample" or site["is_observed"]:
+                continue
+            for frame in site["cond_indep_stack"]:
+                if frame.name == plate_name:
+                    if plate_dim is None:
+                        plate_dim = frame.dim
+                    self._local_axes[name] = plate_dim - site["fn"].event_dim
+                    break
         if not self._local_axes:
             raise RuntimeError(
                 f"No local latent variables found in plate `{plate_name}`; "
@@ -1442,20 +1402,22 @@ class AutoSemiDAIS(AutoGuide):
         local_init = {
             n: v for n, v in self._init_locs.items() if n in self._local_axes
         }
-        one = {
+        per_datum = {
             n: jnp.take(v, 0, axis=self._local_axes[n])
             for n, v in local_init.items()
         }
-        _, self._local_shapes = _flatten_local_dict(one)
+        _, self._local_shapes = _flatten_local_dict(per_datum)
         self._pack_local = vmap(
             lambda x: _flatten_local_dict(x)[0], in_axes=(self._local_axes,)
         )
-        unpack_one = partial(_unflatten_local_dict, shapes=self._local_shapes)
-        self._unpack_local = vmap(unpack_one, out_axes=self._local_axes)
-        local_flat = self._pack_local(local_init)
-        self._local_latent_dim = jnp.size(local_flat) // subsample_size
+        self._unpack_local = vmap(
+            partial(_unflatten_local_dict, shapes=self._local_shapes),
+            out_axes=self._local_axes,
+        )
+        self._local_latent_dim = jnp.size(self._pack_local(local_init)) // subsample_size
         self._local_plate = (plate_name, N, subsample_size)
 
+        # prototype traces of the local model (and guide) to find their params
         if self.global_guide is not None:
             with handlers.block():
                 local_args = (self.global_guide.model(*args, **kwargs),)
@@ -1474,30 +1436,110 @@ class AutoSemiDAIS(AutoGuide):
     def _get_posterior(self):
         raise NotImplementedError
 
+    # -- guide body -----------------------------------------------------
+
     def __call__(self, *args, **kwargs):
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
         global_latents, local_flat = self._sample_latent(*args, **kwargs)
 
-        result = dict(global_latents)
+        out = dict(global_latents)
         _, N, subsample_size = self._local_plate
         for name, unconstrained in self._unpack_local(local_flat).items():
             site = self.prototype_trace[name]
-            transform = biject_to(site["fn"].support)
-            value = transform(unconstrained)
+            push = biject_to(site["fn"].support)
+            value = push(unconstrained)
             event_ndim = site["fn"].event_dim
             if numpyro_tpu.get_mask() is False:
-                log_density = 0.0
+                correction = 0.0
             else:
-                log_density = -transform.log_abs_det_jacobian(unconstrained, value)
-                log_density = (N / subsample_size) * sum_rightmost(
-                    log_density,
-                    jnp.ndim(log_density) - jnp.ndim(value) + event_ndim,
+                correction = -push.log_abs_det_jacobian(unconstrained, value)
+                correction = (N / subsample_size) * sum_rightmost(
+                    correction,
+                    jnp.ndim(correction) - jnp.ndim(value) + event_ndim,
                 )
-            result[name] = numpyro_tpu.sample(
-                name, dist.Delta(value, log_density=log_density, event_dim=event_ndim)
+            out[name] = numpyro_tpu.sample(
+                name,
+                dist.Delta(value, log_density=correction, event_dim=event_ndim),
             )
-        return result
+        return out
+
+    def _register_trace_params(self, proto_trace):
+        registered = {}
+        for name, site in proto_trace.items():
+            if site["type"] == "param":
+                registered[name] = numpyro_tpu.param(
+                    name, site["value"], **site["kwargs"]
+                )
+        return registered
+
+    def _dais_fleet_params(self, idx, N, D, K):
+        """Per-datum (or shared-and-broadcast) DAIS schedule parameters."""
+        if self.use_global_dais_params:
+            eta0 = jnp.broadcast_to(
+                numpyro_tpu.param(
+                    self._pname("eta0"),
+                    self.eta_init,
+                    constraint=constraints.interval(0, self.eta_max),
+                ),
+                idx.shape,
+            )
+            eta_coeff = jnp.broadcast_to(
+                numpyro_tpu.param(self._pname("eta_coeff"), 0.0), idx.shape
+            )
+            gamma = jnp.broadcast_to(
+                numpyro_tpu.param(
+                    self._pname("gamma"),
+                    self.gamma_init,
+                    constraint=constraints.interval(0, 1),
+                ),
+                idx.shape,
+            )
+            betas = jnp.broadcast_to(
+                numpyro_tpu.param(
+                    self._pname("beta_increments"),
+                    jnp.ones(K),
+                    constraint=constraints.positive,
+                ),
+                idx.shape + (K,),
+            )
+            mass = jnp.broadcast_to(
+                numpyro_tpu.param(
+                    self._pname("mass_matrix"),
+                    jnp.ones(D),
+                    constraint=constraints.positive,
+                ),
+                idx.shape + (D,),
+            )
+        else:
+            eta0 = numpyro_tpu.param(
+                self._pname("eta0"),
+                jnp.full(N, self.eta_init),
+                constraint=constraints.interval(0, self.eta_max),
+                event_dim=0,
+            )
+            eta_coeff = numpyro_tpu.param(
+                self._pname("eta_coeff"), jnp.zeros(N), event_dim=0
+            )
+            gamma = numpyro_tpu.param(
+                self._pname("gamma"),
+                jnp.full(N, self.gamma_init),
+                constraint=constraints.interval(0, 1),
+                event_dim=0,
+            )
+            betas = numpyro_tpu.param(
+                self._pname("beta_increments"),
+                jnp.ones((N, K)),
+                constraint=constraints.positive,
+                event_dim=1,
+            )
+            mass = numpyro_tpu.param(
+                self._pname("mass_matrix"),
+                jnp.ones((N, D)),
+                constraint=constraints.positive,
+                event_dim=1,
+            )
+        return eta0, eta_coeff, gamma, _normalized_schedule(betas), mass
 
     def _sample_latent(self, *args, **kwargs):
         kwargs.pop("sample_shape", ())
@@ -1512,19 +1554,14 @@ class AutoSemiDAIS(AutoGuide):
             local_args = args
             local_kwargs = kwargs.copy()
 
-        local_guide_params = {}
-        if self.local_guide is not None:
-            for name, site in self._proto_local_guide_trace.items():
-                if site["type"] == "param":
-                    local_guide_params[name] = numpyro_tpu.param(
-                        name, site["value"], **site["kwargs"]
-                    )
-        local_model_params = {}
-        for name, site in self._proto_local_model_trace.items():
-            if site["type"] == "param":
-                local_model_params[name] = numpyro_tpu.param(
-                    name, site["value"], **site["kwargs"]
-                )
+        local_guide_params = (
+            self._register_trace_params(self._proto_local_guide_trace)
+            if self.local_guide is not None
+            else {}
+        )
+        local_model_params = self._register_trace_params(
+            self._proto_local_model_trace
+        )
 
         def local_log_density(x):
             latent = self._unpack_local(x)
@@ -1538,90 +1575,26 @@ class AutoSemiDAIS(AutoGuide):
 
         plate_name, N, subsample_size = self._local_plate
         D, K = self._local_latent_dim, self.K
-        pfx = self.prefix
 
         with numpyro_tpu.plate(plate_name, N, subsample_size=subsample_size) as idx:
-            if self.use_global_dais_params:
-                eta0 = numpyro_tpu.param(
-                    f"{pfx}_eta0",
-                    self.eta_init,
-                    constraint=constraints.interval(0, self.eta_max),
-                )
-                eta0 = jnp.broadcast_to(eta0, idx.shape)
-                eta_coeff = jnp.broadcast_to(
-                    numpyro_tpu.param(f"{pfx}_eta_coeff", 0.0), idx.shape
-                )
-                gamma = jnp.broadcast_to(
-                    numpyro_tpu.param(
-                        f"{pfx}_gamma",
-                        self.gamma_init,
-                        constraint=constraints.interval(0, 1),
-                    ),
-                    idx.shape,
-                )
-                betas = jnp.broadcast_to(
-                    numpyro_tpu.param(
-                        f"{pfx}_beta_increments",
-                        jnp.ones(K),
-                        constraint=constraints.positive,
-                    ),
-                    idx.shape + (K,),
-                )
-                mass_matrix = jnp.broadcast_to(
-                    numpyro_tpu.param(
-                        f"{pfx}_mass_matrix",
-                        jnp.ones(D),
-                        constraint=constraints.positive,
-                    ),
-                    idx.shape + (D,),
-                )
-            else:
-                eta0 = numpyro_tpu.param(
-                    f"{pfx}_eta0",
-                    jnp.full(N, self.eta_init),
-                    constraint=constraints.interval(0, self.eta_max),
-                    event_dim=0,
-                )
-                eta_coeff = numpyro_tpu.param(
-                    f"{pfx}_eta_coeff", jnp.zeros(N), event_dim=0
-                )
-                gamma = numpyro_tpu.param(
-                    f"{pfx}_gamma",
-                    jnp.full(N, self.gamma_init),
-                    constraint=constraints.interval(0, 1),
-                    event_dim=0,
-                )
-                betas = numpyro_tpu.param(
-                    f"{pfx}_beta_increments",
-                    jnp.ones((N, K)),
-                    constraint=constraints.positive,
-                    event_dim=1,
-                )
-                mass_matrix = numpyro_tpu.param(
-                    f"{pfx}_mass_matrix",
-                    jnp.ones((N, D)),
-                    constraint=constraints.positive,
-                    event_dim=1,
-                )
-
-            betas = jnp.cumsum(betas, axis=-1)
-            betas = betas / betas[..., -1:]
-            inv_mass_matrix = 0.5 / mass_matrix
-
+            eta0, eta_coeff, gamma, betas, mass = self._dais_fleet_params(
+                idx, N, D, K
+            )
             local_kwargs["_subsample_idx"] = {plate_name: idx}
+
             if self.local_guide is not None:
                 subsample_guide = partial(_subsample_model, self.local_guide)
                 with handlers.block(), handlers.trace() as tr, handlers.substitute(
                     data=local_guide_params
                 ):
                     subsample_guide(*local_args, **local_kwargs)
-                latent = {
+                drawn = {
                     name: biject_to(site["fn"].support).inv(site["value"])
                     for name, site in tr.items()
                     if site["type"] == "sample"
                     and not site.get("is_observed", False)
                 }
-                z_0 = self._pack_local(latent)
+                z_0 = self._pack_local(drawn)
 
                 def base_log_prob(z):
                     latent = self._unpack_local(z)
@@ -1640,71 +1613,60 @@ class AutoSemiDAIS(AutoGuide):
                 # emitted under the plate: broadcast over subsample_size, so
                 # pre-divide to keep the total contribution exact
                 numpyro_tpu.factor(
-                    f"{pfx}_z_0_factor", base_log_prob(z_0) / subsample_size
+                    self._pname("z_0_factor"),
+                    base_log_prob(z_0) / subsample_size,
                 )
             else:
                 z_0_loc = numpyro_tpu.param(
-                    f"{pfx}_z_0_loc", jnp.zeros((N, D)), event_dim=1
+                    self._pname("z_0_loc"), jnp.zeros((N, D)), event_dim=1
                 )
                 z_0_scale = numpyro_tpu.param(
-                    f"{pfx}_z_0_scale",
+                    self._pname("z_0_scale"),
                     jnp.full((N, D), self._init_scale),
                     constraint=constraints.positive,
                     event_dim=1,
                 )
                 base_z_dist = dist.Normal(z_0_loc, z_0_scale).to_event(1)
                 z_0 = numpyro_tpu.sample(
-                    f"{pfx}_z_0", base_z_dist, infer={"is_auxiliary": True}
+                    self._pname("z_0"), base_z_dist, infer={"is_auxiliary": True}
                 )
 
                 def base_log_prob(x):
                     return base_z_dist.log_prob(x).sum()
 
-            momentum_dist = dist.Normal(0, mass_matrix).to_event(1)
+            momentum = dist.Normal(0, mass).to_event(1)
             eps = numpyro_tpu.sample(
-                f"{pfx}_momentum",
-                dist.Normal(0, mass_matrix[..., None])
+                self._pname("momentum"),
+                dist.Normal(0, mass[..., None])
                 .expand([subsample_size, D, K])
                 .to_event(2)
                 .mask(False),
                 infer={"is_auxiliary": True},
             )
 
-            def scan_body(carry, eps_beta):
-                eps_k, beta = eps_beta
-                eta = jnp.clip(eta0 + eta_coeff * beta, 0.0, self.eta_max)
-                z_prev, v_prev, log_factor = carry
-                z_half = z_prev + v_prev * eta[:, None] * inv_mass_matrix
-                q_grad = (1.0 - beta[:, None]) * grad(base_log_prob)(z_half)
-                p_grad = (
-                    beta[:, None]
-                    * (subsample_size / N)
-                    * grad(local_log_density)(z_half)
-                )
-                v_hat = v_prev + eta[:, None] * (q_grad + p_grad)
-                z = z_half + v_hat * eta[:, None] * inv_mass_matrix
-                v = gamma[:, None] * v_hat + jnp.sqrt(
-                    1 - gamma[:, None] ** 2
-                ) * eps_k
-                log_factor = (
-                    log_factor
-                    + momentum_dist.log_prob(v_prev)
-                    - momentum_dist.log_prob(v_hat)
-                )
-                return (z, v, log_factor), None
-
-            v_0 = eps[:, :, -1]  # the scan result does not depend on this slot
-            eps_T = jnp.moveaxis(eps, -1, 0)
-            (z, _, log_factor), _ = jax.lax.scan(
-                scan_body, (z_0, v_0, jnp.zeros(subsample_size)), (eps_T, betas.T)
+            z, log_factor = _dais_anneal(
+                z_0,
+                jnp.moveaxis(eps, -1, 0),
+                jnp.moveaxis(betas, -1, 0),
+                eta0=eta0,
+                eta_coeff=eta_coeff,
+                eta_max=self.eta_max,
+                gamma=gamma,
+                inv_mass=0.5 / mass,
+                momentum_lp=momentum.log_prob,
+                base_grad=grad(base_log_prob),
+                target_grad=lambda zh: (subsample_size / N)
+                * grad(local_log_density)(zh),
+                widen=lambda s: s[:, None],
+                log_factor_0=jnp.zeros(subsample_size),
             )
-            numpyro_tpu.factor(f"{pfx}_local_dais_factor", log_factor)
+            numpyro_tpu.factor(self._pname("local_dais_factor"), log_factor)
             return global_latents, z
 
     def sample_posterior(self, rng_key, params, *args, sample_shape=(), **kwargs):
-        def _single(_key):
+        def one_draw(key):
             global_latents, local_flat = handlers.substitute(
-                handlers.seed(self._sample_latent, _key), params
+                handlers.seed(self._sample_latent, key), params
             )(*args, **kwargs)
             out = dict(global_latents)
             for name, unconstrained in self._unpack_local(local_flat).items():
@@ -1712,10 +1674,10 @@ class AutoSemiDAIS(AutoGuide):
                 out[name] = biject_to(site["fn"].support)(unconstrained)
             return out
 
-        if sample_shape:
-            keys = random.split(rng_key, int(np.prod(sample_shape)))
-            samples = jax.lax.map(_single, keys)
-            return jax.tree.map(
-                lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), samples
-            )
-        return _single(rng_key)
+        if not sample_shape:
+            return one_draw(rng_key)
+        keys = random.split(rng_key, int(np.prod(sample_shape)))
+        draws = jax.lax.map(one_draw, keys)
+        return jax.tree.map(
+            lambda x: jnp.reshape(x, sample_shape + jnp.shape(x)[1:]), draws
+        )

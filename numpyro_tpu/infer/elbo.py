@@ -1,16 +1,20 @@
 """ELBO objectives for SVI.
 
-Fresh implementation of the loss surface of numpyro/infer/elbo.py:
-Trace_ELBO, TraceMeanField_ELBO, RenyiELBO.  Particle fan-out defaults to
-vmap (one fused program); ``vectorize_particles`` may also be a callable
-transform (e.g. a shard_map over a ``particles`` mesh axis) for pod-scale
-particle parallelism.
+Implementation of the loss surface of numpyro/infer/elbo.py: Trace_ELBO,
+TraceMeanField_ELBO, RenyiELBO, TraceEnum_ELBO, TraceGraph_ELBO.  Particle
+fan-out defaults to vmap (one fused program); ``vectorize_particles`` may
+also be a callable transform (e.g. a shard_map over a ``particles`` mesh
+axis) for pod-scale particle parallelism.
+
+Organisation: the single-vs-many particle dispatch and mutable-state
+bookkeeping live once on the base class; each objective only implements
+``_particle_elbo``.
 """
 
 from __future__ import annotations
 
+from collections import defaultdict
 from functools import partial
-from operator import itemgetter
 
 import jax
 import jax.numpy as jnp
@@ -20,98 +24,29 @@ from jax.scipy.special import logsumexp
 
 from numpyro_tpu import handlers
 from numpyro_tpu.distributions.kl import kl_divergence
-from numpyro_tpu.distributions.util import scale_and_mask, sum_rightmost
+from numpyro_tpu.distributions.util import scale_and_mask
 from numpyro_tpu.infer.util import (
     _without_rsample_stop_gradient,
     get_importance_trace,
-    is_identically_one,
     log_density,
 )
 
-__all__ = ["ELBO", "Trace_ELBO", "TraceEnum_ELBO", "TraceGraph_ELBO", "TraceMeanField_ELBO", "RenyiELBO"]
+__all__ = [
+    "ELBO",
+    "Trace_ELBO",
+    "TraceEnum_ELBO",
+    "TraceGraph_ELBO",
+    "TraceMeanField_ELBO",
+    "RenyiELBO",
+]
 
 
-class ELBO:
-    """Base class (reference: elbo.py:33-119)."""
-
-    can_infer_discrete = False
-
-    def __init__(self, num_particles=1, vectorize_particles=True):
-        self.num_particles = num_particles
-        self.vectorize_particles = vectorize_particles
-
-    def _assign_particle_fn(self):
-        if callable(self.vectorize_particles):
-            return self.vectorize_particles
-        elif self.vectorize_particles is True:
-            return vmap
-        elif self.vectorize_particles is False:
-            return jax.lax.map
-        raise ValueError("vectorize_particles must be True, False, or a callable")
-
-    def loss(self, rng_key, param_map, model, guide, *args, **kwargs):
-        return self.loss_with_mutable_state(
-            rng_key, param_map, model, guide, *args, **kwargs
-        )["loss"]
-
-    def loss_with_mutable_state(
-        self, rng_key, param_map, model, guide, *args, **kwargs
-    ):
-        raise NotImplementedError
-
-
-class Trace_ELBO(ELBO):
-    """MC estimate of ELBO from joint guide/model traces; fully differentiable
-    when all guide sites are reparameterizable (reference: elbo.py:122-274)."""
-
-    def loss_with_mutable_state(
-        self, rng_key, param_map, model, guide, *args, **kwargs
-    ):
-        def single_particle_elbo(rng_key):
-            params = param_map.copy()
-            model_seed, guide_seed = random.split(rng_key)
-            seeded_model = handlers.seed(model, model_seed)
-            seeded_guide = handlers.seed(guide, guide_seed)
-            guide_log_density, guide_trace = log_density(
-                seeded_guide, args, kwargs, param_map
-            )
-            mutable_params = {
-                name: site["value"]
-                for name, site in guide_trace.items()
-                if site["type"] == "mutable"
-            }
-            params.update(mutable_params)
-            seeded_model = handlers.replay(seeded_model, guide_trace)
-            model_log_density, model_trace = log_density(
-                seeded_model, args, kwargs, params
-            )
-            check_model_guide_match(model_trace, guide_trace)
-            mutable_params.update(
-                {
-                    name: site["value"]
-                    for name, site in model_trace.items()
-                    if site["type"] == "mutable"
-                }
-            )
-
-            elbo_particle = model_log_density - guide_log_density
-            if mutable_params:
-                if self.num_particles == 1:
-                    return elbo_particle, mutable_params
-                else:
-                    raise ValueError(
-                        "mutable state is currently not supported for multi-particle ELBO"
-                    )
-            return elbo_particle, None
-
-        if self.num_particles == 1:
-            elbo, mutable_state = single_particle_elbo(rng_key)
-            return {"loss": -elbo, "mutable_state": mutable_state}
-        else:
-            rng_keys = random.split(rng_key, self.num_particles)
-            particle_fn = self._assign_particle_fn()
-            elbos, mutable_state = particle_fn(single_particle_elbo)(rng_keys)
-            return {"loss": -jnp.mean(elbos), "mutable_state": mutable_state}
+def _sites_of_type(trace, site_type):
+    return {
+        name: site["value"]
+        for name, site in trace.items()
+        if site["type"] == site_type
+    }
 
 
 def check_model_guide_match(model_trace, guide_trace):
@@ -128,86 +63,125 @@ def check_model_guide_match(model_trace, guide_trace):
                     )
 
 
-class TraceMeanField_ELBO(ELBO):
-    """Uses analytic KL where registered, MC elsewhere; requires mean-field
-    dependency structure (reference: elbo.py:315)."""
+class ELBO:
+    """Base class (reference: elbo.py:33-119)."""
+
+    can_infer_discrete = False
+
+    def __init__(self, num_particles=1, vectorize_particles=True):
+        self.num_particles = num_particles
+        self.vectorize_particles = vectorize_particles
+
+    def _assign_particle_fn(self):
+        if callable(self.vectorize_particles):
+            return self.vectorize_particles
+        if self.vectorize_particles is True:
+            return vmap
+        if self.vectorize_particles is False:
+            return jax.lax.map
+        raise ValueError("vectorize_particles must be True, False, or a callable")
+
+    def loss(self, rng_key, param_map, model, guide, *args, **kwargs):
+        return self.loss_with_mutable_state(
+            rng_key, param_map, model, guide, *args, **kwargs
+        )["loss"]
+
+    def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
+        """One MC particle: returns (elbo, mutable_state-or-None)."""
+        raise NotImplementedError
 
     def loss_with_mutable_state(
         self, rng_key, param_map, model, guide, *args, **kwargs
     ):
-        def single_particle_elbo(rng_key):
-            params = param_map.copy()
-            model_seed, guide_seed = random.split(rng_key)
-            seeded_model = handlers.seed(model, model_seed)
-            seeded_guide = handlers.seed(guide, guide_seed)
-            subs_guide = handlers.substitute(seeded_guide, data=param_map)
-            with _without_rsample_stop_gradient():
-                guide_trace = handlers.trace(subs_guide).get_trace(*args, **kwargs)
-            mutable_params = {
-                name: site["value"]
-                for name, site in guide_trace.items()
-                if site["type"] == "mutable"
-            }
-            params.update(mutable_params)
-            subs_model = handlers.substitute(
-                handlers.replay(seeded_model, guide_trace), data=params
-            )
-            model_trace = handlers.trace(subs_model).get_trace(*args, **kwargs)
-            mutable_params.update(
-                {
-                    name: site["value"]
-                    for name, site in model_trace.items()
-                    if site["type"] == "mutable"
-                }
-            )
-            check_model_guide_match(model_trace, guide_trace)
-
-            elbo_particle = 0
-            for name, model_site in model_trace.items():
-                if model_site["type"] == "sample":
-                    if model_site["is_observed"]:
-                        log_prob = model_site["fn"].log_prob(model_site["value"])
-                        log_prob = scale_and_mask(log_prob, scale=model_site["scale"])
-                        elbo_particle = elbo_particle + jnp.sum(log_prob)
-                    else:
-                        guide_site = guide_trace[name]
-                        try:
-                            kl_qp = kl_divergence(guide_site["fn"], model_site["fn"])
-                            kl_qp = scale_and_mask(kl_qp, scale=guide_site["scale"])
-                            elbo_particle = elbo_particle - jnp.sum(kl_qp)
-                        except NotImplementedError:
-                            model_log_prob = model_site["fn"].log_prob(
-                                model_site["value"]
-                            )
-                            guide_log_prob = guide_site["fn"].log_prob(
-                                guide_site["value"]
-                            )
-                            model_log_prob = scale_and_mask(
-                                model_log_prob, scale=model_site["scale"]
-                            )
-                            guide_log_prob = scale_and_mask(
-                                guide_log_prob, scale=guide_site["scale"]
-                            )
-                            elbo_particle = elbo_particle + jnp.sum(
-                                model_log_prob
-                            ) - jnp.sum(guide_log_prob)
-
-            if mutable_params:
-                if self.num_particles == 1:
-                    return elbo_particle, mutable_params
-                raise ValueError(
-                    "mutable state is currently not supported for multi-particle ELBO"
-                )
-            return elbo_particle, None
-
+        one = partial(
+            self._particle_elbo,
+            param_map=param_map,
+            model=model,
+            guide=guide,
+            args=args,
+            kwargs=kwargs,
+        )
         if self.num_particles == 1:
-            elbo, mutable_state = single_particle_elbo(rng_key)
+            elbo, mutable_state = one(rng_key)
             return {"loss": -elbo, "mutable_state": mutable_state}
-        else:
-            rng_keys = random.split(rng_key, self.num_particles)
-            particle_fn = self._assign_particle_fn()
-            elbos, mutable_state = particle_fn(single_particle_elbo)(rng_keys)
-            return {"loss": -jnp.mean(elbos), "mutable_state": mutable_state}
+        keys = random.split(rng_key, self.num_particles)
+        elbos, mutable_state = self._assign_particle_fn()(one)(keys)
+        return {"loss": -jnp.mean(elbos), "mutable_state": mutable_state}
+
+    def _wrap_mutable(self, elbo, mutable_params):
+        """Shared tail: mutable state is only defined for one particle."""
+        if not mutable_params:
+            return elbo, None
+        if self.num_particles != 1:
+            raise ValueError(
+                "mutable state is currently not supported for multi-particle ELBO"
+            )
+        return elbo, mutable_params
+
+
+class Trace_ELBO(ELBO):
+    """MC estimate of ELBO from joint guide/model traces; fully differentiable
+    when all guide sites are reparameterizable (reference: elbo.py:122-274)."""
+
+    def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
+        model_seed, guide_seed = random.split(rng_key)
+        guide_ld, guide_trace = log_density(
+            handlers.seed(guide, guide_seed), args, kwargs, param_map
+        )
+        mutable_params = _sites_of_type(guide_trace, "mutable")
+        replayed = handlers.replay(handlers.seed(model, model_seed), guide_trace)
+        model_ld, model_trace = log_density(
+            replayed, args, kwargs, {**param_map, **mutable_params}
+        )
+        check_model_guide_match(model_trace, guide_trace)
+        mutable_params.update(_sites_of_type(model_trace, "mutable"))
+        return self._wrap_mutable(model_ld - guide_ld, mutable_params)
+
+
+class TraceMeanField_ELBO(ELBO):
+    """Uses analytic KL where registered, MC elsewhere; requires mean-field
+    dependency structure (reference: elbo.py:315)."""
+
+    @staticmethod
+    def _site_term(model_site, guide_site):
+        """Contribution of one latent site: -KL(q||p), analytic when known."""
+        try:
+            kl_qp = kl_divergence(guide_site["fn"], model_site["fn"])
+            return -jnp.sum(scale_and_mask(kl_qp, scale=guide_site["scale"]))
+        except NotImplementedError:
+            p_lp = model_site["fn"].log_prob(model_site["value"])
+            q_lp = guide_site["fn"].log_prob(guide_site["value"])
+            return jnp.sum(
+                scale_and_mask(p_lp, scale=model_site["scale"])
+            ) - jnp.sum(scale_and_mask(q_lp, scale=guide_site["scale"]))
+
+    def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
+        model_seed, guide_seed = random.split(rng_key)
+        seeded_guide = handlers.substitute(
+            handlers.seed(guide, guide_seed), data=param_map
+        )
+        with _without_rsample_stop_gradient():
+            guide_trace = handlers.trace(seeded_guide).get_trace(*args, **kwargs)
+        mutable_params = _sites_of_type(guide_trace, "mutable")
+        seeded_model = handlers.substitute(
+            handlers.replay(handlers.seed(model, model_seed), guide_trace),
+            data={**param_map, **mutable_params},
+        )
+        model_trace = handlers.trace(seeded_model).get_trace(*args, **kwargs)
+        mutable_params.update(_sites_of_type(model_trace, "mutable"))
+        check_model_guide_match(model_trace, guide_trace)
+
+        elbo = 0.0
+        for name, model_site in model_trace.items():
+            if model_site["type"] != "sample":
+                continue
+            if model_site["is_observed"]:
+                obs_lp = model_site["fn"].log_prob(model_site["value"])
+                obs_lp = scale_and_mask(obs_lp, scale=model_site["scale"])
+                elbo = elbo + jnp.sum(obs_lp)
+            else:
+                elbo = elbo + self._site_term(model_site, guide_trace[name])
+        return self._wrap_mutable(elbo, mutable_params)
 
 
 class RenyiELBO(ELBO):
@@ -221,30 +195,28 @@ class RenyiELBO(ELBO):
         self.alpha = alpha
         super().__init__(num_particles=num_particles)
 
+    def _log_weight(self, rng_key, param_map, model, guide, args, kwargs):
+        model_seed, guide_seed = random.split(rng_key)
+        guide_ld, guide_trace = log_density(
+            handlers.seed(guide, guide_seed), args, kwargs, param_map
+        )
+        replayed = handlers.replay(handlers.seed(model, model_seed), guide_trace)
+        model_ld, _ = log_density(replayed, args, kwargs, param_map)
+        return model_ld - guide_ld
+
     def loss_with_mutable_state(
         self, rng_key, param_map, model, guide, *args, **kwargs
     ):
-        def single_particle_elbo(rng_key):
-            model_seed, guide_seed = random.split(rng_key)
-            seeded_model = handlers.seed(model, model_seed)
-            seeded_guide = handlers.seed(guide, guide_seed)
-            guide_log_density, guide_trace = log_density(
-                seeded_guide, args, kwargs, param_map
-            )
-            seeded_model = handlers.replay(seeded_model, guide_trace)
-            model_log_density, _ = log_density(
-                seeded_model, args, kwargs, param_map
-            )
-            return model_log_density - guide_log_density
-
-        rng_keys = random.split(rng_key, self.num_particles)
-        elbos = vmap(single_particle_elbo)(rng_keys)
-        scaled_elbos = (1.0 - self.alpha) * elbos
-        avg_log_exp = logsumexp(scaled_elbos) - jnp.log(self.num_particles)
-        weights = jnp.exp(scaled_elbos - avg_log_exp)
-        renyi_elbo = avg_log_exp / (1.0 - self.alpha)
-        weighted_elbo = jnp.dot(stop_gradient(weights), elbos) / self.num_particles
-        loss = -(stop_gradient(renyi_elbo - weighted_elbo) + weighted_elbo)
+        keys = random.split(rng_key, self.num_particles)
+        log_w = vmap(
+            lambda k: self._log_weight(k, param_map, model, guide, args, kwargs)
+        )(keys)
+        tempered = (1.0 - self.alpha) * log_w
+        log_mean = logsumexp(tempered) - jnp.log(self.num_particles)
+        weights = jnp.exp(tempered - log_mean)
+        renyi_bound = log_mean / (1.0 - self.alpha)
+        inner = jnp.dot(stop_gradient(weights), log_w) / self.num_particles
+        loss = -(stop_gradient(renyi_bound - inner) + inner)
         return {"loss": loss, "mutable_state": None}
 
 
@@ -265,83 +237,49 @@ class TraceEnum_ELBO(ELBO):
         self.max_plate_nesting = max_plate_nesting
         super().__init__(num_particles, vectorize_particles)
 
-    def loss_with_mutable_state(
-        self, rng_key, param_map, model, guide, *args, **kwargs
-    ):
+    @staticmethod
+    def _plate_depth(*traces):
+        dims = [
+            frame.dim
+            for trace in traces
+            for site in trace.values()
+            if site["type"] == "sample"
+            for frame in site["cond_indep_stack"]
+            if frame.dim is not None
+        ]
+        return -min(dims) if dims else 0
+
+    def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
         from numpyro_tpu.contrib.enum import config_enumerate, enum
         from numpyro_tpu.contrib.enum import log_density as enum_log_density
 
-        def single_particle_elbo(rng_key):
-            params = param_map.copy()
-            model_seed, guide_seed = random.split(rng_key)
-            seeded_guide = handlers.seed(guide, guide_seed)
-            guide_log_density, guide_trace = log_density(
-                seeded_guide, args, kwargs, param_map
-            )
-            mutable_params = {
-                name: site["value"]
-                for name, site in guide_trace.items()
-                if site["type"] == "mutable"
-            }
-            params.update(mutable_params)
+        model_seed, guide_seed = random.split(rng_key)
+        guide_ld, guide_trace = log_density(
+            handlers.seed(guide, guide_seed), args, kwargs, param_map
+        )
+        mutable_params = _sites_of_type(guide_trace, "mutable")
+        params = {**param_map, **mutable_params}
 
-            # max plate nesting: from trace if not given
-            if self.max_plate_nesting is None:
-                dims = [
-                    frame.dim
-                    for site in guide_trace.values()
-                    if site["type"] == "sample"
-                    for frame in site["cond_indep_stack"]
-                    if frame.dim is not None
-                ]
-                # probe the model once to find its plates too
-                probe = handlers.trace(
-                    handlers.substitute(
-                        handlers.seed(model, model_seed), data=params
-                    )
-                ).get_trace(*args, **kwargs)
-                dims += [
-                    frame.dim
-                    for site in probe.values()
-                    if site["type"] == "sample"
-                    for frame in site["cond_indep_stack"]
-                    if frame.dim is not None
-                ]
-                max_plate_nesting = -min(dims) if dims else 0
-            else:
-                max_plate_nesting = self.max_plate_nesting
-
-            enum_model = enum(
-                config_enumerate(handlers.seed(model, model_seed)),
-                first_available_dim=-1 - max_plate_nesting,
-            )
-            replayed = handlers.replay(enum_model, guide_trace)
-            model_log_density, model_trace = enum_log_density(
-                replayed, args, kwargs, params
-            )
-            mutable_params.update(
-                {
-                    name: site["value"]
-                    for name, site in model_trace.items()
-                    if site["type"] == "mutable"
-                }
-            )
-            elbo_particle = model_log_density - guide_log_density
-            if mutable_params:
-                if self.num_particles == 1:
-                    return elbo_particle, mutable_params
-                raise ValueError(
-                    "mutable state is not supported for multi-particle ELBO"
+        if self.max_plate_nesting is None:
+            # probe the model once to find its plates too
+            probe = handlers.trace(
+                handlers.substitute(
+                    handlers.seed(model, model_seed), data=params
                 )
-            return elbo_particle, None
+            ).get_trace(*args, **kwargs)
+            max_plate_nesting = self._plate_depth(guide_trace, probe)
+        else:
+            max_plate_nesting = self.max_plate_nesting
 
-        if self.num_particles == 1:
-            elbo, mutable_state = single_particle_elbo(rng_key)
-            return {"loss": -elbo, "mutable_state": mutable_state}
-        rng_keys = random.split(rng_key, self.num_particles)
-        particle_fn = self._assign_particle_fn()
-        elbos, mutable_state = particle_fn(single_particle_elbo)(rng_keys)
-        return {"loss": -jnp.mean(elbos), "mutable_state": mutable_state}
+        enum_model = enum(
+            config_enumerate(handlers.seed(model, model_seed)),
+            first_available_dim=-1 - max_plate_nesting,
+        )
+        model_ld, model_trace = enum_log_density(
+            handlers.replay(enum_model, guide_trace), args, kwargs, params
+        )
+        mutable_params.update(_sites_of_type(model_trace, "mutable"))
+        return self._wrap_mutable(model_ld - guide_ld, mutable_params)
 
 
 class MultiFrameTensor(dict):
@@ -377,20 +315,19 @@ class MultiFrameTensor(dict):
 def get_importance_log_probs(model, guide, args, kwargs, params):
     """Per-site log-probs of guide and the model replayed against it."""
     model_tr, guide_tr = get_importance_trace(model, guide, args, kwargs, params)
-    model_lps = {
-        n: s["log_prob"] for n, s in model_tr.items() if s["type"] == "sample"
-    }
-    guide_lps = {
-        n: s["log_prob"] for n, s in guide_tr.items() if s["type"] == "sample"
-    }
-    return model_lps, guide_lps
+
+    def log_probs(trace):
+        return {
+            n: s["log_prob"] for n, s in trace.items() if s["type"] == "sample"
+        }
+
+    return log_probs(model_tr), log_probs(guide_tr)
 
 
 def _substitute_nonreparam(data, msg):
     if msg["name"] in data and not msg["fn"].has_rsample:
-        value = msg["fn"](*msg["args"], **msg["kwargs"])
-        value = 0 * value + data[msg["name"]]
-        return value
+        drawn = msg["fn"](*msg["args"], **msg["kwargs"])
+        return 0 * drawn + data[msg["name"]]
 
 
 def _get_latents(model, guide, args, kwargs, params):
@@ -442,62 +379,50 @@ class TraceGraph_ELBO(ELBO):
 
     can_infer_discrete = True
 
-    def loss_with_mutable_state(
-        self, rng_key, param_map, model, guide, *args, **kwargs
-    ):
-        from collections import defaultdict
+    def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
+        model_seed, guide_seed = random.split(rng_key)
+        model_trace, guide_trace = get_importance_trace(
+            handlers.seed(model, model_seed),
+            handlers.seed(guide, guide_seed),
+            args,
+            kwargs,
+            param_map,
+        )
+        latents = {
+            name: site["value"]
+            for name, site in guide_trace.items()
+            if site["type"] == "sample" and not site.get("is_observed", False)
+        }
+        model_deps, guide_deps = get_nonreparam_deps(
+            model, guide, args, kwargs, param_map, latents=latents
+        )
 
-        def single_particle_elbo(rng_key):
-            model_seed, guide_seed = random.split(rng_key)
-            seeded_model = handlers.seed(model, model_seed)
-            seeded_guide = handlers.seed(guide, guide_seed)
-            model_trace, guide_trace = get_importance_trace(
-                seeded_model, seeded_guide, args, kwargs, param_map
-            )
-            latents = {
-                name: site["value"]
-                for name, site in guide_trace.items()
-                if site["type"] == "sample" and not site.get("is_observed", False)
-            }
-            model_deps, guide_deps = get_nonreparam_deps(
-                model, guide, args, kwargs, param_map, latents=latents
-            )
-
-            elbo = 0.0
-            # per non-reparam site: total downstream cost it influences
-            downstream_costs = defaultdict(MultiFrameTensor)
-            for name, site in model_trace.items():
-                if site["type"] == "sample":
-                    elbo = elbo + jnp.sum(site["log_prob"])
-                    for key in model_deps[name]:
-                        downstream_costs[key].add(
-                            (site["cond_indep_stack"], site["log_prob"])
-                        )
-            for name, site in guide_trace.items():
-                if site["type"] == "sample":
-                    log_prob_sum = jnp.sum(site["log_prob"])
-                    if not site["fn"].has_rsample:
-                        log_prob_sum = stop_gradient(log_prob_sum)
-                    elbo = elbo - log_prob_sum
-                    for key in guide_deps[name]:
-                        downstream_costs[key].add(
-                            (site["cond_indep_stack"], -site["log_prob"])
-                        )
-
-            for node, downstream_cost in downstream_costs.items():
-                guide_site = guide_trace[node]
-                downstream_cost = downstream_cost.sum_to(
-                    guide_site["cond_indep_stack"]
+        elbo = 0.0
+        # per non-reparam site: total downstream cost it influences
+        downstream_costs = defaultdict(MultiFrameTensor)
+        for name, site in model_trace.items():
+            if site["type"] != "sample":
+                continue
+            elbo = elbo + jnp.sum(site["log_prob"])
+            for key in model_deps[name]:
+                downstream_costs[key].add(
+                    (site["cond_indep_stack"], site["log_prob"])
                 )
-                surrogate = jnp.sum(
-                    guide_site["log_prob"] * stop_gradient(downstream_cost)
+        for name, site in guide_trace.items():
+            if site["type"] != "sample":
+                continue
+            q_lp_sum = jnp.sum(site["log_prob"])
+            if not site["fn"].has_rsample:
+                q_lp_sum = stop_gradient(q_lp_sum)
+            elbo = elbo - q_lp_sum
+            for key in guide_deps[name]:
+                downstream_costs[key].add(
+                    (site["cond_indep_stack"], -site["log_prob"])
                 )
-                elbo = elbo + surrogate - stop_gradient(surrogate)
-            return elbo
 
-        if self.num_particles == 1:
-            return {"loss": -single_particle_elbo(rng_key), "mutable_state": None}
-        rng_keys = random.split(rng_key, self.num_particles)
-        particle_fn = self._assign_particle_fn()
-        elbos = particle_fn(single_particle_elbo)(rng_keys)
-        return {"loss": -jnp.mean(elbos), "mutable_state": None}
+        for node, cost in downstream_costs.items():
+            guide_site = guide_trace[node]
+            reduced = cost.sum_to(guide_site["cond_indep_stack"])
+            surrogate = jnp.sum(guide_site["log_prob"] * stop_gradient(reduced))
+            elbo = elbo + surrogate - stop_gradient(surrogate)
+        return elbo, None

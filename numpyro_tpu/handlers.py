@@ -1,10 +1,14 @@
 """Effect handlers.
 
-Fresh implementation of the handler suite of NumPyro (reference:
+Implementation of the handler suite of NumPyro (reference:
 numpyro/handlers.py:118-1006): trace, replay, block, condition, do,
 infer_config, lift, mask, reparam, scale, scope, seed, substitute.  Handlers
 are trace-time-only Python; the compiled program sees only the resulting
 jnp ops.
+
+Organisation: ``condition`` and ``substitute`` share one value-binding base
+(they differ only in which site types they touch and whether the bound site
+counts as observed); selector construction for ``block`` lives in a factory.
 """
 
 from __future__ import annotations
@@ -17,7 +21,6 @@ import jax.numpy as jnp
 from jax import random
 
 import numpyro_tpu.distributions as dist
-from numpyro_tpu.distributions.distribution import COERCIONS
 from numpyro_tpu.primitives import (
     Messenger,
     _PYRO_STACK,
@@ -55,10 +58,12 @@ class trace(Messenger):
     def postprocess_message(self, msg):
         if msg["type"] == "inspect" or msg.get("name") is None:
             return
-        assert not (
-            msg["type"] in ("sample", "deterministic") and msg["name"] in self.trace
-        ), f"all sites must have unique names but got `{msg['name']}` duplicated"
-        self.trace[msg["name"]] = msg.copy()
+        name = msg["name"]
+        if msg["type"] in ("sample", "deterministic") and name in self.trace:
+            raise AssertionError(
+                f"all sites must have unique names but got `{name}` duplicated"
+            )
+        self.trace[name] = msg.copy()
 
     def get_trace(self, *args, **kwargs):
         self(*args, **kwargs)
@@ -74,50 +79,53 @@ class replay(Messenger):
         super().__init__(fn)
 
     def process_message(self, msg):
-        if msg["type"] == "control_flow":
+        kind = msg["type"]
+        if kind == "control_flow":
             msg["kwargs"]["substitute_stack"].append(("replay", self.trace))
             return
-        if msg["type"] in ("sample", "param") and msg["name"] in self.trace:
-            name = msg["name"]
-            guide_msg = self.trace[name]
-            if msg["type"] == "sample":
-                if guide_msg["type"] != "sample":
-                    raise RuntimeError(f"site {name} must be sample in trace")
-                # NB: intermediates belong to the guide's fn, not the model's
-                msg["value"] = guide_msg["value"]
-            else:
-                if guide_msg["type"] != "param":
-                    raise RuntimeError(f"site {name} must be param in trace")
-                msg["value"] = guide_msg["value"]
+        if kind not in ("sample", "param"):
+            return
+        recorded = self.trace.get(msg["name"])
+        if recorded is None:
+            return
+        if recorded["type"] != kind:
+            raise RuntimeError(f"site {msg['name']} must be {kind} in trace")
+        # NB: intermediates belong to the recorded fn, not the replayed one
+        msg["value"] = recorded["value"]
+
+
+def _site_selector(hide_fn, hide, expose_types, expose):
+    """Build the predicate deciding which messages a `block` hides."""
+    if hide_fn is not None:
+        return hide_fn
+    if hide is not None:
+        return lambda msg: msg.get("name") in hide
+    if expose_types is not None:
+        return lambda msg: msg.get("type") not in expose_types
+    if expose is not None:
+        return lambda msg: msg.get("name") not in expose
+    return lambda msg: True
 
 
 class block(Messenger):
     """Hide selected sites from handlers above this one."""
 
     def __init__(self, fn=None, hide_fn=None, hide=None, expose_types=None, expose=None):
-        if hide_fn is not None:
-            self.hide_fn = hide_fn
-        elif hide is not None:
-            self.hide_fn = lambda msg: msg.get("name") in hide
-        elif expose_types is not None:
-            self.hide_fn = lambda msg: msg.get("type") not in expose_types
-        elif expose is not None:
-            self.hide_fn = lambda msg: msg.get("name") not in expose
-        else:
-            self.hide_fn = lambda msg: True
+        self.hide_fn = _site_selector(hide_fn, hide, expose_types, expose)
         super().__init__(fn)
 
     def process_message(self, msg):
         # prng_key messages always propagate so hidden sites can still draw
         # keys from an outer seed (reference: handlers.py:313-328)
-        if not self.hide_fn(msg) or msg["type"] == "prng_key":
+        if msg["type"] == "prng_key" or not self.hide_fn(msg):
             return
         msg["stop"] = True
-        if (
+        needs_key = (
             msg["type"] in ("sample", "plate", "control_flow")
             and msg.get("value") is None
             and msg.get("kwargs", {}).get("rng_key") is None
-        ):
+        )
+        if needs_key:
             import numpyro_tpu
 
             msg["kwargs"]["rng_key"] = numpyro_tpu.prng_key()
@@ -173,8 +181,6 @@ class collapse(Messenger):
         return None
 
     def process_message(self, msg):
-        import numpyro_tpu.distributions as dist
-
         if msg["type"] != "sample":
             return
         fn = msg["fn"]
@@ -195,7 +201,6 @@ class collapse(Messenger):
                 msg["value"] = placeholder
                 msg["stop"] = True
                 msg["type"] = "collapsed"
-                return
             return
 
         # likelihood site: does a distribution parameter match a placeholder?
@@ -203,52 +208,8 @@ class collapse(Messenger):
         if rewritten is not None:
             msg["fn"] = rewritten
 
-    def _rewrite(self, base):
-        import numpyro_tpu.distributions as dist
-
-        name = type(base).__name__
-        if name in ("Bernoulli", "BernoulliProbs", "Binomial", "BinomialProbs"):
-            rec = self._find_placeholder(getattr(base, "probs", None))
-            if rec is None:
-                return None
-            self._check_prior(rec, "Beta")
-            rec["used"] = True
-            total = getattr(base, "total_count", 1)
-            return dist.BetaBinomial(
-                rec["fn"].concentration1, rec["fn"].concentration0, total
-            )
-        if name in ("Poisson",):
-            rec = self._find_placeholder(base.rate)
-            if rec is None:
-                return None
-            self._check_prior(rec, "Gamma")
-            rec["used"] = True
-            return dist.GammaPoisson(rec["fn"].concentration, rec["fn"].rate)
-        if name in ("Multinomial", "MultinomialProbs", "Categorical", "CategoricalProbs"):
-            rec = self._find_placeholder(getattr(base, "probs", None))
-            if rec is None:
-                return None
-            self._check_prior(rec, "Dirichlet")
-            rec["used"] = True
-            conc = rec["fn"].concentration
-            if name in ("Categorical", "CategoricalProbs"):
-                return dist.Categorical(probs=conc / conc.sum(-1, keepdims=True))
-            return dist.DirichletMultinomial(conc, base.total_count)
-        if name == "Normal":
-            rec = self._find_placeholder(base.loc)
-            if rec is None:
-                return None
-            self._check_prior(rec, "Normal")
-            rec["used"] = True
-            prior = rec["fn"]
-            return dist.Normal(
-                prior.loc, jnp.sqrt(prior.scale**2 + base.scale**2)
-            )
-        return None
-
-    @staticmethod
-    def _check_prior(rec, expected):
-        if type(rec["fn"]).__name__ != expected:
+    def _claim(self, rec, expected_prior):
+        if type(rec["fn"]).__name__ != expected_prior:
             raise NotImplementedError(
                 f"collapse: no conjugacy rule for prior "
                 f"{type(rec['fn']).__name__} at site {rec['name']}"
@@ -260,39 +221,117 @@ class collapse(Messenger):
                 "compound — use BetaBinomial/GammaPoisson/"
                 "DirichletMultinomial explicitly"
             )
+        rec["used"] = True
+        return rec["fn"]
 
-
-class condition(Messenger):
-    """Fix the value of sample sites (they remain 'observed')."""
-
-    def __init__(self, fn=None, data=None, condition_fn=None):
-        self.condition_fn = condition_fn
-        self.data = data
-        if sum((x is not None for x in (data, condition_fn))) != 1:
-            raise ValueError(
-                "Only one of `data` or `condition_fn` should be provided."
+    def _rewrite(self, base):
+        kind = type(base).__name__
+        if kind in ("Bernoulli", "BernoulliProbs", "Binomial", "BinomialProbs"):
+            rec = self._find_placeholder(getattr(base, "probs", None))
+            if rec is None:
+                return None
+            prior = self._claim(rec, "Beta")
+            return dist.BetaBinomial(
+                prior.concentration1,
+                prior.concentration0,
+                getattr(base, "total_count", 1),
             )
+        if kind == "Poisson":
+            rec = self._find_placeholder(base.rate)
+            if rec is None:
+                return None
+            prior = self._claim(rec, "Gamma")
+            return dist.GammaPoisson(prior.concentration, prior.rate)
+        if kind in (
+            "Multinomial", "MultinomialProbs", "Categorical", "CategoricalProbs",
+        ):
+            rec = self._find_placeholder(getattr(base, "probs", None))
+            if rec is None:
+                return None
+            conc = self._claim(rec, "Dirichlet").concentration
+            if kind in ("Categorical", "CategoricalProbs"):
+                return dist.Categorical(probs=conc / conc.sum(-1, keepdims=True))
+            return dist.DirichletMultinomial(conc, base.total_count)
+        if kind == "Normal":
+            rec = self._find_placeholder(base.loc)
+            if rec is None:
+                return None
+            prior = self._claim(rec, "Normal")
+            pooled_sd = jnp.sqrt(jnp.square(prior.scale) + jnp.square(base.scale))
+            return dist.Normal(prior.loc, pooled_sd)
+        return None
+
+
+class _ValueBinder(Messenger):
+    """Shared machinery of ``condition`` and ``substitute``: look up a value
+    for a site (from a dict or a callable) and bind it, forwarding the
+    lookup into control-flow bodies via the substitute stack."""
+
+    # subclass knobs
+    _tag = None  # name pushed onto control_flow substitute stacks
+    _site_types = ()  # message types eligible for binding
+
+    def __init__(self, fn=None, data=None, lookup_fn=None):
+        if (data is None) == (lookup_fn is None):
+            raise ValueError(self._both_error)
+        self.data = data
+        self._lookup_fn = lookup_fn
         super().__init__(fn)
 
-    def process_message(self, msg):
-        if (msg["type"] != "sample") or msg.get("_control_flow_done", False):
-            if msg["type"] == "control_flow":
-                if self.data is not None:
-                    msg["kwargs"]["substitute_stack"].append(("condition", self.data))
-                if self.condition_fn is not None:
-                    msg["kwargs"]["substitute_stack"].append(
-                        ("condition", self.condition_fn)
-                    )
-            return
-
+    def _lookup(self, msg):
         if self.data is not None:
-            value = self.data.get(msg["name"])
-        else:
-            value = self.condition_fn(msg)
+            return self.data.get(msg["name"])
+        return self._lookup_fn(msg)
 
-        if value is not None:
-            msg["value"] = value
-            msg["is_observed"] = True
+    def process_message(self, msg):
+        eligible = msg["type"] in self._site_types and not msg.get(
+            "_control_flow_done", False
+        )
+        if not eligible:
+            if msg["type"] == "control_flow":
+                source = self.data if self.data is not None else self._lookup_fn
+                msg["kwargs"]["substitute_stack"].append((self._tag, source))
+            return
+        bound = self._lookup(msg)
+        if bound is not None:
+            self._bind(msg, bound)
+
+    def _bind(self, msg, value):
+        raise NotImplementedError
+
+
+class condition(_ValueBinder):
+    """Fix the value of sample sites (they become 'observed')."""
+
+    _tag = "condition"
+    _site_types = ("sample",)
+    _both_error = "Only one of `data` or `condition_fn` should be provided."
+
+    def __init__(self, fn=None, data=None, condition_fn=None):
+        super().__init__(fn, data=data, lookup_fn=condition_fn)
+        self.condition_fn = condition_fn
+
+    def _bind(self, msg, value):
+        msg["value"] = value
+        msg["is_observed"] = True
+
+
+class substitute(_ValueBinder):
+    """Fix latent values (sites stay latent, unlike ``condition``)."""
+
+    _tag = "substitute"
+    _site_types = ("sample", "param", "mutable", "plate")
+    _both_error = "Only one of `data` or `substitute_fn` should be provided."
+
+    def __init__(self, fn=None, data=None, substitute_fn=None):
+        super().__init__(fn, data=data, lookup_fn=substitute_fn)
+        self.substitute_fn = substitute_fn
+
+    def _bind(self, msg, value):
+        msg["value"] = value
+        if msg["type"] == "plate":
+            # pre-specified subsample indices
+            msg["args"] = (msg["args"][0], value.shape[0])
 
 
 class infer_config(Messenger):
@@ -324,30 +363,34 @@ class lift(Messenger):
         self._samples_cache = {}
         return super().__exit__(*args, **kwargs)
 
+    def _prior_for(self, name):
+        if isinstance(self.prior, dict):
+            return self.prior.get(name)
+        if isinstance(self.prior, dist.Distribution):
+            return self.prior
+        return self.prior(name) if callable(self.prior) else None
+
     def process_message(self, msg):
         if msg["type"] != "param":
             return
         name = msg["name"]
-        if isinstance(self.prior, dict):
-            prior = self.prior.get(name)
-        elif isinstance(self.prior, dist.Distribution):
-            prior = self.prior
-        else:
-            prior = self.prior(name) if callable(self.prior) else None
+        prior = self._prior_for(name)
         if prior is None:
             return
         if name in self._samples_cache:
             msg["value"] = self._samples_cache[name]["value"]
             msg["type"] = "sample"
             return
-        msg["type"] = "sample"
-        msg["fn"] = prior
-        msg["intermediates"] = []
-        msg["is_observed"] = False
-        msg["infer"] = msg.get("infer", {})
-        msg["kwargs"] = {"rng_key": None, "sample_shape": ()}
-        msg["args"] = ()
-        msg["value"] = None
+        msg.update(
+            type="sample",
+            fn=prior,
+            intermediates=[],
+            is_observed=False,
+            infer=msg.get("infer", {}),
+            kwargs={"rng_key": None, "sample_shape": ()},
+            args=(),
+            value=None,
+        )
         self._samples_cache[name] = msg
 
 
@@ -362,15 +405,12 @@ class mask(Messenger):
 
     def process_message(self, msg):
         if msg["type"] == "inspect":
+            prior_mask = msg["mask"]
             msg["mask"] = (
-                self.mask
-                if msg["mask"] is None
-                else (self.mask & msg["mask"])
+                self.mask if prior_mask is None else self.mask & prior_mask
             )
-            return
-        if msg["type"] != "sample":
-            return
-        msg["fn"] = msg["fn"].mask(self.mask)
+        elif msg["type"] == "sample":
+            msg["fn"] = msg["fn"].mask(self.mask)
 
 
 class reparam(Messenger):
@@ -384,13 +424,14 @@ class reparam(Messenger):
     def process_message(self, msg):
         if msg["type"] != "sample":
             return
-        if isinstance(self.config, dict):
-            reparam_ = self.config.get(msg["name"])
-        else:
-            reparam_ = self.config(msg)
-        if reparam_ is None:
+        chosen = (
+            self.config.get(msg["name"])
+            if isinstance(self.config, dict)
+            else self.config(msg)
+        )
+        if chosen is None:
             return
-        new_fn, value = reparam_(msg["name"], msg["fn"], msg["value"])
+        new_fn, value = chosen(msg["name"], msg["fn"], msg["value"])
 
         if value is not None:
             if msg["value"] is None:
@@ -400,9 +441,9 @@ class reparam(Messenger):
             # the reparameterizer consumed the site entirely: it becomes a
             # deterministic record of the recomposed value
             msg["type"] = "deterministic"
-            for key in list(msg.keys()):
-                if key not in ("type", "name", "value", "cond_indep_stack"):
-                    del msg[key]
+            keep = ("type", "name", "value", "cond_indep_stack")
+            for key in [k for k in msg if k not in keep]:
+                del msg[key]
         else:
             msg["fn"] = new_fn
 
@@ -420,9 +461,8 @@ class scale(Messenger):
     def process_message(self, msg):
         if msg["type"] not in ("param", "sample", "plate"):
             return
-        msg["scale"] = (
-            self.scale if msg.get("scale") is None else self.scale * msg["scale"]
-        )
+        existing = msg.get("scale")
+        msg["scale"] = self.scale if existing is None else self.scale * existing
 
 
 class scope(Messenger):
@@ -434,14 +474,39 @@ class scope(Messenger):
         self.hide_types = [] if hide_types is None else hide_types
         super().__init__(fn)
 
+    def _rename(self, name):
+        return f"{self.prefix}{self.divider}{name}"
+
     def process_message(self, msg):
-        if msg.get("name") and msg["type"] not in self.hide_types:
-            if "cond_indep_stack" in msg:
-                msg["cond_indep_stack"] = [
-                    frame._replace(name=f"{self.prefix}{self.divider}{frame.name}")
-                    for frame in msg["cond_indep_stack"]
-                ]
-            msg["name"] = f"{self.prefix}{self.divider}{msg['name']}"
+        if not msg.get("name") or msg["type"] in self.hide_types:
+            return
+        if "cond_indep_stack" in msg:
+            msg["cond_indep_stack"] = [
+                frame._replace(name=self._rename(frame.name))
+                for frame in msg["cond_indep_stack"]
+            ]
+        msg["name"] = self._rename(msg["name"])
+
+
+def _as_prng_key(rng_seed):
+    """Normalize an int (or scalar uint) seed to a PRNG key; reject others."""
+    is_scalar_int = isinstance(rng_seed, int) or (
+        hasattr(rng_seed, "dtype")
+        and not jax.dtypes.issubdtype(rng_seed.dtype, jax.dtypes.prng_key)
+        and jnp.ndim(rng_seed) == 0
+    )
+    if is_scalar_int:
+        rng_seed = random.PRNGKey(rng_seed)
+    is_key = hasattr(rng_seed, "dtype") and (
+        jax.dtypes.issubdtype(rng_seed.dtype, jax.dtypes.prng_key)
+        or (rng_seed.shape == (2,) and rng_seed.dtype == jnp.uint32)
+    )
+    if not is_key:
+        raise TypeError(
+            "Incorrect type for rng_seed: expected int or PRNG key, got "
+            f"{type(rng_seed)}"
+        )
+    return rng_seed
 
 
 class seed(Messenger):
@@ -450,77 +515,24 @@ class seed(Messenger):
     layouts (reference: handlers.py:752-847)."""
 
     def __init__(self, fn=None, rng_seed=None, hide_types=None):
-        if isinstance(rng_seed, int) or (
-            hasattr(rng_seed, "dtype")
-            and not jax.dtypes.issubdtype(rng_seed.dtype, jax.dtypes.prng_key)
-            and jnp.ndim(rng_seed) == 0
-        ):
-            rng_seed = random.PRNGKey(rng_seed)
-        if not (
-            hasattr(rng_seed, "dtype")
-            and (
-                jax.dtypes.issubdtype(rng_seed.dtype, jax.dtypes.prng_key)
-                or (rng_seed.shape == (2,) and rng_seed.dtype == jnp.uint32)
-            )
-        ):
-            raise TypeError(
-                "Incorrect type for rng_seed: expected int or PRNG key, got "
-                f"{type(rng_seed)}"
-            )
-        self.rng_key = rng_seed
+        self.rng_key = _as_prng_key(rng_seed)
         self.hide_types = [] if hide_types is None else hide_types
         super().__init__(fn)
 
     def process_message(self, msg):
         if msg["type"] in self.hide_types:
             return
-        if (
+        latent_sample = (
             msg["type"] == "sample"
             and not msg["is_observed"]
             and msg["kwargs"]["rng_key"] is None
-        ) or msg["type"] in ("prng_key", "plate", "control_flow"):
+        )
+        if latent_sample or msg["type"] in ("prng_key", "plate", "control_flow"):
             if msg["value"] is not None:
                 # no need to create a new key when value is available
                 return
-            self.rng_key, rng_key_sample = random.split(self.rng_key)
-            msg["kwargs"]["rng_key"] = rng_key_sample
-
-
-class substitute(Messenger):
-    """Fix latent values (sites stay latent, unlike ``condition``)."""
-
-    def __init__(self, fn=None, data=None, substitute_fn=None):
-        self.substitute_fn = substitute_fn
-        self.data = data
-        if sum((x is not None for x in (data, substitute_fn))) != 1:
-            raise ValueError(
-                "Only one of `data` or `substitute_fn` should be provided."
-            )
-        super().__init__(fn)
-
-    def process_message(self, msg):
-        if (msg["type"] not in ("sample", "param", "mutable", "plate")) or msg.get(
-            "_control_flow_done", False
-        ):
-            if msg["type"] == "control_flow":
-                if self.data is not None:
-                    msg["kwargs"]["substitute_stack"].append(("substitute", self.data))
-                if self.substitute_fn is not None:
-                    msg["kwargs"]["substitute_stack"].append(
-                        ("substitute", self.substitute_fn)
-                    )
-            return
-
-        if self.data is not None:
-            value = self.data.get(msg["name"])
-        else:
-            value = self.substitute_fn(msg)
-
-        if value is not None:
-            msg["value"] = value
-            if msg["type"] == "plate":
-                # pre-specified subsample indices
-                msg["args"] = (msg["args"][0], value.shape[0])
+            self.rng_key, site_key = random.split(self.rng_key)
+            msg["kwargs"]["rng_key"] = site_key
 
 
 class do(Messenger):
@@ -535,27 +547,28 @@ class do(Messenger):
     def process_message(self, msg):
         if msg["type"] != "sample":
             return
-        if (
-            msg.get("_intervener_id", None) != self._intervener_id
-            and self.data.get(msg["name"]) is not None
-        ):
-            if msg.get("_intervener_id", None) is not None:
-                warnings.warn(
-                    "Attempting to intervene on variable {} multiple times,"
-                    "this is almost certainly incorrect behavior".format(msg["name"]),
-                    RuntimeWarning,
-                    stacklevel=find_stack_level(),
-                )
-            msg["_intervener_id"] = self._intervener_id
+        already_mine = msg.get("_intervener_id", None) == self._intervener_id
+        if already_mine or self.data.get(msg["name"]) is None:
+            return
+        if msg.get("_intervener_id", None) is not None:
+            warnings.warn(
+                "Attempting to intervene on variable {} multiple times,"
+                "this is almost certainly incorrect behavior".format(msg["name"]),
+                RuntimeWarning,
+                stacklevel=find_stack_level(),
+            )
+        msg["_intervener_id"] = self._intervener_id
 
-            # split node, avoid reapplying self recursively to new node
-            new_msg = msg.copy()
-            new_msg["cond_indep_stack"] = list(new_msg["cond_indep_stack"])
-            apply_stack(new_msg)
+        # split node, avoid reapplying self recursively to new node
+        counterfactual = msg.copy()
+        counterfactual["cond_indep_stack"] = list(
+            counterfactual["cond_indep_stack"]
+        )
+        apply_stack(counterfactual)
 
-            # apply intervention
-            intervention = self.data[msg["name"]]
-            msg["name"] = msg["name"] + "__CF"  # mangle old name
-            msg["value"] = intervention
-            msg["is_observed"] = True
-            msg["stop"] = True
+        # apply intervention
+        intervention = self.data[msg["name"]]
+        msg["name"] = msg["name"] + "__CF"  # mangle old name
+        msg["value"] = intervention
+        msg["is_observed"] = True
+        msg["stop"] = True

@@ -42,31 +42,27 @@ def set_rng_seed(rng_seed=None):
 
 def enable_x64(use_x64: bool = True):
     """Toggle 64-bit floats/ints (useful for stiff posteriors)."""
-    if not use_x64:
-        use_x64 = bool(os.getenv("JAX_ENABLE_X64", 0))
-    jax.config.update("jax_enable_x64", use_x64)
+    enabled = use_x64 or bool(os.getenv("JAX_ENABLE_X64", 0))
+    jax.config.update("jax_enable_x64", enabled)
 
 
 def set_platform(platform: str | None = None):
     """Set the default JAX platform ("cpu", "gpu", "tpu")."""
-    if platform is None:
-        platform = os.getenv("JAX_PLATFORM_NAME", "cpu")
-    jax.config.update("jax_platform_name", platform)
+    chosen = platform or os.getenv("JAX_PLATFORM_NAME", "cpu")
+    jax.config.update("jax_platform_name", chosen)
 
 
 def set_host_device_count(n: int):
     """Force XLA to expose ``n`` host (CPU) devices — the reference trick
     for testing multi-device code paths without accelerators
     (numpyro/util.py:64-89)."""
-    xla_flags = os.getenv("XLA_FLAGS", "")
-    xla_flags = [
+    count_flag = f"--xla_force_host_platform_device_count={n}"
+    others = [
         flag
-        for flag in xla_flags.split()
+        for flag in os.getenv("XLA_FLAGS", "").split()
         if not flag.startswith("--xla_force_host_platform_device_count")
     ]
-    os.environ["XLA_FLAGS"] = " ".join(
-        [f"--xla_force_host_platform_device_count={n}"] + xla_flags
-    )
+    os.environ["XLA_FLAGS"] = " ".join([count_flag] + others)
 
 
 @contextmanager
@@ -82,25 +78,25 @@ def optional(condition, context_manager):
 def control_flow_prims_disabled():
     """Debug mode: swap lax control flow for Python loops."""
     global _DISABLE_CONTROL_FLOW_PRIM
-    stored_flag = _DISABLE_CONTROL_FLOW_PRIM
+    previous = _DISABLE_CONTROL_FLOW_PRIM
     try:
         _DISABLE_CONTROL_FLOW_PRIM = True
         yield
     finally:
-        _DISABLE_CONTROL_FLOW_PRIM = stored_flag
+        _DISABLE_CONTROL_FLOW_PRIM = previous
+
+
+def _debug_mode():
+    return _DISABLE_CONTROL_FLOW_PRIM
 
 
 def maybe_jit(fn, *args, **kwargs):
-    if _DISABLE_CONTROL_FLOW_PRIM:
-        return fn
-    return jit(fn, *args, **kwargs)
+    return fn if _debug_mode() else jit(fn, *args, **kwargs)
 
 
 def cond(pred, true_operand, true_fun, false_operand, false_fun):
-    if _DISABLE_CONTROL_FLOW_PRIM:
-        if pred:
-            return true_fun(true_operand)
-        return false_fun(false_operand)
+    if _debug_mode():
+        return true_fun(true_operand) if pred else false_fun(false_operand)
     return lax.cond(
         pred,
         lambda _: true_fun(true_operand),
@@ -110,20 +106,20 @@ def cond(pred, true_operand, true_fun, false_operand, false_fun):
 
 
 def while_loop(cond_fun, body_fun, init_val):
-    if _DISABLE_CONTROL_FLOW_PRIM:
-        val = init_val
-        while cond_fun(val):
-            val = body_fun(val)
-        return val
+    if _debug_mode():
+        state = init_val
+        while cond_fun(state):
+            state = body_fun(state)
+        return state
     return lax.while_loop(cond_fun, body_fun, init_val)
 
 
 def fori_loop(lower, upper, body_fun, init_val):
-    if _DISABLE_CONTROL_FLOW_PRIM:
-        val = init_val
+    if _debug_mode():
+        state = init_val
         for i in range(int(lower), int(upper)):
-            val = body_fun(i, val)
-        return val
+            state = body_fun(i, state)
+        return state
     return lax.fori_loop(lower, upper, body_fun, init_val)
 
 
@@ -184,75 +180,58 @@ def cached_by(outer_fn, *keys):
 
 def progress_bar_factory(num_samples, num_chains):
     """tqdm progress bar driven from inside jit via io_callback — used by the
-    interactive (per-step dispatch) collection path."""
+    interactive (per-step dispatch) collection path.
+
+    Design: ONE throttled callback; all bookkeeping (first-tick description,
+    increments, final close) happens host-side from the reported iteration
+    number, so the compiled program carries a single ``lax.cond``."""
     from jax.experimental import io_callback
 
     try:
         from tqdm.auto import tqdm
     except ImportError:  # pragma: no cover
-        tqdm = None
-
-    if num_samples > 20:
-        print_rate = int(num_samples / 20)
-    else:
-        print_rate = 1
-    remainder = num_samples % print_rate
-
-    if tqdm is None:  # pragma: no cover
-        def _noop(iter_num, chain):
-            return iter_num
-
         return lambda fn: fn
 
-    tqdm_bars = {}
-    finished_chains = []
-    for chain in range(num_chains):
-        tqdm_bars[chain] = tqdm(range(num_samples), position=chain)
-        tqdm_bars[chain].set_description("Compiling.. ", refresh=True)
+    stride = max(num_samples // 20, 1)
 
-    def _update_tqdm(increment, chain):
-        increment = int(increment)
-        chain = int(chain)
-        tqdm_bars[chain].set_description(f"Running chain {chain}", refresh=False)
-        tqdm_bars[chain].update(increment)
+    bars = {
+        c: tqdm(range(num_samples), position=c) for c in range(num_chains)
+    }
+    for bar in bars.values():
+        bar.set_description("Compiling.. ", refresh=True)
+    done = set()
+
+    def _host_tick(iter_num, chain):
+        iter_num, chain = int(iter_num), int(chain)
+        bar = bars[chain]
+        if iter_num <= 1:
+            bar.set_description(f"Running chain {chain}", refresh=False)
+        bar.update(iter_num - bar.n)
+        if iter_num >= num_samples:
+            done.add(chain)
+            if len(done) == num_chains:
+                for b in bars.values():
+                    b.close()
         return chain
 
-    def _close_tqdm(increment, chain):
-        increment = int(increment)
-        chain = int(chain)
-        tqdm_bars[chain].update(increment)
-        finished_chains.append(chain)
-        if len(finished_chains) == num_chains:
-            for bar in tqdm_bars.values():
-                bar.close()
-        return chain
-
-    def _update_progress_bar(iter_num, chain):
-        chain = lax.cond(
-            iter_num == 1,
-            lambda _: io_callback(_update_tqdm, jnp.array(0), 0, chain),
+    def _maybe_tick(iter_num, chain):
+        due = (
+            (iter_num == 1)
+            | (iter_num % stride == 0)
+            | (iter_num == num_samples)
+        )
+        return lax.cond(
+            due,
+            lambda _: io_callback(_host_tick, jnp.array(0), iter_num, chain),
             lambda _: chain,
             operand=None,
         )
-        chain = lax.cond(
-            iter_num % print_rate == 0,
-            lambda _: io_callback(_update_tqdm, jnp.array(0), print_rate, chain),
-            lambda _: chain,
-            operand=None,
-        )
-        chain = lax.cond(
-            iter_num == num_samples,
-            lambda _: io_callback(_close_tqdm, jnp.array(0), remainder, chain),
-            lambda _: chain,
-            operand=None,
-        )
-        return chain
 
     def progress_bar_fori_loop(func):
         def wrapper_progress_bar(i, vals):
             chain, inner = vals
             result = func(i, inner)
-            chain = _update_progress_bar(i + 1, chain)
+            chain = _maybe_tick(i + 1, chain)
             return (chain, result)
 
         return wrapper_progress_bar

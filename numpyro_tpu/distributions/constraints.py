@@ -19,42 +19,39 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+
+def _fill_like(prototype, value):
+    """Broadcast a feasible scalar onto the prototype's shape/dtype."""
+    return jnp.broadcast_to(value, jnp.shape(prototype)).astype(
+        jnp.result_type(prototype)
+    )
+
+
+def _eye_like(prototype):
+    return _fill_like(prototype, jnp.eye(prototype.shape[-1]))
+
+
+def _is_tril_with_positive_diag(x):
+    strictly_lower = jnp.all(
+        jnp.reshape(jnp.tril(x) == x, x.shape[:-2] + (-1,)), axis=-1
+    )
+    diag_ok = jnp.all(jnp.diagonal(x, axis1=-2, axis2=-1) > 0, axis=-1)
+    return strictly_lower & diag_ok
+
+
+def _is_symmetric(x):
+    return jnp.all(jnp.isclose(x, jnp.swapaxes(x, -2, -1)), axis=(-2, -1))
+
 __all__ = [
-    "Constraint",
-    "boolean",
-    "circular",
-    "corr_cholesky",
-    "corr_matrix",
-    "dependent",
-    "greater_than",
-    "greater_than_eq",
-    "less_than",
-    "less_than_eq",
-    "independent",
-    "integer_interval",
-    "integer_greater_than",
-    "interval",
-    "l1_ball",
-    "lower_cholesky",
-    "scaled_unit_lower_cholesky",
-    "multinomial",
-    "nonnegative",
-    "nonnegative_integer",
-    "open_interval",
-    "ordered_vector",
-    "positive",
-    "positive_definite",
-    "positive_semidefinite",
-    "positive_integer",
-    "positive_ordered_vector",
-    "real",
-    "real_vector",
-    "real_matrix",
-    "simplex",
-    "softplus_lower_cholesky",
-    "softplus_positive",
-    "sphere",
-    "unit_interval",
+    "Constraint", "boolean", "circular", "corr_cholesky", "corr_matrix",
+    "dependent", "greater_than", "greater_than_eq", "less_than",
+    "less_than_eq", "independent", "integer_interval", "integer_greater_than",
+    "interval", "l1_ball", "lower_cholesky", "scaled_unit_lower_cholesky",
+    "multinomial", "nonnegative", "nonnegative_integer", "open_interval",
+    "ordered_vector", "positive", "positive_definite",
+    "positive_semidefinite", "positive_integer", "positive_ordered_vector",
+    "real", "real_vector", "real_matrix", "simplex",
+    "softplus_lower_cholesky", "softplus_positive", "sphere", "unit_interval",
     "zero_sum",
 ]
 
@@ -216,8 +213,8 @@ class _IndependentConstraint(Constraint):
 
 class _Real(Constraint):
     def __call__(self, x):
-        # entire real line except nan
-        return (x == x) & (x != float("inf")) & (x != float("-inf"))
+        # entire real line: no nan, no infinities
+        return jnp.isfinite(x)
 
     def feasible_like(self, prototype):
         return jnp.zeros_like(prototype)
@@ -251,9 +248,7 @@ class _GreaterThan(ParametricConstraint):
         return x > self.lower_bound
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(self.lower_bound + 1.0, jnp.shape(prototype)).astype(
-            jnp.result_type(prototype)
-        )
+        return _fill_like(prototype, self.lower_bound + 1.0)
 
     def __repr__(self):
         return f"greater_than({self.lower_bound})"
@@ -277,9 +272,7 @@ class _LessThan(ParametricConstraint):
         return x < self.upper_bound
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(self.upper_bound - 1.0, jnp.shape(prototype)).astype(
-            jnp.result_type(prototype)
-        )
+        return _fill_like(prototype, self.upper_bound - 1.0)
 
     def __repr__(self):
         return f"less_than({self.upper_bound})"
@@ -301,10 +294,7 @@ class _Interval(ParametricConstraint):
         return (x >= self.lower_bound) & (x <= self.upper_bound)
 
     def feasible_like(self, prototype):
-        mid = (self.lower_bound + self.upper_bound) / 2
-        return jnp.broadcast_to(mid, jnp.shape(prototype)).astype(
-            jnp.result_type(prototype)
-        )
+        return _fill_like(prototype, (self.lower_bound + self.upper_bound) / 2)
 
     def __repr__(self):
         return f"interval({self.lower_bound}, {self.upper_bound})"
@@ -338,12 +328,11 @@ class _IntegerInterval(ParametricConstraint):
         self.upper_bound = upper_bound
 
     def __call__(self, x):
-        return (x >= self.lower_bound) & (x <= self.upper_bound) & (x == jnp.floor(x))
+        in_range = (x >= self.lower_bound) & (x <= self.upper_bound)
+        return in_range & (x == jnp.floor(x))
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(self.lower_bound, jnp.shape(prototype)).astype(
-            jnp.result_type(prototype)
-        )
+        return _fill_like(prototype, self.lower_bound)
 
     def __repr__(self):
         return f"integer_interval({self.lower_bound}, {self.upper_bound})"
@@ -360,9 +349,7 @@ class _IntegerGreaterThan(ParametricConstraint):
         return (x >= self.lower_bound) & (x == jnp.floor(x))
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(self.lower_bound, jnp.shape(prototype)).astype(
-            jnp.result_type(prototype)
-        )
+        return _fill_like(prototype, self.lower_bound)
 
     def __repr__(self):
         return f"integer_greater_than({self.lower_bound})"
@@ -380,19 +367,16 @@ class _Multinomial(ParametricConstraint):
         return (x >= 0).all(-1) & (x.sum(-1) == self.upper_bound)
 
     def feasible_like(self, prototype):
-        pad = jnp.zeros_like(prototype[..., :-1])
-        last = jnp.broadcast_to(self.upper_bound, jnp.shape(prototype[..., :1])).astype(
-            jnp.result_type(prototype)
-        )
-        return jnp.concatenate([pad, last], axis=-1)
+        head = jnp.zeros_like(prototype[..., :-1])
+        tail = _fill_like(prototype[..., :1], self.upper_bound)
+        return jnp.concatenate([head, tail], axis=-1)
 
 
 class _Simplex(Constraint):
     event_dim = 1
 
     def __call__(self, x):
-        x_sum = x.sum(-1)
-        return (x >= 0).all(-1) & (jnp.abs(x_sum - 1.0) < 1e-6)
+        return (x >= 0).all(-1) & (jnp.abs(x.sum(-1) - 1.0) < 1e-6)
 
     def feasible_like(self, prototype):
         return jnp.full_like(prototype, 1.0 / prototype.shape[-1])
@@ -405,10 +389,7 @@ class _OrderedVector(Constraint):
         return (x[..., 1:] > x[..., :-1]).all(-1)
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.arange(prototype.shape[-1], dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _fill_like(prototype, jnp.arange(prototype.shape[-1]))
 
 
 class _PositiveOrderedVector(Constraint):
@@ -418,66 +399,44 @@ class _PositiveOrderedVector(Constraint):
         return _OrderedVector.__call__(self, x) & (x > 0).all(-1)
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.arange(1, prototype.shape[-1] + 1, dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _fill_like(prototype, jnp.arange(1, prototype.shape[-1] + 1))
 
 
 class _CorrCholesky(Constraint):
     event_dim = 2
 
     def __call__(self, x):
-        jnp_tril = jnp.tril(x)
-        lower_triangular = jnp.all(
-            jnp.reshape(jnp_tril == x, x.shape[:-2] + (-1,)), axis=-1
+        unit_rows = jnp.all(
+            jnp.abs(jnp.linalg.norm(x, axis=-1) - 1.0) <= 1e-6, axis=-1
         )
-        positive_diagonal = jnp.all(jnp.diagonal(x, axis1=-2, axis2=-1) > 0, axis=-1)
-        row_norm = jnp.linalg.norm(x, axis=-1)
-        unit_row_norm = jnp.all(jnp.abs(row_norm - 1.0) <= 1e-6, axis=-1)
-        return lower_triangular & positive_diagonal & unit_row_norm
+        return _is_tril_with_positive_diag(x) & unit_rows
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.eye(prototype.shape[-1], dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _eye_like(prototype)
 
 
 class _CorrMatrix(Constraint):
     event_dim = 2
 
     def __call__(self, x):
-        symmetric = jnp.all(jnp.isclose(x, jnp.swapaxes(x, -2, -1)), axis=(-2, -1))
-        positive = jnp.linalg.eigvalsh(x)[..., 0] > 0
-        unit_variance = jnp.all(
+        unit_diag = jnp.all(
             jnp.abs(jnp.diagonal(x, axis1=-2, axis2=-1) - 1) < 1e-6, axis=-1
         )
-        return symmetric & positive & unit_variance
+        spd = jnp.linalg.eigvalsh(x)[..., 0] > 0
+        return _is_symmetric(x) & spd & unit_diag
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.eye(prototype.shape[-1], dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _eye_like(prototype)
 
 
 class _LowerCholesky(Constraint):
     event_dim = 2
 
     def __call__(self, x):
-        tril = jnp.tril(x)
-        lower_triangular = jnp.all(
-            jnp.reshape(tril == x, x.shape[:-2] + (-1,)), axis=-1
-        )
-        positive_diagonal = jnp.all(jnp.diagonal(x, axis1=-2, axis2=-1) > 0, axis=-1)
-        return lower_triangular & positive_diagonal
+        return _is_tril_with_positive_diag(x)
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.eye(prototype.shape[-1], dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _eye_like(prototype)
 
 
 class _ScaledUnitLowerCholesky(_LowerCholesky):
@@ -503,22 +462,15 @@ class _PositiveSemiDefinite(Constraint):
     event_dim = 2
 
     def __call__(self, x):
-        symmetric = jnp.all(jnp.isclose(x, jnp.swapaxes(x, -2, -1)), axis=(-2, -1))
-        nonnegative_eig = jnp.linalg.eigvalsh(x)[..., 0] >= 0
-        return symmetric & nonnegative_eig
+        return _is_symmetric(x) & (jnp.linalg.eigvalsh(x)[..., 0] >= 0)
 
     def feasible_like(self, prototype):
-        return jnp.broadcast_to(
-            jnp.eye(prototype.shape[-1], dtype=jnp.result_type(prototype)),
-            jnp.shape(prototype),
-        )
+        return _eye_like(prototype)
 
 
 class _PositiveDefinite(_PositiveSemiDefinite):
     def __call__(self, x):
-        symmetric = jnp.all(jnp.isclose(x, jnp.swapaxes(x, -2, -1)), axis=(-2, -1))
-        positive_eig = jnp.linalg.eigvalsh(x)[..., 0] > 0
-        return symmetric & positive_eig
+        return _is_symmetric(x) & (jnp.linalg.eigvalsh(x)[..., 0] > 0)
 
 
 class _L1Ball(Constraint):

@@ -30,7 +30,7 @@ from numpyro_tpu.distributions.transforms import biject_to
 from numpyro_tpu.distributions.util import is_prng_key, sum_rightmost
 from numpyro_tpu.infer.initialization import init_to_uniform, init_to_value
 from numpyro_tpu.primitives import _PYRO_STACK, Messenger
-from numpyro_tpu.util import not_jax_tracer, soft_vmap
+from numpyro_tpu.util import identity, not_jax_tracer, soft_vmap
 
 __all__ = [
     "constrain_fn",
@@ -144,39 +144,48 @@ def get_importance_trace(model, guide, args, kwargs, params):
         guide_trace = handlers.trace(guide).get_trace(*args, **kwargs)
     model = handlers.substitute(handlers.replay(model, guide_trace), data=params)
     model_trace = handlers.trace(model).get_trace(*args, **kwargs)
-    for tr in (guide_trace, model_trace):
-        for site in tr.values():
-            if site["type"] == "sample" and "log_prob" not in site:
-                site["log_prob"] = _site_log_prob(site)
+    for site in [*guide_trace.values(), *model_trace.values()]:
+        if site["type"] == "sample" and "log_prob" not in site:
+            site["log_prob"] = _site_log_prob(site)
     return model_trace, guide_trace
 
 
 def transform_fn(transforms, params, invert=False):
     """Apply (or invert) a dict of per-site transforms to params."""
-    if invert:
-        transforms = {k: v.inv for k, v in transforms.items()}
-    return {k: transforms[k](v) if k in transforms else v for k, v in params.items()}
+    def pick(name):
+        t = transforms.get(name)
+        if t is None:
+            return identity
+        return t.inv if invert else t
+
+    return {name: pick(name)(value) for name, value in params.items()}
 
 
 def constrain_fn(model, model_args, model_kwargs, params, return_deterministic=False):
     """Transform unconstrained params to constrained space and recover
     deterministic sites by re-running the model."""
     def substitute_fn(site):
-        if site["name"] in params:
-            if site["type"] == "sample":
-                with handlers.block():
-                    return biject_to(site["fn"].support)(params[site["name"]])
-            else:
-                return params[site["name"]]
+        given = params.get(site["name"])
+        if given is None:
+            return None
+        if site["type"] != "sample":
+            return given
+        with handlers.block():
+            return biject_to(site["fn"].support)(given)
 
     substituted_model = handlers.substitute(model, substitute_fn=substitute_fn)
     model_trace = handlers.trace(substituted_model).get_trace(
         *model_args, **model_kwargs
     )
+    def wanted(name, site):
+        if name in params:
+            return True
+        return return_deterministic and site["type"] == "deterministic"
+
     return {
         name: site["value"]
         for name, site in model_trace.items()
-        if (name in params) or (return_deterministic and site["type"] == "deterministic")
+        if wanted(name, site)
     }
 
 
@@ -184,14 +193,19 @@ def unconstrain_fn(model, model_args, model_kwargs, params):
     """Constrained params -> unconstrained space."""
     model = handlers.substitute(model, data=params)
     model_trace = handlers.trace(model).get_trace(*model_args, **model_kwargs)
-    transforms = {}
-    for name, site in model_trace.items():
-        if (
+
+    def is_free_latent(site):
+        return (
             site["type"] == "sample"
             and not site["is_observed"]
             and site["fn"].support is not None
-        ):
-            transforms[name] = biject_to(site["fn"].support)
+        )
+
+    transforms = {
+        name: biject_to(site["fn"].support)
+        for name, site in model_trace.items()
+        if is_free_latent(site)
+    }
     return transform_fn(transforms, params, invert=True)
 
 
@@ -238,19 +252,13 @@ def _unconstrain_reparam(params, site):
 def potential_energy(model, model_args, model_kwargs, params, enum=False):
     """-log p(constrained(params)) - log|det J| — the NUTS target."""
     if enum:
-        from numpyro_tpu.contrib.enum import log_density as enum_log_density
-
-        substituted_model = handlers.substitute(
-            model, substitute_fn=partial(_unconstrain_reparam, params)
-        )
-        log_joint, _ = enum_log_density(
-            substituted_model, model_args, model_kwargs, {}
-        )
-        return -log_joint
-    substituted_model = handlers.substitute(
+        from numpyro_tpu.contrib.enum import log_density as density_fn
+    else:
+        density_fn = log_density
+    reparamed = handlers.substitute(
         model, substitute_fn=partial(_unconstrain_reparam, params)
     )
-    log_joint, _ = log_density(substituted_model, model_args, model_kwargs, {})
+    log_joint, _ = density_fn(reparamed, model_args, model_kwargs, {})
     return -log_joint
 
 

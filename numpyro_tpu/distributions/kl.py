@@ -215,7 +215,8 @@ def _kl_weibull_gamma(p, q):
     b = p.scale
     euler = jnp.euler_gamma
     t1 = -q.concentration * jnp.log(q.rate) + gammaln(q.concentration)
-    t2 = -jnp.log(a / b) - euler * (1 - 1 / a) - 1
+    # E_p[log p] = log(a/b) - γ(1 - 1/a) - 1  (negative Weibull entropy)
+    t2 = jnp.log(a / b) - euler * (1 - 1 / a) - 1
     t3 = q.rate * b * jnp.exp(gammaln(1 + 1 / a))
     t4 = -(q.concentration - 1) * (jnp.log(b) - euler / a)
     return t1 + t2 + t3 + t4

@@ -670,9 +670,9 @@ class Predictive:
                 "Either posterior_samples or num_samples must be specified."
             )
         if batch_ndims is None:
-            batch_ndims = (
-                1 if (posterior_samples is not None or guide is not None) else 0
-            )
+            # a guide draws fresh latents per call from unbatched params;
+            # posterior samples carry a leading sample axis
+            batch_ndims = 0 if guide is not None else 1
         posterior_samples = posterior_samples or {}
 
         batch_shape = _common_batch_shape(posterior_samples, batch_ndims)

@@ -20,7 +20,6 @@ functions over its chain axis.
 
 from __future__ import annotations
 
-import math
 import warnings
 from collections import namedtuple
 

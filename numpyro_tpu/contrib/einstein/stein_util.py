@@ -1,7 +1,6 @@
 """Utilities for the Stein ensemble (reference: contrib/einstein/stein_util.py)."""
 
 import jax
-import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 

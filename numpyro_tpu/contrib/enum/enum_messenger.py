@@ -13,9 +13,7 @@ machinery survives tracing.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
 
-import jax.numpy as jnp
 
 from numpyro_tpu.handlers import infer_config
 from numpyro_tpu.primitives import Messenger

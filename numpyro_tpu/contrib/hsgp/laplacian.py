@@ -3,7 +3,6 @@ approximation (Solin & Särkkä 2020; reference: contrib/hsgp/laplacian.py)."""
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax.numpy as jnp
 

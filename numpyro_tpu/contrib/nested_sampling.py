@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import math
 from collections import namedtuple
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +32,7 @@ from jax.flatten_util import ravel_pytree
 from jax.scipy.special import logsumexp
 
 from numpyro_tpu import handlers
-from numpyro_tpu.distributions import constraints
-from numpyro_tpu.distributions.transforms import biject_to
-from numpyro_tpu.infer.util import _get_model_transforms, transform_fn
+from numpyro_tpu.infer.util import _get_model_transforms
 
 __all__ = ["NestedSampler", "NestedSamplerResults"]
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
-from jax import tree_util
 
 try:
     from tensorflow_probability.substrates.jax import bijectors as tfb

@@ -9,7 +9,6 @@ device->host gather); the printing layer works on whatever is handed to it.
 
 from __future__ import annotations
 
-from collections import namedtuple
 from itertools import product
 
 import numpy as np

@@ -29,14 +29,10 @@ from jax.scipy.special import (
     betainc,
     betaln,
     digamma,
-    erf,
-    erfc,
-    erfinv,
     gammainc,
     gammaln,
     log_ndtr,
     logit,
-    logsumexp,
     multigammaln,
     ndtr,
     ndtri,
@@ -48,7 +44,6 @@ from . import constraints
 from .distribution import Distribution, TransformedDistribution
 from .transforms import (
     AffineTransform,
-    CorrCholeskyTransform,
     ExpTransform,
     PowerTransform,
 )

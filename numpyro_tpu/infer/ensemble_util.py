@@ -1,9 +1,7 @@
 """Utilities for ensemble kernels (reference: numpyro/infer/ensemble_util.py)."""
 
-import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 

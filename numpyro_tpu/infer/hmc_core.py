@@ -50,7 +50,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax, random, vmap
-from jax.flatten_util import ravel_pytree
 
 __all__ = [
     "FlatLayout",

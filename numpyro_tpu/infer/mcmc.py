@@ -17,19 +17,16 @@ vs the reference (which is chain-sequential, one-chain-per-device pmap):
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from functools import partial
-from operator import attrgetter
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import jit, lax, local_device_count, random, vmap
+from jax import jit, local_device_count, random, vmap
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from numpyro_tpu.diagnostics import print_summary
 from numpyro_tpu.util import (
-    cached_by,
     fori_collect,
     identity,
     is_prng_key,

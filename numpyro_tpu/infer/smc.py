@@ -20,16 +20,13 @@ axis shards over the mesh and the resampling normalization is a ``psum``.
 from __future__ import annotations
 
 from collections import namedtuple
-from functools import partial
 
-import jax
 import jax.numpy as jnp
-from jax import lax, random, value_and_grad, vmap
+from jax import lax, random, vmap
 from jax.flatten_util import ravel_pytree
 from jax.scipy.special import logsumexp
 
 from numpyro_tpu import handlers
-from numpyro_tpu.distributions.transforms import biject_to
 from numpyro_tpu.infer.initialization import init_to_sample
 from numpyro_tpu.infer.util import (
     constrain_fn,
@@ -38,7 +35,6 @@ from numpyro_tpu.infer.util import (
     log_density,
     potential_energy,
 )
-from numpyro_tpu.util import identity
 
 SMCState = namedtuple(
     "SMCState",

@@ -12,7 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import jit, lax, random
+from jax import lax, random
 
 from numpyro_tpu import handlers
 from numpyro_tpu.distributions import constraints

@@ -20,15 +20,14 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import device_get, jacfwd, lax, random, value_and_grad, vmap
+from jax import device_get, jacfwd, lax, random, value_and_grad
 from jax.flatten_util import ravel_pytree
 
-import numpyro_tpu.distributions as dist
 from numpyro_tpu import handlers
 from numpyro_tpu.distributions import constraints
 from numpyro_tpu.distributions.transforms import biject_to
 from numpyro_tpu.distributions.util import is_prng_key, sum_rightmost
-from numpyro_tpu.infer.initialization import init_to_uniform, init_to_value
+from numpyro_tpu.infer.initialization import init_to_uniform
 from numpyro_tpu.primitives import _PYRO_STACK, Messenger
 from numpyro_tpu.util import identity, not_jax_tracer, soft_vmap
 

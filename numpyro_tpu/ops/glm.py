@@ -19,10 +19,7 @@ instead of replaying the data pass per chain.
 
 from __future__ import annotations
 
-import functools
-import math
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -11,12 +11,12 @@ params under pjit.
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any, TypeVar
+from typing import TypeVar
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax import lax, value_and_grad
+from jax import value_and_grad
 from jax.flatten_util import ravel_pytree
 
 __all__ = [

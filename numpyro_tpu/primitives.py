@@ -15,7 +15,6 @@ import warnings
 from collections import namedtuple
 from contextlib import ExitStack, contextmanager
 
-import jax
 import jax.numpy as jnp
 from jax import lax, random
 

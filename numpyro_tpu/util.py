@@ -17,10 +17,8 @@ from __future__ import annotations
 
 import os
 import random as pyrandom
-from collections import namedtuple
 from contextlib import contextmanager
 from functools import partial
-from itertools import zip_longest
 from typing import Any, Callable
 
 import numpy as np
@@ -28,7 +26,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import device_put, jit, lax, vmap
-from jax.flatten_util import ravel_pytree
 
 _DISABLE_CONTROL_FLOW_PRIM = False
 _CHAIN_RE = "chain"

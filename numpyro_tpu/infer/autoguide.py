@@ -106,11 +106,11 @@ class AutoGuide(ABC):
     ):
         self.model = model
         self.prefix = prefix
-        self.init_loc_fn = init_loc_fn
         self.create_plates = create_plates
+        self.init_loc_fn = init_loc_fn
         self.prototype_trace = None
-        self._prototype_frames = {}
-        self._prototype_frame_full_sizes = {}
+        self._plate_frames = {}
+        self._plate_full_sizes = {}
 
     # -- shared small helpers -------------------------------------------
 
@@ -144,9 +144,9 @@ class AutoGuide(ABC):
                 isinstance(p, numpyro_tpu.plate) for p in created
             ), "create_plates() returned a non-plate"
             plates = {p.name: p for p in created}
-        for name, frame in sorted(self._prototype_frames.items()):
+        for name, frame in sorted(self._plate_frames.items()):
             if name not in plates:
-                full_size = self._prototype_frame_full_sizes[name]
+                full_size = self._plate_full_sizes[name]
                 sub = frame.subsample_size
                 plates[name] = numpyro_tpu.plate(
                     name,
@@ -185,9 +185,8 @@ class AutoGuide(ABC):
             )
         self._init_locs = init_params[0]
 
-        self._prototype_frames = {}
-        self._prototype_plate_sizes = {}
-        self._prototype_frame_full_sizes = {}
+        self._plate_frames = {}
+        self._plate_full_sizes = {}
         for name, site in self.prototype_trace.items():
             if site["type"] == "sample":
                 if not site["is_observed"] and site["fn"].support.is_discrete:
@@ -198,10 +197,10 @@ class AutoGuide(ABC):
                         stacklevel=2,
                     )
                 for frame in site["cond_indep_stack"]:
-                    self._prototype_frames[frame.name] = frame
-                    self._prototype_frame_full_sizes[frame.name] = frame.size
+                    self._plate_frames[frame.name] = frame
+                    self._plate_full_sizes[frame.name] = frame.size
             elif site["type"] == "plate":
-                self._prototype_frame_full_sizes[name] = site["args"][0]
+                self._plate_full_sizes[name] = site["args"][0]
 
     def median(self, params):
         raise NotImplementedError

@@ -14,12 +14,13 @@ from numpyro_tpu.infer import MCMC, NUTS
 from numpyro_tpu.ops.indexing import Vindex
 
 
-def dawid_skene(positions, annotations, num_classes):
+def dawid_skene(positions, annotations, num_classes, num_annotators):
     """positions: (J,) annotator id per annotation slot;
-    annotations: (N_items, J) observed labels."""
+    annotations: (N_items, J) observed labels.  ``num_annotators`` is a
+    static python int: model data rides through the compiled program as a
+    traced input, so static structure must come in as plain ints."""
     J = positions.shape[0]
     N = annotations.shape[0]
-    num_annotators = int(np.max(np.asarray(positions))) + 1
     pi = numpyro_tpu.sample("pi", dist.Dirichlet(jnp.ones(num_classes)))
     with numpyro_tpu.plate("annotator", num_annotators, dim=-2):
         with numpyro_tpu.plate("class", num_classes):
@@ -53,7 +54,7 @@ def main(args):
         num_samples=args.num_samples,
         progress_bar=False,
     )
-    mcmc.run(random.PRNGKey(0), positions, jnp.asarray(annotations), K)
+    mcmc.run(random.PRNGKey(0), positions, jnp.asarray(annotations), K, J)
     pi_hat = np.asarray(mcmc.get_samples()["pi"]).mean(0)
     print("class prevalence estimate:", np.round(pi_hat, 2))
 

@@ -13,9 +13,8 @@ import numpyro_tpu.distributions as dist
 from numpyro_tpu.infer import MCMC, NUTS
 
 
-def model(age_idx, time_idx, exposure, deaths=None):
-    A = int(np.max(np.asarray(age_idx))) + 1
-    T = int(np.max(np.asarray(time_idx))) + 1
+def model(age_idx, time_idx, exposure, deaths=None, *, A, T):
+    # A/T are static python ints (array sizes must not be traced)
     sigma_a = numpyro_tpu.sample("sigma_age", dist.HalfNormal(1.0))
     sigma_t = numpyro_tpu.sample("sigma_time", dist.HalfNormal(0.5))
     intercept = numpyro_tpu.sample("intercept", dist.Normal(-4.0, 2.0))
@@ -51,6 +50,8 @@ def main(args):
         jnp.asarray(time_idx),
         jnp.asarray(exposure),
         jnp.asarray(deaths),
+        A=A,
+        T=T,
     )
     s = mcmc.get_samples()
     age_slope = np.polyfit(

@@ -154,7 +154,12 @@ def effective_sample_size(x, bias=True):
     Rho_k = jnp.clip(Rho_k, 0.0)
 
     tau = -1.0 + 2.0 * jnp.sum(Rho_k, axis=0)
-    n_eff = jnp.asarray(x.shape[0] * x.shape[1], dtype=tau.dtype) / tau
+    # antithetic safeguard (Stan/ArviZ convention): in strongly negatively
+    # correlated chains the truncated pair sum can push tau <= 0; floor it
+    # at 1/log10(N), capping ESS at N*log10(N) instead of going negative
+    total = x.shape[0] * x.shape[1]
+    tau = jnp.maximum(tau, 1.0 / np.log10(max(total, 10)))
+    n_eff = jnp.asarray(total, dtype=tau.dtype) / tau
     return n_eff
 
 

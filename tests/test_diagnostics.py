@@ -70,3 +70,14 @@ def test_summary_fields():
     assert abs(stats["std"] - 1.0) < 0.05
     assert stats["n_eff"] > 1000
     assert abs(stats["r_hat"] - 1.0) < 0.05
+
+
+def test_ess_antithetic_is_positive_and_capped():
+    # perfectly antithetic pairs: naive tau would be <= 0; ESS must stay
+    # positive and bounded by N*log10(N)
+    key = random.PRNGKey(7)
+    base = random.normal(key, (2, 500))
+    x = jnp.stack([base, -base], axis=-1).reshape(2, 1000)
+    ess = float(effective_sample_size(x))
+    total = 2 * 1000
+    assert 0 < ess <= total * np.log10(total) * 1.001

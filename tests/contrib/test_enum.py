@@ -2,6 +2,7 @@
 enumerated models, infer_discrete MAP/sampling, TraceEnum_ELBO
 (pattern: reference test/contrib/test_enum_elbo.py + test_infer_discrete)."""
 
+import pytest
 import numpy as np
 import scipy.stats as st
 
@@ -176,6 +177,7 @@ def test_markov_chain_matches_forward_algorithm():
     np.testing.assert_allclose(float(ld), logz, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_nuts_over_markov_hmm():
     import numpy as onp
 
@@ -209,6 +211,7 @@ def test_nuts_over_markov_hmm():
     assert abs(sig - 0.3) < 0.12
 
 
+@pytest.mark.slow
 def test_predictive_infer_discrete():
     """Predictive(infer_discrete=True) recovers per-datum mixture assignments.
 
@@ -429,6 +432,7 @@ def test_scan_enum_history_zero_and_length_one():
     assert jnp.allclose(lj1, expected1, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_enum_nuts_recovers_emissions():
     """NUTS over HMM emission means with the discrete state enumerated
     inside scan — the full pipeline (initialize_model -> enum potential)."""
@@ -464,6 +468,7 @@ def test_scan_enum_nuts_recovers_emissions():
     assert abs(mu_hat[0] + 2.0) < 0.4 and abs(mu_hat[1] - 2.0) < 0.4
 
 
+@pytest.mark.slow
 def test_infer_discrete_markov_chain():
     """Markov-recycled dims: infer_discrete matches brute-force posterior
     marginals and the exact Viterbi path on a small HMM."""

@@ -1,5 +1,6 @@
 """HSGP approximation tests (reference: test/contrib/hsgp/)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_hsgp_se_recovers_function():
     assert err < 0.12
 
 
+@pytest.mark.slow
 def test_hsgp_matern_and_periodic_run():
     x = jnp.linspace(-1, 1, 50)
     y = jnp.sin(3 * x)

@@ -1,5 +1,6 @@
 """flax/haiku module bridge tests (reference: test/contrib/test_module.py)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -109,6 +110,7 @@ def test_nnx_module_svi():
     assert abs(w[0] - 2.0) < 0.3
 
 
+@pytest.mark.slow
 def test_random_nnx_module_bnn():
     from flax import nnx
 

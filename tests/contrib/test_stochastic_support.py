@@ -1,5 +1,6 @@
 """DCC/SDVI stochastic-support tests (reference: test/contrib/test_stochastic_support.py)."""
 
+import pytest
 import jax
 import numpy as np, jax.numpy as jnp
 from jax import random
@@ -16,6 +17,7 @@ def model():
         mean = numpyro_tpu.sample("a2", dist.Normal(1.0, 1.0))
     numpyro_tpu.sample("obs", dist.Normal(mean, 1.0), obs=0.2)
 
+@pytest.mark.slow
 def test_dcc_and_sdvi():
     import scipy.stats as st
     dcc = DCC(model, mcmc_kwargs=dict(num_warmup=300, num_samples=300, progress_bar=False),

@@ -37,6 +37,7 @@ def test_chees_gaussian_moments():
     assert abs(float(m.last_state.mean_accept_prob.mean()) - 0.651) < 0.05
 
 
+@pytest.mark.slow
 def test_chees_matches_nuts_logistic():
     N, D = 500, 6
     X = random.normal(random.PRNGKey(1), (N, D))

@@ -84,6 +84,7 @@ def test_hmcecs_vectorized_chains(num_chains):
         assert np.asarray(ef["accept_prob"]).mean() > 0.2
 
 
+@pytest.mark.slow
 def test_hmcecs_per_chain_indices_differ():
     # each chain must carry its own subsample index panel after updates
     N = 1000

@@ -70,6 +70,7 @@ def test_structured_dense_mass_blocks():
     assert abs(float(s["b"].std()) - 3.0) < 0.5
 
 
+@pytest.mark.slow
 def test_step_size_responds_to_target_accept():
     # NUTS realized acceptance sits above the dual-averaging target in the
     # smooth regime; the adaptation guarantee we assert is (a) high targets
@@ -94,6 +95,7 @@ def test_step_size_responds_to_target_accept():
     assert results[0.9][1] < results[0.6][1]
 
 
+@pytest.mark.slow
 def test_pooled_adaptation_shares_step_size():
     def model():
         numpyro_tpu.sample("x", dist.Normal(0.0, 1.0))

@@ -81,6 +81,7 @@ def test_logistic_regression():
     )
 
 
+@pytest.mark.slow
 def test_eight_schools():
     # the canonical hierarchical model; non-centered via TransformedDistribution
     J = 8

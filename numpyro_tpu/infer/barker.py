@@ -101,7 +101,11 @@ def barker_panel_transition(state, pe_grad, blocks, wa_update, num_warmup):
         - pe_y
         + jnp.sum(softplus(jump * gx_w) - softplus(-jump * gy_w), axis=-1)
     )
+    # divergence guard: a proposal with non-finite energy/ratio (huge step
+    # size during adaptation can overflow the model density) must count as
+    # a plain rejection, not poison the dual-averaging state with NaN
     accept_prob = jnp.minimum(jnp.exp(jnp.minimum(log_ratio, 0.0)), 1.0)
+    accept_prob = jnp.where(jnp.isfinite(log_ratio), accept_prob, 0.0)
     accept = core.batch_uniform(key_mh) < accept_prob
 
     take = lambda new, old: jnp.where(

@@ -340,3 +340,114 @@ def test_hmm_enumeration_parity(ref):
     enum_model = enum(config_enumerate(model), first_available_dim=-1)
     ld, _ = enum_log_density(enum_model, (), {}, {})
     assert abs(float(ld) - forward_log_prob()) < 1e-3
+
+
+def test_sa_barker_kernel_parity(ref):
+    # gradient-free SA and Barker proposal on a conjugate target: both
+    # engines are checked against the analytic Gamma posterior, and against
+    # each other when the reference kernel mixes (reference SA can stall on
+    # this target with default settings - that is not our bug to match)
+    import scipy.stats as st
+
+    y = np.random.RandomState(4).gamma(3.0, 1.0, 40)
+    post = st.gamma(2.0 + len(y), scale=1.0 / (1.0 + y.sum()))
+    y = jnp.asarray(y)
+
+    def make(mod, dist_mod):
+        def model(y):
+            rate = mod.sample("rate", dist_mod.Gamma(2.0, 1.0))
+            with mod.plate("N", y.shape[0]):
+                mod.sample("y", dist_mod.Exponential(rate), obs=y)
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import MCMC as OM, SA as OurSA, BarkerMH as OurBarker
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import MCMC as RM, SA as RefSA, BarkerMH as RefBarker
+
+    our_model = make(numpyro_tpu, our_dist)
+    ref_model = make(ref, ref_dist)
+    for OurK, RefK in [(OurSA, RefSA), (OurBarker, RefBarker)]:
+        m1 = OM(
+            OurK(our_model),
+            num_warmup=2000,
+            num_samples=4000,
+            progress_bar=False,
+        )
+        m1.run(random.PRNGKey(0), y)
+        draws = np.asarray(m1.get_samples()["rate"])
+        assert abs(np.median(draws) - post.median()) < 4 * post.std(), OurK
+        assert abs(draws.std() - post.std()) < 0.5 * post.std(), OurK
+
+        m2 = RM(
+            RefK(ref_model),
+            num_warmup=2000,
+            num_samples=4000,
+            progress_bar=False,
+        )
+        m2.run(random.PRNGKey(0), y)
+        ref_draws = np.asarray(m2.get_samples()["rate"])
+        if ref_draws.std() > 1e-6:  # reference actually mixed
+            assert abs(np.median(draws) - np.median(ref_draws)) < 4 * post.std()
+
+
+def test_discrete_hmc_gibbs_parity(ref):
+    # mixed discrete+continuous model through DiscreteHMCGibbs
+    rng = np.random.RandomState(5)
+    y = jnp.asarray(
+        np.concatenate([rng.normal(-2, 1, 30), rng.normal(2, 1, 30)])
+    )
+
+    def make(mod, dist_mod):
+        def model(y):
+            w = mod.sample("w", dist_mod.Beta(2.0, 2.0))
+            mu = mod.sample(
+                "mu", dist_mod.Normal(jnp.zeros(2), 5.0).to_event(1)
+            )
+            with mod.plate("N", y.shape[0]):
+                z = mod.sample("z", dist_mod.Bernoulli(w))
+                mod.sample("y", dist_mod.Normal(mu[z], 1.0), obs=y)
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import (
+        MCMC as OM,
+        NUTS as ON,
+        DiscreteHMCGibbs as OurGibbs,
+    )
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import (
+        MCMC as RM,
+        NUTS as RN,
+        DiscreteHMCGibbs as RefGibbs,
+    )
+
+    m1 = OM(
+        OurGibbs(ON(make(numpyro_tpu, our_dist))),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m1.run(random.PRNGKey(0), y)
+    m2 = RM(
+        RefGibbs(RN(make(ref, ref_dist))),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m2.run(random.PRNGKey(0), y)
+    s1, s2 = m1.get_samples(), m2.get_samples()
+    # label switching: compare sorted component means and the weight's
+    # distance from 1/2
+    mu1 = np.sort(np.median(np.asarray(s1["mu"]), axis=0))
+    mu2 = np.sort(np.median(np.asarray(s2["mu"]), axis=0))
+    assert np.allclose(mu1, mu2, atol=0.4), (mu1, mu2)
+    w1 = abs(float(np.median(np.asarray(s1["w"]))) - 0.5)
+    w2 = abs(float(np.median(np.asarray(s2["w"]))) - 0.5)
+    assert abs(w1 - w2) < 0.15

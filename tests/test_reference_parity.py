@@ -451,3 +451,58 @@ def test_discrete_hmc_gibbs_parity(ref):
     w1 = abs(float(np.median(np.asarray(s1["w"]))) - 0.5)
     w2 = abs(float(np.median(np.asarray(s2["w"]))) - 0.5)
     assert abs(w1 - w2) < 0.15
+
+
+def test_hmcecs_parity(ref):
+    # covtype-shaped (small) logistic regression through HMCECS with the
+    # Taylor proxy on both engines (BASELINE correctness row)
+    rng = np.random.RandomState(6)
+    N, D = 3000, 4
+    X = jnp.asarray(rng.randn(N, D))
+    w_true = np.array([1.0, -0.5, 0.25, 0.0])
+    y = jnp.asarray((rng.rand(N) < 1 / (1 + np.exp(-X @ w_true))).astype(float))
+
+    def make(mod, dist_mod):
+        def model(X, y):
+            w = mod.sample("w", dist_mod.Normal(jnp.zeros(D), 1.0).to_event(1))
+            with mod.plate("N", N, subsample_size=300):
+                xb = mod.subsample(X, event_dim=1)
+                yb = mod.subsample(y, event_dim=0)
+                mod.sample("y", dist_mod.Bernoulli(logits=xb @ w), obs=yb)
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import MCMC as OM, NUTS as ON, HMCECS as OurECS
+
+    our_model = make(numpyro_tpu, our_dist)
+    our_ref_params = {"w": jnp.zeros(D)}
+    our_proxy = OurECS.taylor_proxy(our_ref_params)
+    m1 = OM(
+        OurECS(ON(our_model), num_blocks=10, proxy=our_proxy),
+        num_warmup=500,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m1.run(random.PRNGKey(0), X, y)
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import MCMC as RM, NUTS as RN, HMCECS as RefECS
+
+    ref_model = make(ref, ref_dist)
+    ref_proxy = RefECS.taylor_proxy({"w": jnp.zeros(D)})
+    m2 = RM(
+        RefECS(RN(ref_model), num_blocks=10, proxy=ref_proxy),
+        num_warmup=500,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m2.run(random.PRNGKey(0), X, y)
+
+    # pseudo-marginal subsampling noise adds MC error beyond the chain's own
+    # IQR, so the tolerance carries an absolute floor
+    ours = _moments(m1.get_samples())["w"]
+    refs = _moments(m2.get_samples())["w"]
+    assert np.all(np.abs(ours[0] - refs[0]) < 0.6 * refs[1] + 0.05), (ours, refs)
+    assert np.all(np.abs(ours[1] - refs[1]) < 0.6 * refs[1] + 0.02), (ours, refs)

@@ -506,3 +506,56 @@ def test_hmcecs_parity(ref):
     refs = _moments(m2.get_samples())["w"]
     assert np.all(np.abs(ours[0] - refs[0]) < 0.6 * refs[1] + 0.05), (ours, refs)
     assert np.all(np.abs(ours[1] - refs[1]) < 0.6 * refs[1] + 0.02), (ours, refs)
+
+
+def test_ensemble_kernel_parity(ref):
+    # AIES and ESS ensemble samplers vs reference, on a correlated Gaussian
+    rng = np.random.RandomState(7)
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    y = jnp.asarray(rng.multivariate_normal([1.0, -1.0], cov, 50))
+
+    def make(mod, dist_mod):
+        def model(y):
+            mu = mod.sample(
+                "mu", dist_mod.Normal(jnp.zeros(2), 5.0).to_event(1)
+            )
+            with mod.plate("N", y.shape[0]):
+                mod.sample(
+                    "y",
+                    dist_mod.MultivariateNormal(
+                        mu, covariance_matrix=jnp.asarray(cov)
+                    ),
+                    obs=y,
+                )
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import AIES as OurAIES, ESS as OurESS, MCMC as OM
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import AIES as RefAIES, ESS as RefESS, MCMC as RM
+
+    our_model = make(numpyro_tpu, our_dist)
+    ref_model = make(ref, ref_dist)
+    for OurK, RefK in [(OurAIES, RefAIES), (OurESS, RefESS)]:
+        m1 = OM(
+            OurK(our_model),
+            num_warmup=1000,
+            num_samples=2000,
+            num_chains=16,
+            chain_method="vectorized",
+            progress_bar=False,
+        )
+        m1.run(random.PRNGKey(0), y)
+        m2 = RM(
+            RefK(ref_model),
+            num_warmup=1000,
+            num_samples=2000,
+            num_chains=16,
+            chain_method="vectorized",
+            progress_bar=False,
+        )
+        m2.run(random.PRNGKey(0), y)
+        _assert_close(_moments(m1.get_samples()), _moments(m2.get_samples()))

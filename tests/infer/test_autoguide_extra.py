@@ -99,6 +99,7 @@ def test_bnaf_logdet_exact():
     np.testing.assert_allclose(t.log_abs_det_jacobian(x, y), logdet, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_auto_semi_dais():
     """AutoSemiDAIS: parametric global guide + local DAIS under a subsample
     plate (reference: autoguide.py:1235)."""

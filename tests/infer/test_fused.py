@@ -112,6 +112,7 @@ def test_fused_divergences_surface():
     assert ef["diverging"].dtype == bool
 
 
+@pytest.mark.slow
 def test_fused_rng_reproducible(_data):
     x, y = _data
     outs = []

@@ -56,7 +56,9 @@ def test_discrete_gibbs_vectorized_chains():
     np.testing.assert_allclose(freqs, np.asarray(probs), atol=0.06)
 
 
-@pytest.mark.parametrize("num_chains", [1, 4])
+@pytest.mark.parametrize(
+    "num_chains", [1, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_hmcecs_vectorized_chains(num_chains):
     N = 2000
     true_mean = 1.5

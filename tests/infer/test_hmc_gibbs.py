@@ -56,7 +56,9 @@ def test_discrete_hmc_gibbs_mixture(modified):
     assert abs(float(jnp.var(x)) - true_var) < 0.3
 
 
-@pytest.mark.parametrize("use_proxy", [False, True])
+@pytest.mark.parametrize(
+    "use_proxy", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_hmcecs_subsampled_gaussian(use_proxy):
     def model(data):
         x = numpyro_tpu.sample("x", dist.Normal(0, 1))

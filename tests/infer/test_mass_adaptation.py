@@ -23,7 +23,9 @@ def _correlated_target(rho=0.95, dim=2):
     return pot, cov
 
 
-@pytest.mark.parametrize("dense_mass", [True, False])
+@pytest.mark.parametrize(
+    "dense_mass", [True, pytest.param(False, marks=pytest.mark.slow)]
+)
 def test_dense_mass_recovers_correlated_gaussian(dense_mass):
     pot, cov = _correlated_target()
     m = MCMC(

@@ -113,7 +113,14 @@ def test_eight_schools():
     assert 2.0 < samples["tau"].mean() < 6.5
 
 
-@pytest.mark.parametrize("chain_method", ["vectorized", "sequential", "parallel"])
+@pytest.mark.parametrize(
+    "chain_method",
+    [
+        "vectorized",
+        pytest.param("sequential", marks=pytest.mark.slow),
+        pytest.param("parallel", marks=pytest.mark.slow),
+    ],
+)
 def test_chain_methods(chain_method):
     true_mean, true_std = 2.0, 1.0
 

@@ -122,6 +122,7 @@ def _run_toy(x, y, method, seed=1):
     return np.asarray(m.get_samples()["w"])
 
 
+@pytest.mark.slow
 def test_sharded_vs_vectorized_same_posterior(toy_data):
     """chain_method='parallel' (GSPMD over 8 devices) must agree with the
     single-device vectorized run.  NUTS is chaotic, so different reduction

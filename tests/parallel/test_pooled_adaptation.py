@@ -26,7 +26,9 @@ def data():
     return 2.0 + 0.7 * random.normal(random.PRNGKey(0), (200,))
 
 
-@pytest.mark.parametrize("dense_mass", [False, True])
+@pytest.mark.parametrize(
+    "dense_mass", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_pooled_adaptation_shares_step_size(data, dense_mass):
     m = MCMC(
         NUTS(model, pooled_adaptation=True, dense_mass=dense_mass),
@@ -61,6 +63,7 @@ def test_unpooled_adaptation_differs_across_chains(data):
     assert np.ptp(ss[:, -1]) > 0.0  # per-chain adaptation really is per-chain
 
 
+@pytest.mark.slow
 def test_pooled_adaptation_sharded_chains(data):
     """Pooling reductions must compile and agree under a GSPMD-sharded
     chain axis — this is the actual multi-host adaptation path."""

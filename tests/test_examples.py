@@ -59,9 +59,7 @@ CASES = [
 # integration coverage behind --runslow (each example costs ~30s of compile
 # on this 1-core box)
 FAST_CASES = {
-    CASES[0],   # eight_schools: NUTS + chains
-    CASES[2],   # hmm_enum: enumeration + scan
-    CASES[5],   # hmcecs_covtype: subsampled likelihood
+    CASES[5],   # hmcecs_covtype: subsampled likelihood (NUTS + plate path)
     CASES[18],  # dais_demo: SVI/autoguide path
 }
 

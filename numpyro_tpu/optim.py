@@ -123,7 +123,29 @@ def SGD(step_size=1e-3) -> _NumPyroOptim:
 
 
 def SM3(step_size=1e-3, momentum=0.9) -> _NumPyroOptim:
-    return _NumPyroOptim(optax.sm3(step_size, momentum=momentum))
+    # optax.sm3 indexes per-axis accumulators and breaks on 0-d leaves;
+    # lift scalars to shape (1,) around the inner transformation
+    inner = optax.sm3(step_size, momentum=momentum)
+
+    def _lift(tree):
+        return jax.tree.map(lambda x: jnp.atleast_1d(x), tree)
+
+    def init_fn(params):
+        return inner.init(_lift(params))
+
+    def update_fn(updates, state, params=None):
+        lifted_updates, treedef = jax.tree.flatten(_lift(updates))
+        out, state = inner.update(
+            jax.tree.unflatten(treedef, lifted_updates),
+            state,
+            None if params is None else _lift(params),
+        )
+        shaped = jax.tree.map(
+            lambda u, orig: jnp.reshape(u, jnp.shape(orig)), out, updates
+        )
+        return shaped, state
+
+    return _NumPyroOptim(optax.GradientTransformation(init_fn, update_fn))
 
 
 def optax_to_numpyro(transformation: optax.GradientTransformation) -> _NumPyroOptim:

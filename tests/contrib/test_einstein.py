@@ -68,3 +68,38 @@ def test_kernel_variants_run():
         svgd = SVGD(gaussian_model, Adagrad(0.3), kf, num_stein_particles=20)
         res = svgd.run(random.PRNGKey(3), 50)
         assert np.isfinite(np.asarray(res.losses)).all()
+
+
+def test_remaining_kernel_variants_run():
+    from numpyro_tpu.contrib.einstein.stein_kernels import (
+        GraphicalKernel,
+        MixtureKernel,
+        ProbabilityProductKernel,
+        RadialGaussNewtonKernel,
+        RBFKernel,
+    )
+
+    kernels = [
+        MixtureKernel([0.5, 0.5], [RBFKernel(), IMQKernel()]),
+        GraphicalKernel(),
+        RadialGaussNewtonKernel(),
+    ]
+    for kf in kernels:
+        svgd = SVGD(gaussian_model, Adagrad(0.3), kf, num_stein_particles=12)
+        res = svgd.run(random.PRNGKey(4), 40)
+        assert np.isfinite(np.asarray(res.losses)).all(), type(kf).__name__
+
+    # ProbabilityProductKernel needs the fitted guide it measures against
+    from numpyro_tpu.contrib.einstein import SteinVI
+    from numpyro_tpu.infer.autoguide import AutoNormal
+
+    guide = AutoNormal(gaussian_model)
+    stein = SteinVI(
+        gaussian_model,
+        guide,
+        Adagrad(0.3),
+        ProbabilityProductKernel(guide=guide),
+        num_stein_particles=6,
+    )
+    res = stein.run(random.PRNGKey(5), 40)
+    assert np.isfinite(np.asarray(res.losses)).all()

@@ -559,3 +559,51 @@ def test_ensemble_kernel_parity(ref):
         )
         m2.run(random.PRNGKey(0), y)
         _assert_close(_moments(m1.get_samples()), _moments(m2.get_samples()))
+
+
+def test_scan_time_series_parity(ref):
+    # effectful-scan AR(1) model through NUTS on both engines
+    rng = np.random.RandomState(8)
+    T = 25
+    xs = [0.0]
+    for _ in range(T - 1):
+        xs.append(0.7 * xs[-1] + 0.3 * rng.randn())
+    obs = jnp.asarray(np.asarray(xs) + 0.1 * rng.randn(T))
+
+    def make(mod, dist_mod, scan_fn):
+        def model(obs):
+            phi = mod.sample("phi", dist_mod.Uniform(-1.0, 1.0))
+            q = mod.sample("q", dist_mod.HalfNormal(1.0))
+
+            def transition(carry, y_t):
+                x_prev = carry
+                x_t = mod.sample("x", dist_mod.Normal(phi * x_prev, q))
+                mod.sample("y", dist_mod.Normal(x_t, 0.1), obs=y_t)
+                return x_t, x_t
+
+            scan_fn("ts", transition, 0.0, obs)
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.contrib.control_flow import scan as our_scan
+
+    import numpyro.distributions as ref_dist
+    from numpyro.contrib.control_flow import scan as ref_scan
+
+    def our_scan_fn(name, f, init, xs):
+        return our_scan(f, init, xs)
+
+    def ref_scan_fn(name, f, init, xs):
+        return ref_scan(f, init, xs)
+
+    _ab_nuts(
+        ref,
+        make(numpyro_tpu, our_dist, our_scan_fn),
+        make(ref, ref_dist, ref_scan_fn),
+        obs,
+        warmup=600,
+        samples=1200,
+        sites={"phi", "q"},
+    )

@@ -607,3 +607,45 @@ def test_scan_time_series_parity(ref):
         samples=1200,
         sites={"phi", "q"},
     )
+
+
+def test_mixed_hmc_parity(ref):
+    # MixedHMC on a discrete+continuous posterior vs the reference
+    rng = np.random.RandomState(9)
+    y = jnp.asarray(np.concatenate([rng.normal(-2, 1, 25), rng.normal(2, 1, 25)]))
+
+    def make(mod, dist_mod):
+        def model(y):
+            w = mod.sample("w", dist_mod.Beta(2.0, 2.0))
+            mu = mod.sample("mu", dist_mod.Normal(jnp.zeros(2), 5.0).to_event(1))
+            with mod.plate("N", y.shape[0]):
+                z = mod.sample("z", dist_mod.Bernoulli(w))
+                mod.sample("y", dist_mod.Normal(mu[z], 1.0), obs=y)
+
+        return model
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import HMC as OHMC, MCMC as OM, MixedHMC as OurMixed
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import HMC as RHMC, MCMC as RM, MixedHMC as RefMixed
+
+    m1 = OM(
+        OurMixed(OHMC(make(numpyro_tpu, our_dist), trajectory_length=1.2)),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m1.run(random.PRNGKey(0), y)
+    m2 = RM(
+        RefMixed(RHMC(make(ref, ref_dist), trajectory_length=1.2)),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m2.run(random.PRNGKey(0), y)
+    s1, s2 = m1.get_samples(), m2.get_samples()
+    mu1 = np.sort(np.median(np.asarray(s1["mu"]), axis=0))
+    mu2 = np.sort(np.median(np.asarray(s2["mu"]), axis=0))
+    assert np.allclose(mu1, mu2, atol=0.4), (mu1, mu2)

@@ -649,3 +649,53 @@ def test_mixed_hmc_parity(ref):
     mu1 = np.sort(np.median(np.asarray(s1["mu"]), axis=0))
     mu2 = np.sort(np.median(np.asarray(s2["mu"]), axis=0))
     assert np.allclose(mu1, mu2, atol=0.4), (mu1, mu2)
+
+
+def test_hmc_gibbs_user_fn_parity(ref):
+    # user-supplied gibbs_fn updating a conjugate site, HMC on the rest
+    rng = np.random.RandomState(10)
+    y = jnp.asarray(rng.normal(1.0, 2.0, 60))
+
+    def make(mod, dist_mod):
+        def model(y):
+            mu = mod.sample("mu", dist_mod.Normal(0.0, 10.0))
+            prec = mod.sample("prec", dist_mod.Gamma(2.0, 2.0))
+            with mod.plate("N", y.shape[0]):
+                mod.sample(
+                    "y", dist_mod.Normal(mu, 1.0 / jnp.sqrt(prec)), obs=y
+                )
+
+        def gibbs_fn(rng_key, gibbs_sites, hmc_sites):
+            # exact conjugate update of prec | mu, y
+            mu = hmc_sites["mu"]
+            a = 2.0 + 0.5 * y.shape[0]
+            b = 2.0 + 0.5 * jnp.sum((y - mu) ** 2)
+            prec = dist_mod.Gamma(a, b).sample(rng_key)
+            return {"prec": prec}
+
+        return model, gibbs_fn
+
+    import numpyro_tpu
+    import numpyro_tpu.distributions as our_dist
+    from numpyro_tpu.infer import HMCGibbs as OurGibbs, MCMC as OM, NUTS as ON
+
+    import numpyro.distributions as ref_dist
+    from numpyro.infer import HMCGibbs as RefGibbs, MCMC as RM, NUTS as RN
+
+    our_model, our_gibbs = make(numpyro_tpu, our_dist)
+    ref_model, ref_gibbs = make(ref, ref_dist)
+    m1 = OM(
+        OurGibbs(ON(our_model), gibbs_fn=our_gibbs, gibbs_sites=["prec"]),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m1.run(random.PRNGKey(0), y)
+    m2 = RM(
+        RefGibbs(RN(ref_model), gibbs_fn=ref_gibbs, gibbs_sites=["prec"]),
+        num_warmup=600,
+        num_samples=1500,
+        progress_bar=False,
+    )
+    m2.run(random.PRNGKey(0), y)
+    _assert_close(_moments(m1.get_samples()), _moments(m2.get_samples()))

@@ -58,8 +58,14 @@ N, D = int(os.environ.get("BENCH_N", 581_012)), 55
 # chain-massive scale (default 4096 chains).
 MODE = os.environ.get("BENCH_MODE", "nuts")
 NUM_CHAINS = int(
-    os.environ.get("BENCH_CHAINS", 4096 if MODE == "ecs" else 256)
+    os.environ.get("BENCH_CHAINS", 4096 if MODE == "ecs" else 1024)
 )
+# GLM kernel precision: "split" = bf16-stored design matrix with
+# f32-accurate split-precision w (see ops/glm.py module docstring) — the
+# model sampled is the bf16-quantized design matrix's posterior, exactly;
+# 1.5-1.7x the f32 mode on v5e.  Set BENCH_GLM_DTYPE=f32 for the exact-f32
+# design matrix.
+GLM_DTYPE = os.environ.get("BENCH_GLM_DTYPE", "split")
 NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 300))
 NUM_SAMPLES = int(
     os.environ.get("BENCH_SAMPLES", 500 if MODE == "ecs" else 1000)
@@ -114,7 +120,11 @@ def build_mcmc(X, y, true_w):
         )
         args = (X, y)
     else:
-        data = prepare_glm_data(X, y)
+        import jax.numpy as _jnp
+
+        data = prepare_glm_data(
+            X, y, dtype="split" if GLM_DTYPE == "split" else _jnp.float32
+        )
         jax.block_until_ready(data.x_t)
         kernel = NUTS(model, max_tree_depth=MAX_TREE_DEPTH)
         args = (data,)
@@ -197,7 +207,7 @@ def main():
     else:
         workload = (
             f"covtype-shape logistic regression, {NUM_CHAINS} async"
-            " vectorized chains, fused Pallas likelihood"
+            f" vectorized chains, fused Pallas likelihood ({GLM_DTYPE})"
         )
     result = {
         "metric": "warmup-amortized effective samples/sec/chip "
@@ -218,6 +228,7 @@ def main():
             "num_warmup": NUM_WARMUP,
             "num_samples_per_chain": NUM_SAMPLES,
             "max_tree_depth": str(MAX_TREE_DEPTH),
+            "glm_dtype": GLM_DTYPE,
             "data_shape": [N, D],
             "device": str(jax.devices()[0]),
             "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"

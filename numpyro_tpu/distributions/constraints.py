@@ -44,7 +44,7 @@ def _is_symmetric(x):
 
 __all__ = [
     "Constraint", "boolean", "circular", "corr_cholesky", "corr_matrix",
-    "dependent", "greater_than", "greater_than_eq", "less_than",
+    "dependent", "is_dependent", "greater_than", "greater_than_eq", "less_than",
     "less_than_eq", "independent", "integer_interval", "integer_greater_than",
     "interval", "l1_ball", "lower_cholesky", "scaled_unit_lower_cholesky",
     "multinomial", "nonnegative", "nonnegative_integer", "open_interval",
@@ -581,6 +581,12 @@ class _PositiveDefiniteCirculantVector(Constraint):
 # ---------------------------------------------------------------------------
 # Public singletons / factories
 # ---------------------------------------------------------------------------
+
+def is_dependent(constraint):
+    """True iff ``constraint`` is a :data:`dependent` placeholder (reference:
+    numpyro/distributions/constraints.py:270)."""
+    return isinstance(constraint, _Dependent)
+
 
 boolean = _Boolean()
 circular = _Circular()

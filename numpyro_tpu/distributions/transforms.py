@@ -58,6 +58,7 @@ __all__ = [
     "SoftplusTransform",
     "StickBreakingTransform",
     "Transform",
+    "UnpackTransform",
     "ZeroSumTransform",
 ]
 
@@ -890,6 +891,63 @@ class PermuteTransform(Transform):
 
     def __eq__(self, other):
         return _same_params(self, other, ("permutation",))
+
+
+class UnpackTransform(Transform):
+    """Flat trailing-axis vector -> pytree of subarrays via a user-supplied
+    unpack callable (typically the unravel fn from ``ravel_pytree``); the
+    workhorse behind packed-latent autoguides (reference:
+    numpyro/distributions/transforms.py:1135).  Leading batch axes are
+    handled by vmapping the unpack callable over a flattened batch.
+
+    :param unpack_fn: ``(D,) -> pytree``.
+    :param pack_fn: ``pytree -> (D,)``; required for ``.inv`` (single,
+        unbatched pytrees only — batched pytrees cannot be distinguished
+        from wider unbatched ones by shape alone).
+    """
+
+    domain = constraints.real_vector
+    codomain = constraints.dependent
+    pytree_aux_fields = ("unpack_fn", "pack_fn")
+
+    def __init__(self, unpack_fn, pack_fn=None):
+        self.unpack_fn = unpack_fn
+        self.pack_fn = pack_fn
+
+    def __call__(self, x):
+        batch_shape = jnp.shape(x)[:-1]
+        if not batch_shape:
+            return self.unpack_fn(x)
+        flat = jnp.reshape(x, (-1, jnp.shape(x)[-1]))
+        out = jax.vmap(self.unpack_fn)(flat)
+        return jax.tree_util.tree_map(
+            lambda z: jnp.reshape(z, batch_shape + z.shape[1:]), out
+        )
+
+    def _inverse(self, y):
+        if self.pack_fn is None:
+            raise NotImplementedError(
+                "UnpackTransform.inv requires a pack_fn."
+            )
+        return self.pack_fn(y)
+
+    def log_abs_det_jacobian(self, x, y, intermediates=None):
+        return jnp.zeros(jnp.shape(x)[:-1])
+
+    def forward_shape(self, shape):
+        raise NotImplementedError
+
+    def inverse_shape(self, shape):
+        raise NotImplementedError
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, UnpackTransform)
+            and self.unpack_fn is other.unpack_fn
+            and self.pack_fn is other.pack_fn
+        )
+
+    __hash__ = Transform.__hash__
 
 
 class ReshapeTransform(Transform):

@@ -38,6 +38,7 @@ from numpyro_tpu.distributions.transforms import (
     ComposeTransform,
     IndependentTransform,
     LowerCholeskyAffine,
+    UnpackTransform,
     biject_to,
 )
 from numpyro_tpu.distributions.util import sum_rightmost
@@ -535,16 +536,6 @@ class AutoContinuous(AutoGuide):
 
     def quantiles(self, params, quantiles):
         raise NotImplementedError
-
-
-class UnpackTransform:
-    """Callable wrapping a ravel_pytree unpack fn, usable under vmap."""
-
-    def __init__(self, unpack_fn):
-        self.unpack_fn = unpack_fn
-
-    def __call__(self, x):
-        return _map_leading_axes(self.unpack_fn, x, x.ndim - 1)
 
 
 class _PackedNormalGuide(AutoContinuous):

@@ -636,6 +636,20 @@ class HMC(MCMCKernel):
 
         warm_chunk = int(_os.environ.get("NUMPYRO_TPU_WARMUP_CHUNK", "5"))
         samp_chunk = int(_os.environ.get("NUMPYRO_TPU_SAMPLE_CHUNK", "20"))
+        # hard per-execution leapfrog budget for the async harvest loop: a
+        # harvest-target-only chunk is O(chunk * 2^max_depth) leapfrogs in
+        # the worst case (one slow chain maxing depth-10 trees holds the
+        # whole program past the tunnel's single-execution wall limit); the
+        # loop is resumable anywhere, so the host re-invokes until the
+        # target is reached.  Default scales inversely with the chain count
+        # (per-iteration cost grows with chains for data-bound likelihoods)
+        # to keep one execution's wall time roughly constant.
+        samp_iters = int(
+            _os.environ.get(
+                "NUMPYRO_TPU_SAMPLE_ITERS",
+                max(1024, 4 * 1024 * 1024 // max(num_chains, 1)),
+            )
+        )
 
         def program_init(keys, z_tree, pe, z_grad_tree, dynamic):
             pe_grad, run = _build_run(dynamic)
@@ -659,7 +673,7 @@ class HMC(MCMCKernel):
 
         def program_sample(ss, target, dynamic):
             _, run = _build_run(dynamic)
-            return run.sample_until(ss, target)
+            return run.sample_until(ss, target, max_iters=samp_iters)
 
         def program_finish(ss, dynamic):
             _, run = _build_run(dynamic)
@@ -672,7 +686,9 @@ class HMC(MCMCKernel):
         # traced inputs, so re-running on fresh data of the same shapes
         # reuses the compiled executables (the reference's `jit_model_args`
         # recompile-avoidance, on by default: numpyro/infer/mcmc.py:290-294)
-        cache_key = (num_warmup, num_samples, thinning, self._algo, arg_meta)
+        cache_key = (
+            num_warmup, num_samples, thinning, self._algo, arg_meta, num_chains,
+        )
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -717,8 +733,12 @@ class HMC(MCMCKernel):
         while target < num_samples:
             target = min(target + samp_chunk, num_samples)
             t1 = _time.time()
-            ss = progs["sample"](ss, target, arg_dyn)
-            _sync(ss.trans_idx)
+            while True:
+                ss = progs["sample"](ss, target, arg_dyn)
+                # the device_get is both the tunnel-reliable sync point and
+                # the check for an iteration-budget early exit
+                if int(jax.device_get(ss.trans_idx).min()) >= target:
+                    break
             sample_times.append(_time.time() - t1)
             if progress is not None:
                 progress("sample", target, num_samples)

@@ -1254,19 +1254,34 @@ def build_fused_run(
             carry = (ws.keys, ws.z, ws.pe, ws.grad)
         return SampleState(carry, buf_z, buf, zero_i, zero_f, ws.adapt)
 
-    def _sample_until_async(ss, target):
+    def _sample_until_async(ss, target, max_iters=None):
         """Harvest loop: advance every chain one leapfrog per iteration;
         chains that finish a trajectory bank the sample and immediately
         start the next one.  Runs until every chain has completed
         ``target`` transitions (chains past the target keep producing
-        rather than idling, so chunked calls waste nothing)."""
+        rather than idling, so chunked calls waste nothing).
+
+        ``max_iters`` (static) additionally bounds the loop by leapfrog
+        count so one device execution cannot run arbitrarily long: a
+        harvest-target-only bound is ``O(target * 2^max_depth)`` leapfrogs
+        in the worst case (a single slow chain maxing out depth-10 trees
+        holds the whole program), which blows past single-execution wall
+        limits on tunneled/preemptible devices.  The loop is resumable at
+        ANY iteration — all per-chain machine state lives in the carry —
+        so the host simply re-invokes until ``trans_idx`` reaches target.
+        """
         adapt = ss.adapt
         goal = jnp.minimum(target, num_samples)
 
-        def cond_fn(ss):
-            return ~jnp.all(ss.trans_idx >= goal)
+        def cond_fn(st):
+            ss, it = st
+            live = ~jnp.all(ss.trans_idx >= goal)
+            if max_iters is not None:
+                live = live & (it < max_iters)
+            return live
 
-        def body_fn(ss):
+        def body_fn(st):
+            ss, it = st
             t = ss.carry
             c = t.z.shape[0]
             d = t.z.shape[1]
@@ -1327,9 +1342,10 @@ def build_fused_run(
                 fresh,
                 t._replace(key=key),
             )
-            return SampleState(t, buf_z, buf, trans_idx, mean_acc, ss.adapt)
+            return SampleState(t, buf_z, buf, trans_idx, mean_acc, ss.adapt), it + 1
 
-        return lax.while_loop(cond_fn, body_fn, ss)
+        ss, _ = lax.while_loop(cond_fn, body_fn, (ss, jnp.zeros((), jnp.int32)))
+        return ss
 
     def _sample_until_sync(ss, target):
         """HMC path: transitions in lockstep until ``target`` draws."""
@@ -1368,9 +1384,9 @@ def build_fused_run(
 
         return lax.while_loop(cond_fn, body_fn, ss)
 
-    def sample_until(ss, target):
+    def sample_until(ss, target, max_iters=None):
         if algo == "NUTS":
-            return _sample_until_async(ss, target)
+            return _sample_until_async(ss, target, max_iters)
         return _sample_until_sync(ss, target)
 
     def sample_finish(ss):

@@ -15,6 +15,26 @@ scalar function of ``w`` usable inside any model via ``numpyro_tpu.factor``;
 it composes with the chain-massive driver because vmap over chains hits a
 ``custom_vmap`` rule that batches chains into the kernel's sublane dim
 instead of replaying the data pass per chain.
+
+Precision modes (``prepare_glm_data(..., dtype=...)``):
+
+- ``jnp.float32`` (default): exact-f32 model; every MXU contraction runs at
+  HIGHEST precision (multi-pass bf16 emulation of f32 — ~3x the MXU work of
+  a native bf16 pass on v5e).
+- ``"split"``: the design matrix is stored once in bf16 — that quantized
+  matrix IS the model's design matrix, exactly — while ``w`` (which moves
+  every leapfrog step) is carried as an f32-accurate bf16 hi+lo pair packed
+  along the contraction dim, so the forward logits are ONE native-bf16 MXU
+  pass with ~2^-16-relative accuracy *in w*.  The potential stays smooth in
+  ``w`` (energy-conserving trajectories; naive all-bf16 storage breaks this
+  because quantizing w makes the potential piecewise-constant at posterior
+  scale) and the MH accept uses an f32-accurate density, so NUTS samples the
+  bf16-design posterior exactly.  The gradient pass splits the f32 residual
+  the same way (two bf16 passes).  Measured 1.5-1.7x the f32 mode at
+  256-1024 chains on v5e and unlocks 4096-chain panels.
+- ``jnp.bfloat16``: everything bf16, including ``w`` — fastest but the
+  potential's stair-stepping in ``w`` stalls NUTS at high data concentration
+  (kept for diffuse posteriors and experimentation only).
 """
 
 from __future__ import annotations
@@ -67,19 +87,18 @@ jax.tree_util.register_pytree_node(
 def prepare_glm_data(X, y, dtype=jnp.float32):
     """Lay out (N, D) design matrix + (N,) binary obs for the fused kernel.
 
-    :param dtype: storage dtype for X — ``jnp.bfloat16`` halves the HBM
-        traffic and runs the native single-pass MXU path (~2.3x faster
-        end-to-end measured at covtype scale), but it *quantizes the design
-        matrix itself*: at covtype posterior concentration the perturbed
-        geometry stalls NUTS (stuck chains, wrong moments).  Use bf16 only
-        for diffuse posteriors and always check ESS/moments; default f32
-        keeps exact gradients via a HIGHEST-precision pass.
+    :param dtype: storage/precision mode for X — ``jnp.float32`` (exact-f32
+        model), ``"split"`` (bf16-stored design matrix with f32-accurate
+        split-precision ``w``; the recommended high-throughput mode — see
+        module docstring), or ``jnp.bfloat16`` (all-bf16; stalls NUTS at
+        high data concentration, experimentation only).
     """
     N, D = X.shape
     d_pad = max(8 * ((D + 7) // 8), 8)
     n_pad = _TILE * ((N + _TILE - 1) // _TILE)
-    x_t = jnp.zeros((d_pad, n_pad), dtype=dtype)
-    x_t = x_t.at[:D, :N].set(X.T.astype(dtype))
+    store = jnp.bfloat16 if dtype == "split" else dtype
+    x_t = jnp.zeros((d_pad, n_pad), dtype=store)
+    x_t = x_t.at[:D, :N].set(X.T.astype(store))
     y_row = jnp.zeros((1, n_pad), dtype=jnp.float32)
     y_row = y_row.at[0, :N].set(y.astype(jnp.float32))
     return BernoulliLogitsGLMData(x_t, y_row, N, D, dtype)
@@ -98,6 +117,114 @@ def _xla_fused(w_pad, data):
     # padded columns of x_t are zero -> no gradient contribution
     grad = r @ x_t.T
     return -nll, -grad
+
+
+def _pallas_split(w_pad, data):
+    """Split-precision pass: bf16-stored X, f32-accurate hi+lo-packed w.
+
+    Forward: ``[w_hi | w_lo] @ [x ; x]`` — a single full-contraction-width
+    native-bf16 MXU pass equal to ``(w_hi + w_lo) @ x`` with f32
+    accumulation.  Transcendentals are shared (one exp + one log1p serve
+    both the nll and the residual — the VPU is ~40% of this kernel at 4096
+    chains).  Gradient: the f32 residual is split hi+lo the same way (two
+    bf16 passes).  The density is f32-accurate for the bf16-quantized
+    design matrix, i.e. NUTS samples that model exactly.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b_pad, d_pad = w_pad.shape
+    n_pad = data.x_t.shape[1]
+    # measured VMEM envelope on v5e for this kernel's temps: keep the
+    # (B, T) f32 logits block at <= 4 MB (8 MB blocks fail to compile)
+    tile = _TILE
+    while b_pad * tile * 4 > 4 * 1024 * 1024 and tile > 128:
+        tile //= 2
+    num_tiles = n_pad // tile
+
+    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, acc_pe, acc_g):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_pe[:, :] = jnp.zeros_like(acc_pe)
+            acc_g[:, :] = jnp.zeros_like(acc_g)
+
+        x = x_ref[:, :]  # (D, T) bf16
+        x2 = jnp.concatenate([x, x], axis=0)  # (2D, T): [x ; x]
+        # pin DEFAULT precision: operands are already bf16 (native single
+        # MXU pass); the driver's ambient default_matmul_precision("highest")
+        # must not leak in — Mosaic rejects fp32 contract precision on bf16
+        logits = jnp.dot(
+            w_ref[:, :],
+            x2,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (B, T) f32
+        y = y_ref[0, :][None, :]
+        e = jnp.exp(-jnp.abs(logits))
+        nll = jnp.maximum(logits, 0.0) + jnp.log1p(e) - y * logits
+        acc_pe[:, 0:1] += jnp.sum(nll, axis=1, keepdims=True)
+        sig = jnp.where(logits >= 0, 1.0, e) / (1.0 + e)
+        r = sig - y  # (B, T) f32
+        r_hi = r.astype(jnp.bfloat16)
+        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            r_hi,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        g += jax.lax.dot_general(
+            r_lo,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc_g[:, :] += g
+
+        @pl.when(i == num_tiles - 1)
+        def _():
+            pe_ref[:, :] = acc_pe[:, :]
+            g_ref[:, :] = acc_g[:, :]
+
+    w_hi = w_pad.astype(jnp.bfloat16)
+    w_lo = (w_pad - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wpk = jnp.concatenate([w_hi, w_lo], axis=1)  # (B, 2D) bf16
+
+    pe_pad, grad_pad = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (b_pad, 2 * d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((d_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, _LANE), jnp.float32),
+            pltpu.VMEM((b_pad, d_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * d_pad * n_pad,
+            bytes_accessed=d_pad * n_pad * 2,
+            transcendentals=2 * b_pad * n_pad,
+        ),
+    )(wpk, data.x_t, data.y_row)
+
+    nll = pe_pad[:, 0] - (n_pad - data.n) * jnp.log(2.0)
+    return -nll, -grad_pad
 
 
 def _pallas_fused(w_pad, data):
@@ -204,7 +331,10 @@ def _fused_batched(w, data):
     """(B, D) chains -> (loglik (B,), grad (B, D)); pads to kernel layout."""
     b, d = w.shape
     d_pad = data.x_t.shape[0]
-    b_pad = max(8 * ((b + 7) // 8), 8)
+    # bf16 MXU operands tile at (16, 128) sublanes x lanes: the split mode's
+    # packed-w lhs is bf16, so its chain padding must be a multiple of 16
+    b_mult = 16 if data.dtype == "split" else 8
+    b_pad = max(b_mult * ((b + b_mult - 1) // b_mult), b_mult)
     w_pad = jnp.zeros((b_pad, d_pad), dtype=jnp.float32)
     w_pad = w_pad.at[:b, :d].set(w)
     # branch on the LOWERING platform (not the default backend): a
@@ -213,7 +343,7 @@ def _fused_batched(w, data):
     ll, g = jax.lax.platform_dependent(
         w_pad,
         data,
-        tpu=_pallas_fused,
+        tpu=_pallas_split if data.dtype == "split" else _pallas_fused,
         default=_xla_fused,
     )
     return ll[:b], g[:b, :d]

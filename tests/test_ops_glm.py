@@ -39,6 +39,35 @@ def test_matches_direct_loglik_and_grad():
     np.testing.assert_allclose(g1, g_ref[0], rtol=1e-3, atol=1e-3)
 
 
+def test_split_mode_matches_bf16_design_model():
+    """dtype="split" defines the model on the bf16-quantized design matrix
+    exactly: the fallback/XLA path must match a direct f32 computation on
+    that quantized matrix (the Pallas path differs only by ~1e-5-relative
+    residual splitting, exercised on TPU by bench/verify runs)."""
+    N, D, C = 5000, 7, 5
+    kx, kw, ky = random.split(random.PRNGKey(0), 3)
+    X = random.normal(kx, (N, D))
+    W = random.normal(kw, (C, D)) * 0.3
+    y = (random.uniform(ky, (N,)) < 0.5).astype(jnp.float32)
+    data = prepare_glm_data(X, y, dtype="split")
+    assert data.x_t.dtype == jnp.bfloat16
+
+    Xq = X.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def ref_ll(w):
+        logits = Xq @ w
+        return -jnp.sum(jax.nn.softplus(logits) - y * logits)
+
+    ll_ref = jax.vmap(ref_ll)(W)
+    g_ref = jax.vmap(jax.grad(ref_ll))(W)
+    f = jax.jit(
+        jax.vmap(jax.value_and_grad(bernoulli_logits_loglik), in_axes=(0, None))
+    )
+    ll, g = f(W, data)
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-5)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-3, atol=1e-3)
+
+
 def test_fused_model_matches_plain_posterior():
     N, D, C = 2000, 6, 4
     kx, ky = random.split(random.PRNGKey(0), 2)

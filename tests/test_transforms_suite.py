@@ -207,3 +207,28 @@ def test_biject_to_round_trip(name, constraint, shape):
     # log-det finite and antisymmetric
     ld = t.log_abs_det_jacobian(unconstrained, constrained)
     assert bool(jnp.isfinite(ld).all())
+
+
+def test_unpack_transform_roundtrip_and_batching():
+    from jax.flatten_util import ravel_pytree
+
+    from numpyro_tpu.distributions.transforms import UnpackTransform
+
+    proto = {"a": jnp.zeros((2, 3)), "b": jnp.zeros(4)}
+    flat, unravel = ravel_pytree(proto)
+    t = UnpackTransform(unravel, pack_fn=lambda tree: ravel_pytree(tree)[0])
+    x = random.normal(random.PRNGKey(0), (10,))
+    tree = t(x)
+    assert tree["a"].shape == (2, 3) and tree["b"].shape == (4,)
+    np.testing.assert_allclose(np.asarray(t.inv(tree)), np.asarray(x), rtol=1e-6)
+    # leading batch axes vmap through the unpack fn
+    xb = random.normal(random.PRNGKey(1), (5, 7, 10))
+    tb = t(xb)
+    assert tb["a"].shape == (5, 7, 2, 3) and tb["b"].shape == (5, 7, 4)
+    np.testing.assert_allclose(
+        np.asarray(tb["a"][2, 3]), np.asarray(t(xb[2, 3])["a"]), rtol=1e-6
+    )
+    # volume-preserving reshape: zero log-det with batch shape
+    assert t.log_abs_det_jacobian(xb, tb).shape == (5, 7)
+    assert bool((t.log_abs_det_jacobian(xb, tb) == 0).all())
+    assert constraints.is_dependent(t.codomain)

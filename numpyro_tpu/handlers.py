@@ -377,10 +377,7 @@ class lift(Messenger):
         prior = self._prior_for(name)
         if prior is None:
             return
-        if name in self._samples_cache:
-            msg["value"] = self._samples_cache[name]["value"]
-            msg["type"] = "sample"
-            return
+        cached = self._samples_cache.get(name)
         msg.update(
             type="sample",
             fn=prior,
@@ -389,9 +386,12 @@ class lift(Messenger):
             infer=msg.get("infer", {}),
             kwargs={"rng_key": None, "sample_shape": ()},
             args=(),
-            value=None,
+            # repeated params share one draw per run (the cached msg dict is
+            # mutated in place by apply_stack once the value is drawn)
+            value=cached["value"] if cached is not None else None,
         )
-        self._samples_cache[name] = msg
+        if cached is None:
+            self._samples_cache[name] = msg
 
 
 class mask(Messenger):
@@ -548,19 +548,30 @@ class do(Messenger):
         if msg["type"] != "sample":
             return
         already_mine = msg.get("_intervener_id", None) == self._intervener_id
+        if msg.get("_do_counterfactual", False):
+            # counterfactual re-dispatches are never re-intervened: without
+            # this guard two `do` handlers naming the same site ping-pong
+            # counterfactual messages forever (the reference recurses
+            # unboundedly here) — but a second intervener seeing another's
+            # counterfactual is exactly the double-intervention case, so the
+            # diagnostic still fires
+            if not already_mine and self.data.get(msg["name"]) is not None:
+                warnings.warn(
+                    "Attempting to intervene on variable {} multiple times,"
+                    " this is almost certainly incorrect behavior".format(
+                        msg["name"]
+                    ),
+                    RuntimeWarning,
+                    stacklevel=find_stack_level(),
+                )
+            return
         if already_mine or self.data.get(msg["name"]) is None:
             return
-        if msg.get("_intervener_id", None) is not None:
-            warnings.warn(
-                "Attempting to intervene on variable {} multiple times,"
-                "this is almost certainly incorrect behavior".format(msg["name"]),
-                RuntimeWarning,
-                stacklevel=find_stack_level(),
-            )
         msg["_intervener_id"] = self._intervener_id
 
         # split node, avoid reapplying self recursively to new node
         counterfactual = msg.copy()
+        counterfactual["_do_counterfactual"] = True
         counterfactual["cond_indep_stack"] = list(
             counterfactual["cond_indep_stack"]
         )

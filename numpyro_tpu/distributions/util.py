@@ -391,12 +391,16 @@ def von_mises_centered(key, concentration, shape=(), dtype=jnp.float64):
 
 
 def safe_normalize(x, *, p=2):
-    """Normalize a vector to unit p-norm, safely at 0."""
-    norm = jnp.linalg.norm(x, p, axis=-1, keepdims=True)
-    unit = x / jnp.clip(norm, jnp.finfo(x).tiny)
-    # the zero vector maps to the uniform direction
+    """Normalize a vector to unit p-norm, safely at 0.
+
+    Gradient-safe: the zero vector maps to the uniform direction with zero
+    gradient (double-where keeps the norm's 0/0 out of the backward pass)."""
+    zero = jnp.all(x == 0, axis=-1, keepdims=True)
+    x_safe = jnp.where(zero, 1.0, x)
+    norm = jnp.linalg.norm(x_safe, p, axis=-1, keepdims=True)
+    unit = x_safe / jnp.clip(norm, jnp.finfo(x).tiny)
     fallback = jnp.full_like(x, x.shape[-1] ** (-1.0 / p))
-    return jnp.where(norm == 0, fallback, unit)
+    return jnp.where(zero, fallback, unit)
 
 
 def cholesky_update(L, x, coef=1):

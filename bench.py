@@ -141,9 +141,24 @@ def build_mcmc(X, y, true_w):
     )
 
 
+def _progress(msg):
+    # phase timestamps on stderr so a stalled run is diagnosable (the JSON
+    # result line on stdout stays the only stdout output)
+    import sys
+
+    print(f"[bench +{time.time() - _T_START:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T_START = time.time()
+
+
 def main():
+    _progress(f"start: mode={MODE} chains={NUM_CHAINS} glm_dtype={GLM_DTYPE}")
     X, y, true_w = make_data()
+    jax.block_until_ready(X)
+    _progress("data materialized on device")
     mcmc, args = build_mcmc(X, y, true_w)
+    _progress("kernel built; entering run (first compile ~1-5 min)")
 
     # single run; the chunked fused driver reports per-chunk wall times, so
     # steady-state rates come from the post-compile chunks (chunk 0 of each
@@ -153,6 +168,7 @@ def main():
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
     total_wall_s = time.time() - t0
+    _progress(f"run complete in {total_wall_s:.0f}s; computing diagnostics")
     stats = mcmc.last_run_stats
     wt = stats.get("warm_chunk_times", [])
     st = stats.get("sample_chunk_times", [])

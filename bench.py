@@ -57,8 +57,12 @@ N, D = int(os.environ.get("BENCH_N", 581_012)), 55
 # subsampled likelihood (subsample 1000, 100 blocks, Taylor proxy) at
 # chain-massive scale (default 4096 chains).
 MODE = os.environ.get("BENCH_MODE", "nuts")
+# Default chain counts are sized so the DEFAULT `python bench.py` always
+# completes well inside the driver budget on one v5e chip (round-2 measured
+# 353s wall incl. compile at 256 chains; round 3's 1024-chain default timed
+# out and shipped no number — never again).  Scale up via BENCH_CHAINS.
 NUM_CHAINS = int(
-    os.environ.get("BENCH_CHAINS", 4096 if MODE == "ecs" else 1024)
+    os.environ.get("BENCH_CHAINS", 4096 if MODE == "ecs" else 256)
 )
 # GLM kernel precision: "split" = bf16-stored design matrix with
 # f32-accurate split-precision w (see ops/glm.py module docstring) — the

@@ -294,6 +294,7 @@ class MCMC:
         import time as _time
 
         _t0 = _time.time()
+        self._chain_pad = 0
         init_state = self._warmup_state
         if init_state is not None:
             # resuming from a warmed-up state: no warmup steps to skip
@@ -361,7 +362,8 @@ class MCMC:
             finally:
                 if bar is not None:
                     bar.close()
-            self._last_state = last_state
+            self._last_state = self._strip_chain_pad(last_state)
+            fields = self._strip_chain_pad(fields)
             self._postprocess_states(fields, None, collect_fields, by_field=True)
             jax.block_until_ready(
                 _get_value_from_state(last_state, self._sample_field)
@@ -475,6 +477,8 @@ class MCMC:
             )
             # collected shape: (num_samples_per_chain, num_chains, ...)
             states = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), states)
+            states = self._strip_chain_pad(states)
+            last_state = self._strip_chain_pad(last_state)
 
         self._last_state = last_state
         self._states = states
@@ -531,33 +535,48 @@ class MCMC:
         )
 
     def _shard_over_chains(self, rng_key):
-        import math as _math
+        """Shard the chain axis over every local device.
+
+        When ``num_chains`` is not a multiple of the device count, the chain
+        axis is PADDED to the next multiple (duplicating the first keys) so
+        all devices stay busy, and the extra chains are dropped at
+        collection (``_strip_chain_pad``) — running 1023 chains on 8 devices
+        costs one extra chain per device, not a 8x single-device fallback.
+        """
         import warnings
 
         n_dev = local_device_count()
         if n_dev <= 1:
             return rng_key
-        n_use = _math.gcd(self.num_chains, n_dev)
-        if n_use == 1:
-            warnings.warn(
-                f"num_chains={self.num_chains} shares no factor with device "
-                f"count {n_dev}; running single-device vectorized. Pick "
-                f"num_chains as a multiple of the device count to use every "
-                "device.",
-                stacklevel=2,
-            )
-            return rng_key
-        if n_use < n_dev:
+        pad = (-self.num_chains) % n_dev
+        if pad:
             warnings.warn(
                 f"num_chains={self.num_chains} is not divisible by device "
-                f"count {n_dev}; sharding over {n_use} devices instead. Pick "
-                "num_chains as a multiple of the device count to use every "
-                "device.",
+                f"count {n_dev}; padding the chain axis to "
+                f"{self.num_chains + pad} (extras dropped at collection). "
+                "Pick num_chains as a multiple of the device count to avoid "
+                "the padded work.",
                 stacklevel=2,
             )
-        mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_use]), ("chains",))
+            rng_key = jnp.concatenate([rng_key, rng_key[:pad]], axis=0)
+            self._chain_pad = pad
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
         sharding = NamedSharding(mesh, P("chains"))
         return jax.device_put(rng_key, sharding)
+
+    def _strip_chain_pad(self, tree):
+        """Drop padded chains from any leaf carrying the padded chain axis."""
+        pad = getattr(self, "_chain_pad", 0)
+        if not pad:
+            return tree
+        padded_c = self.num_chains + pad
+
+        def strip(x):
+            if jnp.ndim(x) >= 1 and jnp.shape(x)[0] == padded_c:
+                return x[: self.num_chains]
+            return x
+
+        return jax.tree.map(strip, tree)
 
     def _postprocess_states(
         self, states, postprocess_fn, collect_fields, by_field=False

@@ -208,3 +208,38 @@ def test_constrained_sites_postprocessed():
     s = mcmc.get_samples()
     assert np.all((np.asarray(s["p"]) > 0) & (np.asarray(s["p"]) < 1))
     assert np.all(np.asarray(s["s"]) > 0)
+
+
+def test_chain_padding_uses_all_devices():
+    """num_chains not divisible by the device count pads the chain axis to
+    the next multiple (using every device) instead of falling back to fewer
+    devices; the padded chains are dropped at collection."""
+    n_dev = jax.local_device_count()
+    assert n_dev == 8, "suite is configured for 8 virtual devices"
+    num_chains = 5  # gcd(5, 8) == 1: the old fallback would use ONE device
+
+    def model():
+        npt.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = MCMC(
+        NUTS(model),
+        num_warmup=50,
+        num_samples=60,
+        num_chains=num_chains,
+        chain_method="parallel",
+        progress_bar=False,
+    )
+    # the sharded key batch must span all 8 devices
+    keys = random.split(random.PRNGKey(0), num_chains)
+    with pytest.warns(UserWarning, match="padding the chain axis"):
+        sharded = mcmc._shard_over_chains(keys)
+    assert sharded.shape[0] == 8
+    assert len(sharded.sharding.device_set) == n_dev
+
+    with pytest.warns(UserWarning, match="padding the chain axis"):
+        mcmc.run(random.PRNGKey(0))
+    samples = mcmc.get_samples(group_by_chain=True)
+    assert samples["x"].shape == (num_chains, 60)
+    # last_state is stripped back to the requested chain count too
+    assert mcmc.last_state.z["x"].shape == (num_chains,)
+    assert abs(np.asarray(samples["x"]).mean()) < 0.5

@@ -494,13 +494,17 @@ class MaskedDistribution(_Decorated):
     """Zero out log_prob where mask is False (used by plates/handlers)."""
 
     pytree_data_fields = ("_mask",)
-    pytree_aux_fields = ("_mask_is_bool",)
+    # a Python-bool mask is STATIC (log_prob branches on it in Python), so
+    # it travels in aux, not as a traced leaf; `_mask` then flattens as None
+    pytree_aux_fields = ("_mask_is_bool", "_mask_static")
 
     def __init__(self, base_dist, mask):
         self._mask_is_bool = isinstance(mask, bool)
         if self._mask_is_bool:
-            self._mask = mask
+            self._mask_static = mask
+            self._mask = None
         else:
+            self._mask_static = None
             shape = lax.broadcast_shapes(
                 jnp.shape(mask), tuple(base_dist.batch_shape)
             )
@@ -524,7 +528,7 @@ class MaskedDistribution(_Decorated):
 
     def log_prob(self, value):
         if self._mask_is_bool:
-            if self._mask:
+            if self._mask_static:
                 return self.base_dist.log_prob(value)
             lead = max(jnp.ndim(value) - self.event_dim, 0)
             return jnp.zeros(

@@ -106,11 +106,11 @@ def _kl_independent_independent(p, q):
 @register_kl(MaskedDistribution, MaskedDistribution)
 def _kl_masked_masked(p, q):
     if p._mask_is_bool and q._mask_is_bool:
-        mask = p._mask and q._mask
+        mask = p._mask_static and q._mask_static
     else:
         mask = jnp.logical_and(
-            p._mask if not p._mask_is_bool else jnp.asarray(p._mask),
-            q._mask if not q._mask_is_bool else jnp.asarray(q._mask),
+            p._mask if not p._mask_is_bool else jnp.asarray(p._mask_static),
+            q._mask if not q._mask_is_bool else jnp.asarray(q._mask_static),
         )
     if isinstance(mask, bool):
         if mask:

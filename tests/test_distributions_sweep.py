@@ -21,12 +21,23 @@ TEST_FAILURE_RATE = 5e-4
 
 
 class T:
-    def __init__(self, name, params, scipy_fn=None, gof=True, moments=True):
+    def __init__(
+        self,
+        name,
+        params,
+        scipy_fn=None,
+        gof=True,
+        moments=True,
+        sample=True,
+        biject=True,
+    ):
         self.name = name
         self.params = params
         self.scipy_fn = scipy_fn
         self.gof = gof
         self.moments = moments
+        self.sample = sample  # False: no .sample available (ImproperUniform)
+        self.biject = biject  # False: support has no biject_to registration
 
     @property
     def cls(self):
@@ -136,7 +147,154 @@ SPECS = [
       gof=False, moments=False),
 ]
 
+# round-4 extension: every remaining exported concrete family appears in at
+# least one parameterized spec (reference inventory:
+# test/test_distributions.py:1-3720 covers ~all families the same way)
+_adj_ring4 = np.array(
+    [[0, 1, 0, 1], [1, 0, 1, 0], [0, 1, 0, 1], [1, 0, 1, 0]], dtype=np.float32
+)
+_circ_row = np.array([2.0, 0.7, 0.3, 0.7])  # symmetric PD circulant row
+_corr3 = np.array(
+    [[1.0, 0.3, 0.1], [0.3, 1.0, 0.2], [0.1, 0.2, 1.0]]
+)
+
+
+def _sde_fn(x, t):
+    return -x, 0.5  # OU drift/diffusion
+
+
+SPECS += [
+    # probs/logits twin bases (the public factories dispatch onto these)
+    T("BernoulliProbs", dict(probs=0.6), lambda p: osp.bernoulli(0.6), gof=False),
+    T("BinomialProbs", dict(total_count=7, probs=0.35),
+      lambda p: osp.binom(7, 0.35), gof=False),
+    T("BinomialLogits", dict(total_count=7, logits=0.4),
+      lambda p: osp.binom(7, 1 / (1 + np.exp(-0.4))), gof=False),
+    T("CategoricalProbs", dict(probs=jnp.array([0.1, 0.6, 0.3])),
+      gof=False, moments=False),
+    T("CategoricalLogits", dict(logits=jnp.array([0.5, -0.5, 0.1])),
+      gof=False, moments=False),
+    T("GeometricProbs", dict(probs=0.25), lambda p: osp.geom(0.25, loc=-1),
+      gof=False),
+    T("GeometricLogits", dict(logits=-1.1),
+      lambda p: osp.geom(1 / (1 + np.exp(1.1)), loc=-1), gof=False),
+    T("MultinomialProbs", dict(probs=jnp.array([0.2, 0.3, 0.5]), total_count=6),
+      gof=False, moments=False),
+    T("MultinomialLogits", dict(logits=jnp.array([0.2, -0.1, 0.4]), total_count=6),
+      gof=False, moments=False),
+    T("NegativeBinomialProbs", dict(total_count=4.0, probs=0.4),
+      lambda p: osp.nbinom(4.0, 0.6), gof=False),
+    T("NegativeBinomialLogits", dict(total_count=4.0, logits=-0.4),
+      gof=False, moments=False),
+    T("ZeroInflatedProbs",
+      dict(base_dist=dist.Poisson(2.0), gate=0.3), gof=False, moments=False),
+    T("ZeroInflatedLogits",
+      dict(base_dist=dist.Poisson(2.0), gate_logits=-0.8),
+      gof=False, moments=False),
+    T("RelaxedBernoulliLogits", dict(temperature=0.7, logits=0.3),
+      gof=False, moments=False),
+    # structured continuous
+    T("CAR",
+      dict(loc=0.0, correlation=0.8, conditional_precision=1.5,
+           adj_matrix=jnp.asarray(_adj_ring4)),
+      gof=False, moments=False),
+    T("CirculantNormal",
+      dict(loc=jnp.zeros(4), covariance_row=jnp.asarray(_circ_row)),
+      lambda p: osp.multivariate_normal(
+          np.zeros(4),
+          np.array([[_circ_row[(j - i) % 4] for j in range(4)]
+                    for i in range(4)]),
+      ),
+      gof=False, moments=False),
+    T("EulerMaruyama",
+      dict(t=jnp.linspace(0.0, 1.0, 5), sde_fn=_sde_fn,
+           init_dist=dist.Normal(0.0, 1.0)),
+      gof=False, moments=False),
+    T("GaussianStateSpace",
+      dict(num_steps=4, transition_matrix=0.8 * jnp.eye(2),
+           covariance_matrix=jnp.asarray(_cov)),
+      gof=False, moments=False),
+    T("GaussianCopula",
+      dict(marginal_dist=dist.Beta(2.0, 3.0),
+           correlation_matrix=jnp.asarray(_corr)),
+      gof=False, moments=False),
+    T("GaussianCopulaBeta",
+      dict(concentration1=2.0, concentration0=3.0,
+           correlation_matrix=jnp.asarray(_corr)),
+      gof=False, moments=False),
+    T("SineBivariateVonMises",
+      dict(phi_loc=0.0, psi_loc=0.5, phi_concentration=2.0,
+           psi_concentration=3.0, correlation=0.5),
+      gof=False, moments=False),
+    T("SineSkewed",
+      dict(base_dist=dist.VonMises(0.0, 2.0).expand((2,)).to_event(1),
+           skewness=jnp.array([0.3, -0.2])),
+      gof=False, moments=False),
+    T("TruncatedPolyaGamma", dict(batch_shape=()), gof=False, moments=False),
+    T("DoublyTruncatedPowerLaw", dict(alpha=-1.5, low=1.0, high=10.0),
+      gof=False, moments=False),
+    T("LowerTruncatedPowerLaw", dict(alpha=-2.5, low=1.0),
+      gof=False, moments=False),
+    T("WishartCholesky",
+      dict(concentration=5.0, scale_matrix=jnp.eye(2)),
+      gof=False, moments=False),
+    # combinators (reference: distributions/distribution.py:611-1294)
+    T("Delta", dict(v=1.5), gof=False, moments=False, biject=False),
+    T("Unit", dict(log_factor=jnp.array(-0.7)), gof=False, moments=False,
+      biject=False),
+    T("ImproperUniform",
+      dict(support=constraints.positive, batch_shape=(), event_shape=()),
+      gof=False, moments=False, sample=False),
+    T("Independent",
+      dict(base_dist=dist.Normal(jnp.zeros(3), 1.0),
+           reinterpreted_batch_ndims=1),
+      gof=False),
+    T("ExpandedDistribution",
+      dict(base_dist=dist.Normal(0.0, 1.0), batch_shape=(4,)), gof=False),
+    T("MaskedDistribution",
+      dict(base_dist=dist.Normal(0.0, 1.0), mask=True),
+      gof=False),
+    T("TransformedDistribution",
+      dict(base_distribution=dist.Normal(0.0, 1.0),
+           transforms=dist.transforms.ExpTransform()),
+      lambda p: osp.lognorm(1.0), gof=False),
+    T("FoldedDistribution",
+      dict(base_dist=dist.Normal(0.5, 1.0)),
+      lambda p: osp.foldnorm(0.5), gof=False, moments=False),
+    T("LeftTruncatedDistribution",
+      dict(base_dist=dist.Normal(1.0, 2.0), low=0.5),
+      lambda p: osp.truncnorm(-0.25, np.inf, 1.0, 2.0),
+      gof=False, moments=False),
+    T("RightTruncatedDistribution",
+      dict(base_dist=dist.Normal(0.0, 1.0), high=1.0),
+      lambda p: osp.truncnorm(-np.inf, 1.0), gof=False, moments=False),
+    T("TwoSidedTruncatedDistribution",
+      dict(base_dist=dist.Cauchy(0.0, 1.0), low=-1.0, high=2.0),
+      gof=False, moments=False),
+    T("MixtureSameFamily",
+      dict(mixing_distribution=dist.CategoricalProbs(jnp.array([0.4, 0.6])),
+           component_distribution=dist.Normal(jnp.array([-1.0, 1.0]),
+                                              jnp.array([0.5, 1.5]))),
+      gof=False, moments=False),
+    T("MixtureGeneral",
+      dict(mixing_distribution=dist.CategoricalProbs(jnp.array([0.3, 0.7])),
+           component_distributions=[dist.Normal(-1.0, 0.7),
+                                    dist.StudentT(4.0, 1.0, 1.0)]),
+      gof=False, moments=False),
+]
+
 IDS = [repr(s) for s in SPECS]
+
+
+def _some_values(d, spec, key, sample_shape):
+    """Values inside the support: samples, or feasible_like for
+    non-sampleable families (ImproperUniform)."""
+    if spec.sample:
+        return d.sample(key, sample_shape)
+    feas = d.support.feasible_like(
+        jnp.zeros(d.batch_shape + d.event_shape)
+    )
+    return jnp.broadcast_to(feas, sample_shape + jnp.shape(feas))
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=IDS)
@@ -144,7 +302,7 @@ def test_sample_and_logprob_shapes(spec):
     d = spec.make()
     key = random.PRNGKey(0)
     for sample_shape in [(), (7,), (2, 3)]:
-        s = d.sample(key, sample_shape)
+        s = _some_values(d, spec, key, sample_shape)
         assert jnp.shape(s) == sample_shape + d.batch_shape + d.event_shape
         lp = d.log_prob(s)
         assert jnp.shape(lp) == sample_shape + d.batch_shape
@@ -154,7 +312,7 @@ def test_sample_and_logprob_shapes(spec):
 @pytest.mark.parametrize("spec", SPECS, ids=IDS)
 def test_support_membership(spec):
     d = spec.make()
-    s = d.sample(random.PRNGKey(1), (20,))
+    s = _some_values(d, spec, random.PRNGKey(1), (20,))
     ok = d.support(s)
     assert bool(jnp.all(ok)), f"samples outside support for {spec}"
 
@@ -168,7 +326,7 @@ def test_pytree_and_jit_roundtrip(spec):
     assert rebuilt.batch_shape == d.batch_shape
     assert rebuilt.event_shape == d.event_shape
     # log_prob through jit with the distribution as a pytree argument
-    s = d.sample(random.PRNGKey(2), (3,))
+    s = _some_values(d, spec, random.PRNGKey(2), (3,))
     lp_direct = d.log_prob(s)
     lp_jit = jax.jit(lambda dd, x: dd.log_prob(x))(d, s)
     np.testing.assert_allclose(
@@ -234,10 +392,10 @@ def test_biject_to_support(spec):
     d = spec.make()
     if d.is_discrete:
         pytest.skip("no bijection onto a discrete support")
-    if spec.name == "ProjectedNormal":
-        # reference parity: the sphere has no registered bijection — NUTS
-        # handles it through ProjectedNormalReparam instead
-        pytest.skip("sphere support is handled by reparameterization")
+    if spec.name == "ProjectedNormal" or not spec.biject:
+        # reference parity: the sphere (and Delta/Unit point supports) have
+        # no registered bijection — NUTS handles them via reparam/collapse
+        pytest.skip("support is handled outside biject_to")
     transform = biject_to(d.support)
     unconstrained = random.normal(
         random.PRNGKey(6),
@@ -289,8 +447,8 @@ def test_constraint_registry_coverage():
         d = spec.make()
         if d.is_discrete:
             continue
-        if spec.name == "ProjectedNormal":
-            continue  # sphere: handled by reparameterization (ref parity)
+        if spec.name == "ProjectedNormal" or not spec.biject:
+            continue  # sphere/point supports: handled outside biject_to
         try:
             biject_to(d.support)
         except NotImplementedError:

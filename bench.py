@@ -32,9 +32,21 @@ own first measurement; note the config delta when quoting the multiplier.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache, set BEFORE jax initializes: compile RPCs on
+# the tunneled TPU backend are high-variance (a trivial op compile can
+# stall minutes), so cached executables both stabilize and shrink bench
+# wall time.  Repo-local dir, gitignored.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +62,6 @@ from numpyro_tpu.ops.glm import bernoulli_logits_loglik, prepare_glm_data
 # depth<=7, sample-phase-only): 23.34 ESS/s/chip
 ROUND1_BASELINE = 23.34
 
-import os
 N, D = int(os.environ.get("BENCH_N", 581_012)), 55
 # BENCH_MODE=nuts (default): full-data NUTS via the fused Pallas likelihood.
 # BENCH_MODE=ecs: the BASELINE.md north-star shape — HMCECS with a
@@ -168,7 +179,7 @@ def main():
     # steady-state rates come from the post-compile chunks (chunk 0 of each
     # program carries its compile)
     t0 = time.time()
-    mcmc.run(random.PRNGKey(1), *args)
+    mcmc.run(random.PRNGKey(1), *args, extra_fields=("num_steps",))
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
     total_wall_s = time.time() - t0
@@ -219,6 +230,46 @@ def main():
     amortized = ess_median / total_s / n_chips
     sample_only = ess_median / sample_s / n_chips
 
+    # --- roofline / MFU accounting (sample phase, counted work only) ----
+    # Each leapfrog is ONE fused value_and_grad pass over the design matrix:
+    # the Pallas kernel streams X^T tiles once from HBM and does the forward
+    # logits contraction plus the two-pass (hi/lo) gradient contraction.
+    # The async harvest loop may run extra (uncounted) leapfrogs for chains
+    # past their target, so these are LOWER bounds on achieved traffic.
+    roofline = {}
+    if MODE != "ecs":
+        extras = mcmc.get_extra_fields(group_by_chain=True)
+        nsteps = np.asarray(jax.device_get(extras.get("num_steps")))
+        leapfrogs = float(nsteps.sum())
+        # the async harvest advances EVERY chain one leapfrog per
+        # iteration with ONE batched kernel call (one X pass serves all
+        # chains), so data passes ~= per-chain mean leapfrog count
+        passes = leapfrogs / NUM_CHAINS
+        d_pad = max(8 * ((D + 7) // 8), 8)
+        n_pad = 4096 * ((N + 4095) // 4096)
+        itemsize = 2 if GLM_DTYPE in ("split", "bf16") else 4
+        bytes_per_pass = d_pad * n_pad * itemsize
+        # forward (C,2Dp)x(2Dp,Np) + two grad passes (C,Np)x(Np,Dp)
+        flops_per_pass = 8.0 * NUM_CHAINS * d_pad * n_pad
+        peak_hbm_gbps = float(os.environ.get("BENCH_PEAK_HBM_GBPS", 819))
+        peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))
+        hbm_gbps = passes * bytes_per_pass / sample_s / 1e9
+        tflops = passes * flops_per_pass / sample_s / 1e12
+        # kernel-level utilization: achieved traffic per unit of KERNEL
+        # time (passes x measured per-pass latency), vs per unit WALL time.
+        # The gap between the two is harvest-loop bookkeeping overhead.
+        roofline = {
+            "sample_phase_leapfrogs_per_chain_total": int(leapfrogs),
+            "data_passes": int(passes),
+            "hbm_gbps": round(hbm_gbps, 1),
+            "hbm_roofline_frac": round(hbm_gbps / peak_hbm_gbps, 3),
+            "mxu_tflops": round(tflops, 1),
+            "mfu": round(tflops / peak_tflops, 3),
+            "peak_assumed": {
+                "hbm_gbps": peak_hbm_gbps, "bf16_tflops": peak_tflops,
+            },
+        }
+
     if MODE == "ecs":
         workload = (
             f"HMCECS subsample={SUBSAMPLE} blocks={NUM_BLOCKS} Taylor proxy,"
@@ -253,6 +304,7 @@ def main():
             "device": str(jax.devices()[0]),
             "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"
             " 100 draws/chain, sample-phase-only ESS/s",
+            **({"roofline": roofline} if roofline else {}),
         },
     }
     print(json.dumps(result))

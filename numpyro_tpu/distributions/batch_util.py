@@ -114,12 +114,21 @@ def _promote_batch_shape_transformed(d: TransformedDistribution):
 
 def _mapped_size(d, axes):
     for name, ax in axes.items():
-        if not isinstance(ax, int):
-            continue
         value = getattr(d, name, None)
-        for leaf in jax.tree.leaves(value):
-            if jnp.ndim(leaf) > ax:
-                return jnp.shape(leaf)[ax]
+        if isinstance(ax, int):
+            for leaf in jax.tree.leaves(value):
+                if jnp.ndim(leaf) > ax:
+                    return jnp.shape(leaf)[ax]
+        elif ax is not None:
+            # nested spec (e.g. a per-component list of child specs): pair
+            # its int leaves with the value's leaves to learn the size
+            spec_leaves = jax.tree.flatten(
+                ax, is_leaf=lambda x: x is None or isinstance(x, int)
+            )[0]
+            val_leaves = jax.tree.leaves(value)
+            for s, leaf in zip(spec_leaves, val_leaves):
+                if isinstance(s, int) and jnp.ndim(leaf) > s:
+                    return jnp.shape(leaf)[s]
     return None
 
 
@@ -156,8 +165,17 @@ def vmap_over(d, **axes):
     ``base_dist=vmap_over(d.base_dist, loc=0)``) to override a child.
     """
     data, aux = d.tree_flatten()
+    # public kwarg names resolve onto private storage fields (e.g.
+    # ``component_distributions`` -> ``_component_distributions``)
+    field_names = set(aux[0])
+    axes = {
+        (k if k in field_names or f"_{k}" not in field_names else f"_{k}"): v
+        for k, v in axes.items()
+    }
     size = _mapped_size(d, axes)
-    axis_given = next((a for a in axes.values() if a is not None), 0)
+    axis_given = next(
+        (a for a in axes.values() if isinstance(a, int)), 0
+    )
 
     replaced = []
     for name, value in zip(aux[0], data):

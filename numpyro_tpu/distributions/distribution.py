@@ -100,6 +100,11 @@ class Distribution(metaclass=DistributionMeta):
                 for k, v in b.__dict__.get("arg_constraints", {}).items()
                 if not isinstance(v, constraints._Dependent)
             )
+        # an explicit aux declaration WINS over constraint-derived data
+        # membership: a field must be either traced (child) or static (aux),
+        # never both — dual membership makes flatten emit a child that
+        # unflatten silently discards (breaking tree.map/vmap_over specs)
+        all_fields -= set(cls.gather_pytree_aux_fields())
         return tuple(sorted(all_fields))
 
     @classmethod

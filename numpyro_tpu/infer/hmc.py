@@ -709,11 +709,26 @@ class HMC(MCMCKernel):
             # a tiny device_get is the reliable sync point
             jax.device_get(jax.tree.leaves(tree)[0][:1])
 
+        _dbg = None
+        if _os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+            import sys as _sys
+
+            _t_dbg = _time.time()
+
+            def _dbg(msg):
+                print(
+                    f"[fused +{_time.time() - _t_dbg:.1f}s] {msg}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+
         warm_times, sample_times = [], []
         t0 = _time.time()
         ws = progs["init"](keys, z, pe, z_grad, arg_dyn)
         _sync(ws.z)
         init_s = _time.time() - t0
+        if _dbg:
+            _dbg(f"init done ({init_s:.1f}s)")
         done = 0
         while done < num_warmup:
             step = min(warm_chunk, num_warmup - done)
@@ -723,6 +738,8 @@ class HMC(MCMCKernel):
             _sync(ws.z)
             warm_times.append(_time.time() - t1)
             done += step
+            if _dbg:
+                _dbg(f"warm {done}/{num_warmup} ({warm_times[-1]:.1f}s)")
             if progress is not None:
                 progress("warmup", done, num_warmup)
         warmup_s = _time.time() - t0
@@ -740,10 +757,14 @@ class HMC(MCMCKernel):
                 if int(jax.device_get(ss.trans_idx).min()) >= target:
                     break
             sample_times.append(_time.time() - t1)
+            if _dbg:
+                _dbg(f"sample {target}/{num_samples} ({sample_times[-1]:.1f}s)")
             if progress is not None:
                 progress("sample", target, num_samples)
         out = progs["finish"](ss, arg_dyn)
         _sync(out["samples_z"])
+        if _dbg:
+            _dbg("finish program done")
         self.last_fused_stats = {
             "warmup_s": warmup_s,
             "sample_s": _time.time() - t0,
@@ -769,10 +790,20 @@ class HMC(MCMCKernel):
             **out["extras"],
         }
         fields = {k: fields[k] for k in collect_fields}
+        if _dbg:
+            _dbg("fields unpacked")
+        if _dbg:
+            _dbg("building last_state")
+        z_unr = layout.unravel_batch(out["z"])
+        if _dbg:
+            _dbg("z unraveled")
+        g_unr = layout.unravel_batch(out["grad"])
+        if _dbg:
+            _dbg("grad unraveled")
         last_state = HMCState(
             jnp.asarray(num_warmup + num_samples, jnp.int32),
-            layout.unravel_batch(out["z"]),
-            layout.unravel_batch(out["grad"]),
+            z_unr,
+            g_unr,
             out["pe"],
             out["pe"],
             None,
@@ -784,6 +815,8 @@ class HMC(MCMCKernel):
             out["adapt"]._replace(rng_key=None),
             out["keys"],
         )
+        if _dbg:
+            _dbg("last_state built")
         return fields, last_state
 
     def __getstate__(self):

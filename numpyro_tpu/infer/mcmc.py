@@ -291,6 +291,7 @@ class MCMC:
         """Run warmup + sampling and collect fields (reference:
         infer/mcmc.py:626-757).  Wall time of the phase (including device
         sync) lands in ``self.last_run_stats``."""
+        import os as _os
         import time as _time
 
         _t0 = _time.time()
@@ -364,7 +365,19 @@ class MCMC:
                     bar.close()
             self._last_state = self._strip_chain_pad(last_state)
             fields = self._strip_chain_pad(fields)
+            if _os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+                import sys as _sys
+
+                print(
+                    f"[mcmc +{_time.time() - _t0:.1f}s] fused_run returned",
+                    file=_sys.stderr, flush=True,
+                )
             self._postprocess_states(fields, None, collect_fields, by_field=True)
+            if _os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+                print(
+                    f"[mcmc +{_time.time() - _t0:.1f}s] postprocess done",
+                    file=_sys.stderr, flush=True,
+                )
             jax.block_until_ready(
                 _get_value_from_state(last_state, self._sample_field)
             )

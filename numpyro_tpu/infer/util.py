@@ -20,7 +20,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import device_get, jacfwd, lax, random, value_and_grad
+from jax import device_get, jacfwd, lax, random, value_and_grad, vmap
 from jax.flatten_util import ravel_pytree
 
 from numpyro_tpu import handlers
@@ -295,10 +295,10 @@ def find_valid_initial_params(
         else None
     )
 
-    def draw_candidate(key):
+    def draw_candidate(key, margs, mkwargs, proto):
         """One candidate latent dict in unconstrained space."""
         if uniform_radius is not None:
-            leaves, treedef = jax.tree.flatten(prototype_params)
+            leaves, treedef = jax.tree.flatten(proto)
             draws = [
                 random.uniform(
                     k, jnp.shape(leaf), minval=-uniform_radius, maxval=uniform_radius
@@ -311,7 +311,7 @@ def find_valid_initial_params(
         strategized = handlers.substitute(
             handlers.seed(model, key), substitute_fn=init_strategy
         )
-        trace = handlers.trace(strategized).get_trace(*model_args, **model_kwargs)
+        trace = handlers.trace(strategized).get_trace(*margs, **mkwargs)
         out = {}
         for name, site in trace.items():
             if (
@@ -323,11 +323,9 @@ def find_valid_initial_params(
                     out[name] = biject_to(site["fn"].support).inv(site["value"])
         return out
 
-    def score_candidate(params):
+    def score_candidate(params, margs, mkwargs):
         """(pe, grad-or-None, finite?) for one candidate."""
-        pe_fn = partial(
-            potential_energy, model, model_args, model_kwargs, enum=enum
-        )
+        pe_fn = partial(potential_energy, model, margs, mkwargs, enum=enum)
         if not validate_grad:
             pe = pe_fn(params)
             return pe, None, jnp.isfinite(pe)
@@ -340,40 +338,63 @@ def find_valid_initial_params(
         )
         return pe, grad, finite
 
-    def attempt(state):
+    def attempt(state, margs, mkwargs, proto):
         tries, key, _, _ = state
         key, sub = random.split(key)
-        params = draw_candidate(sub)
-        pe, grad, ok = score_candidate(params)
+        params = draw_candidate(sub, margs, mkwargs, proto)
+        pe, grad, ok = score_candidate(params, margs, mkwargs)
         return tries + 1, key, (params, pe, grad), ok
 
-    def search(key, exit_early=False):
+    def search(key, margs, mkwargs, exit_early=False, proto=None):
+        proto = prototype_params if proto is None else proto
         seed_state = (
             0,
             key,
             (
-                prototype_params,
+                proto,
                 jnp.zeros(()),
-                prototype_params if validate_grad else None,
+                proto if validate_grad else None,
             ),
             jnp.asarray(False),
         )
         if exit_early and not_jax_tracer(key):
             # first try outside the loop: the common case needs no retries
             # and can return without compiling the while_loop at all
-            seed_state = attempt(seed_state)
+            seed_state = attempt(seed_state, margs, mkwargs, proto)
             ok = seed_state[3]
             if not_jax_tracer(ok) and device_get(ok):
                 return seed_state[2], ok
         _, _, found, ok = lax.while_loop(
-            lambda s: (s[0] < 100) & ~s[3], attempt, seed_state
+            lambda s: (s[0] < 100) & ~s[3],
+            lambda s: attempt(s, margs, mkwargs, proto),
+            seed_state,
         )
         return found, ok
 
-    # batched over the leading dim of rng_key: one fused program per chain
+    # batched over the leading dim of rng_key: ALL chains share one batched
+    # while_loop program (reference vmaps this too, infer/util.py:471-477).
+    # Jitted as ONE program: eager dispatch would execute the search graph
+    # op-by-op (hundreds of tiny device programs — pathological on tunneled
+    # TPU backends), and lax.map would run it sequentially per chain
+    # (num_chains full-data passes at covtype scale).  The model data ride
+    # in as traced ARGUMENTS — a closure capture would bake them into the
+    # program as MLIR constants, forcing a device->host pull of the whole
+    # dataset at lowering time.
     if is_prng_key(rng_key):
-        return search(rng_key, exit_early=True)
-    return lax.map(search, rng_key)
+        return search(rng_key, model_args, model_kwargs, exit_early=True)
+    from numpyro_tpu.util import merge_dynamic, split_dynamic
+
+    # prototype_params also rides as an argument: even a tiny jax.Array
+    # baked as an MLIR constant forces a device_get at lowering time, which
+    # can block for minutes behind the axon tunnel's transfer queue
+    dyn, meta = split_dynamic((model_args, model_kwargs, prototype_params))
+
+    @jax.jit
+    def _batched_search(keys, dyn):
+        margs, mkwargs, proto = merge_dynamic(dyn, meta)
+        return vmap(lambda k: search(k, margs, mkwargs, proto=proto))(keys)
+
+    return _batched_search(rng_key, dyn)
 
 
 def _get_model_transforms(model, model_args=(), model_kwargs=None):
@@ -482,6 +503,20 @@ def initialize_model(
     ``rng_key`` may be a batch of keys — initialization is then vectorized
     over chains inside a single program.
     """
+    import os as _os
+    _dbg = None
+    if _os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+        import sys as _sys
+        import time as _time
+
+        _t0 = _time.time()
+
+        def _dbg(msg):
+            print(
+                f"[init_model +{_time.time() - _t0:.1f}s] {msg}",
+                file=_sys.stderr, flush=True,
+            )
+
     model_kwargs = {} if model_kwargs is None else model_kwargs
     substituted_model = handlers.substitute(
         handlers.seed(model, rng_key if is_prng_key(rng_key) else rng_key[0]),
@@ -495,6 +530,8 @@ def initialize_model(
         has_enumerate_support,
         model_trace,
     ) = _get_model_transforms(substituted_model, model_args, model_kwargs)
+    if _dbg:
+        _dbg("model transforms traced")
 
     if has_enumerate_support:
         from numpyro_tpu.contrib.enum import enum as enum_handler, config_enumerate
@@ -534,6 +571,8 @@ def initialize_model(
     # NB: pass the *unseeded* model — draw_candidate applies its own
     # per-candidate seed, and baking a (possibly traced) rng_key into a
     # seed handler here leaks that tracer through jax's while_loop caches
+    if _dbg:
+        _dbg("prototype params ready; entering init search")
     (init_params, pe, grad), is_valid = find_valid_initial_params(
         rng_key,
         model,
@@ -546,12 +585,16 @@ def initialize_model(
         validate_grad=validate_grad,
     )
 
+    if _dbg:
+        _dbg("init search dispatched")
     if not_jax_tracer(is_valid):
         if device_get(~jnp.all(is_valid)):
             raise RuntimeError(
                 "Cannot find valid initial parameters. Please check your model "
                 "again."
             )
+    if _dbg:
+        _dbg("init search validated (compile+run complete)")
 
     return ModelInfo(
         ParamInfo(init_params, pe, grad), potential_fn, postprocess_fn, model_trace

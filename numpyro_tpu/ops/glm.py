@@ -104,6 +104,22 @@ def prepare_glm_data(X, y, dtype=jnp.float32):
     return BernoulliLogitsGLMData(x_t, y_row, N, D, dtype)
 
 
+def split_hi_lo(w):
+    """Split f32 ``w`` into bf16 ``(hi, lo)`` with ``hi + lo == w`` to
+    ~2^-17 relative.
+
+    REGRESSION TRAP: writing this as ``lo = w - bf16(w).astype(f32)`` gets
+    ELIDED by XLA's convert simplifier under jit (the f32->bf16->f32
+    round-trip is treated as identity), silently zeroing ``lo`` — the split
+    potential then stair-steps at bf16-w resolution and NUTS adaptation
+    collapses (round-3 bench regression: step size 1e-4, every tree at the
+    depth cap, 25x wall-time).  ``lax.reduce_precision`` is the dedicated,
+    non-elidable rounding op.
+    """
+    w_hi_f = jax.lax.reduce_precision(w, exponent_bits=8, mantissa_bits=7)
+    return w_hi_f.astype(jnp.bfloat16), (w - w_hi_f).astype(jnp.bfloat16)
+
+
 def _xla_fused(w_pad, data):
     """Reference/fallback implementation (CPU, or interpret mode)."""
     x_t = data.x_t.astype(jnp.float32)
@@ -142,12 +158,12 @@ def _pallas_split(w_pad, data):
         tile //= 2
     num_tiles = n_pad // tile
 
-    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, acc_pe, acc_g):
+    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, pe_slots, acc_g):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_pe[:, :] = jnp.zeros_like(acc_pe)
+            pe_slots[:, :] = jnp.zeros_like(pe_slots)
             acc_g[:, :] = jnp.zeros_like(acc_g)
 
         x = x_ref[:, :]  # (D, T) bf16
@@ -164,11 +180,31 @@ def _pallas_split(w_pad, data):
         y = y_ref[0, :][None, :]
         e = jnp.exp(-jnp.abs(logits))
         nll = jnp.maximum(logits, 0.0) + jnp.log1p(e) - y * logits
-        acc_pe[:, 0:1] += jnp.sum(nll, axis=1, keepdims=True)
+        # PE accumulation precision: the full nll sum at covtype scale
+        # reaches ~2e5 while each term is ~0.3, and an in-kernel f32
+        # reduction of that magnitude costs ~±1.3 absolute PE error — the
+        # MH accept then sees exp(-|dE_err|) ≈ 0.25 and dual averaging
+        # collapses the step size (measured: step 1e-4, every tree at the
+        # depth cap).  So NO high-magnitude sum ever happens in-kernel:
+        # each tile folds into a (B, 128) lane-partial accumulator (every
+        # in-kernel add is at <= total/128 magnitude), and the single
+        # 128->1 reduction runs OUTSIDE in XLA on the kernel output.
+        for k in range(tile // _LANE):
+            pe_slots[:, :] += nll[:, k * _LANE : (k + 1) * _LANE]
         sig = jnp.where(logits >= 0, 1.0, e) / (1.0 + e)
         r = sig - y  # (B, T) f32
-        r_hi = r.astype(jnp.bfloat16)
-        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # hi/lo residual split.  A plain f32->bf16->f32 round-trip is
+        # ELIDED by the compiler's convert simplifier (silently zeroing the
+        # lo half — observed under jit), and reduce_precision has no Pallas
+        # lowering, so round-to-nearest-even to bf16 is done on the raw
+        # bits (r is finite and |r|<=1: no NaN/overflow edge cases).
+        bits = jax.lax.bitcast_convert_type(r, jnp.uint32)
+        rne = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
+        r_hi_f = jax.lax.bitcast_convert_type(
+            rne & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        r_hi = r_hi_f.astype(jnp.bfloat16)
+        r_lo = (r - r_hi_f).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
             r_hi,
             x,
@@ -187,11 +223,10 @@ def _pallas_split(w_pad, data):
 
         @pl.when(i == num_tiles - 1)
         def _():
-            pe_ref[:, :] = acc_pe[:, :]
+            pe_ref[:, :] = pe_slots[:, :]
             g_ref[:, :] = acc_g[:, :]
 
-    w_hi = w_pad.astype(jnp.bfloat16)
-    w_lo = (w_pad - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_hi, w_lo = split_hi_lo(w_pad)
     wpk = jnp.concatenate([w_hi, w_lo], axis=1)  # (B, 2D) bf16
 
     pe_pad, grad_pad = pl.pallas_call(
@@ -223,7 +258,9 @@ def _pallas_split(w_pad, data):
         ),
     )(wpk, data.x_t, data.y_row)
 
-    nll = pe_pad[:, 0] - (n_pad - data.n) * jnp.log(2.0)
+    # final lane reduction in XLA (hierarchical, low error — in contrast to
+    # the in-kernel serial alternative, see kernel comment)
+    nll = jnp.sum(pe_pad, axis=-1) - (n_pad - data.n) * jnp.log(2.0)
     return -nll, -grad_pad
 
 
@@ -249,12 +286,12 @@ def _pallas_fused(w_pad, data):
     num_tiles = n_pad // tile
     x_dtype = data.x_t.dtype
 
-    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, acc_pe, acc_g):
+    def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, pe_slots, acc_g):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_pe[:, :] = jnp.zeros_like(acc_pe)
+            pe_slots[:, :] = jnp.zeros_like(pe_slots)
             acc_g[:, :] = jnp.zeros_like(acc_g)
 
         w = w_ref[:, :]
@@ -278,7 +315,9 @@ def _pallas_fused(w_pad, data):
         )
         y = y_ref[0, :][None, :]  # (1, T)
         nll = jax.nn.softplus(logits) - y * logits  # (B, T)
-        acc_pe[:, 0:1] += jnp.sum(nll, axis=1, keepdims=True)
+        # low-magnitude lane-partial PE accumulation (see _pallas_split)
+        for k in range(tile // _LANE):
+            pe_slots[:, :] += nll[:, k * _LANE : (k + 1) * _LANE]
         r = jax.nn.sigmoid(logits) - y  # (B, T)
         if x_dtype != jnp.float32:
             r = r.astype(x_dtype)
@@ -293,7 +332,7 @@ def _pallas_fused(w_pad, data):
 
         @pl.when(i == num_tiles - 1)
         def _():
-            pe_ref[:, :] = acc_pe[:, :]
+            pe_ref[:, :] = pe_slots[:, :]
             g_ref[:, :] = acc_g[:, :]
 
     pe_pad, grad_pad = pl.pallas_call(
@@ -323,7 +362,7 @@ def _pallas_fused(w_pad, data):
         ),
     )(w_pad, data.x_t, data.y_row)
 
-    nll = pe_pad[:, 0] - (n_pad - data.n) * jnp.log(2.0)
+    nll = jnp.sum(pe_pad, axis=-1) - (n_pad - data.n) * jnp.log(2.0)
     return -nll, -grad_pad
 
 

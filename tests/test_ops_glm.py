@@ -109,3 +109,22 @@ def test_fused_model_matches_plain_posterior():
     np.testing.assert_allclose(
         m1.get_samples()["w"].std(0), m2.get_samples()["w"].std(0), atol=0.03
     )
+
+
+def test_split_hi_lo_survives_jit():
+    """Regression: the f32->bf16->f32 cast round-trip form of the hi/lo
+    split was elided by XLA under jit, zeroing the lo half (round-3 bench
+    collapse).  The reduce_precision form must keep lo nonzero and
+    hi+lo == w to ~2^-17 relative, identically eager and jitted."""
+    from numpyro_tpu.ops.glm import split_hi_lo
+
+    w = random.normal(random.PRNGKey(0), (8, 16)) * 0.5
+    hi_e, lo_e = split_hi_lo(w)
+    hi_j, lo_j = jax.jit(split_hi_lo)(w)
+    np.testing.assert_array_equal(np.asarray(hi_e), np.asarray(hi_j))
+    np.testing.assert_array_equal(np.asarray(lo_e), np.asarray(lo_j))
+    assert float(jnp.abs(lo_j.astype(jnp.float32)).max()) > 0.0
+    recon = hi_j.astype(jnp.float32) + lo_j.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(w), rtol=2**-16, atol=1e-7
+    )

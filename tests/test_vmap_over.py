@@ -134,3 +134,142 @@ def test_promote_batch_shape_combinators():
     stacked_m = jax.tree.map(lambda x: jnp.broadcast_to(x, (4,) + x.shape), m)
     fixed_m = promote_batch_shape(stacked_m)
     assert fixed_m.batch_shape == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# round-4 sweep: the AWKWARD families — nested base_dist axes, lazy twins,
+# transformed subclasses, mixtures — mirroring the reference's explicit
+# per-family rules (numpyro/distributions/batch_util.py:1-582).  Each case
+# batches ONE constructor argument over BATCH lanes; correctness =
+# vmap(log_prob) with the vmap_over spec equals the per-lane loop.
+
+def _probs(BATCH):
+    return jnp.linspace(0.2, 0.8, BATCH)
+
+
+def _pos(BATCH):
+    return jnp.linspace(0.5, 2.5, BATCH)
+
+
+def _real(BATCH):
+    return jnp.linspace(-1.0, 1.0, BATCH)
+
+
+AWKWARD = [
+    # (name, per-lane ctor, batched values, vmap_over kwargs fn)
+    ("FoldedNormal",
+     lambda v: dist.FoldedDistribution(dist.Normal(v, 1.0)),
+     _real, lambda d: {"base_dist": 0}),
+    ("LeftTruncatedNormal",
+     lambda v: dist.LeftTruncatedDistribution(dist.Normal(v, 1.0), low=-0.5),
+     _real, lambda d: {"base_dist": 0}),
+    ("RightTruncatedNormal",
+     lambda v: dist.RightTruncatedDistribution(dist.Normal(v, 1.0), high=1.5),
+     _real, lambda d: {"base_dist": 0}),
+    ("TwoSidedTruncatedCauchy",
+     lambda v: dist.TwoSidedTruncatedDistribution(
+         dist.Cauchy(v, 1.0), low=-2.0, high=2.0),
+     _real, lambda d: {"base_dist": 0}),
+    ("TruncatedNormalFactory",
+     lambda v: dist.TruncatedNormal(v, 1.0, low=-1.0, high=2.0),
+     _real, lambda d: {"base_dist": 0}),
+    ("InverseGamma",  # TransformedDistribution subclass
+     lambda v: dist.InverseGamma(v, 2.0),
+     _pos, lambda d: {"concentration": 0, "base_dist": 0}),
+    ("Kumaraswamy",  # TransformedDistribution subclass
+     lambda v: dist.Kumaraswamy(v, 3.0),
+     _pos, lambda d: {"concentration1": 0}),
+    ("LogNormalTwin",  # internal Normal twin
+     lambda v: dist.LogNormal(v, 0.7),
+     _real, lambda d: {"loc": 0}),
+    ("HalfCauchyTwin",
+     lambda v: dist.HalfCauchy(v),
+     _pos, lambda d: {"scale": 0}),
+    ("ZeroInflatedPoissonGate",
+     lambda v: dist.ZeroInflatedPoisson(gate=v, rate=2.0),
+     _probs, lambda d: {"gate": 0}),
+    ("ZeroInflatedPoissonRate",
+     lambda v: dist.ZeroInflatedPoisson(gate=0.3, rate=v),
+     _pos, lambda d: {"rate": 0, "base_dist": 0}),
+    ("BetaBinomial",
+     lambda v: dist.BetaBinomial(v, 3.0, total_count=10),
+     _pos, lambda d: {"concentration1": 0}),
+    ("GammaPoisson",
+     lambda v: dist.GammaPoisson(v, 1.5),
+     _pos, lambda d: {"concentration": 0}),
+    ("GaussianCopulaBeta",
+     lambda v: dist.GaussianCopulaBeta(
+         jnp.full((2,), v), jnp.full((2,), 3.0),
+         correlation_matrix=jnp.array([[1.0, 0.4], [0.4, 1.0]])),
+     _pos, lambda d: {"concentration1": 0}),
+    ("MixtureSameFamily",
+     lambda v: dist.MixtureSameFamily(
+         dist.CategoricalProbs(jnp.array([0.4, 0.6])),
+         dist.Normal(jnp.stack([v - 1.0, v + 1.0]), 1.0)),
+     _real, lambda d: {"component_distribution": 0}),
+    ("MixtureGeneral",
+     lambda v: dist.MixtureGeneral(
+         dist.CategoricalProbs(jnp.array([0.3, 0.7])),
+         [dist.Normal(v, 0.7), dist.StudentT(4.0, v, 1.0)]),
+     _real, lambda d: {"component_distributions": [
+         vmap_over(d.component_distributions[0], loc=0),
+         vmap_over(d.component_distributions[1], loc=0),
+     ]}),
+    ("Delta",
+     lambda v: dist.Delta(v),
+     _real, lambda d: {"v": 0}),
+    ("MaskedNormal",  # .mask(True) short-circuits, construct directly
+     lambda v: dist.MaskedDistribution(dist.Normal(v, 1.0), True),
+     _real, lambda d: {"base_dist": 0}),
+    ("ExpandedNormal",
+     lambda v: dist.Normal(v, 1.0).expand((3,)),
+     _real, lambda d: {"base_dist": 0}),
+    ("IndependentNormal",
+     lambda v: dist.Normal(jnp.full((3,), v), 1.0).to_event(1),
+     _real, lambda d: {"base_dist": 0}),
+    ("MultivariateStudentTDf",
+     lambda v: dist.MultivariateStudentT(
+         v, jnp.zeros(2), scale_tril=jnp.eye(2)),
+     _pos, lambda d: {"df": 0}),
+    ("ProjectedNormal",
+     lambda v: dist.ProjectedNormal(jnp.stack([v, 0.5 * v])),
+     _pos, lambda d: {"concentration": 0}),
+    ("LKJCholesky",
+     lambda v: dist.LKJCholesky(3, v),
+     _pos, lambda d: {"concentration": 0}),
+    ("WishartConc",
+     lambda v: dist.Wishart(3.0 + v, scale_matrix=jnp.eye(2)),
+     _pos, lambda d: {"concentration": 0}),
+    ("CirculantNormalLoc",
+     lambda v: dist.CirculantNormal(
+         jnp.full((4,), v),
+         covariance_row=jnp.array([2.0, 0.7, 0.3, 0.7])),
+     _real, lambda d: {"loc": 0}),
+    ("SineSkewedVonMises",
+     lambda v: dist.SineSkewed(
+         dist.VonMises(v, 2.0).expand((1,)).to_event(1),
+         jnp.array([0.3])),
+     _real, lambda d: {"base_dist": 0}),
+    ("GaussianRandomWalkScale",
+     lambda v: dist.GaussianRandomWalk(v, num_steps=4),
+     _pos, lambda d: {"scale": 0}),
+    ("DoublyTruncatedPowerLawAlpha",
+     lambda v: dist.DoublyTruncatedPowerLaw(-v, 1.0, 10.0),
+     _pos, lambda d: {"alpha": 0}),
+]
+
+
+@pytest.mark.parametrize("name,ctor,vals_fn,axes_fn", AWKWARD,
+                         ids=[c[0] for c in AWKWARD])
+def test_vmap_over_awkward(name, ctor, vals_fn, axes_fn):
+    vals = vals_fn(BATCH)
+    lanes = [ctor(vals[i]) for i in range(BATCH)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
+    x = lanes[0].sample(random.PRNGKey(0))
+    spec = vmap_over(batched, **axes_fn(batched))
+    lps = vmap(lambda d: d.log_prob(x), in_axes=(spec,))(batched)
+    expected = jnp.stack([lanes[i].log_prob(x) for i in range(BATCH)])
+    np.testing.assert_allclose(
+        np.asarray(lps).reshape(-1), np.asarray(expected).reshape(-1),
+        rtol=2e-5, atol=1e-5,
+    )

@@ -179,7 +179,10 @@ def main():
     # steady-state rates come from the post-compile chunks (chunk 0 of each
     # program carries its compile)
     t0 = time.time()
-    mcmc.run(random.PRNGKey(1), *args, extra_fields=("num_steps",))
+    # num_steps feeds the roofline detail; HMCECS state nests it under the
+    # inner hmc_state and the fused collector doesn't expose it there
+    extra = () if MODE == "ecs" else ("num_steps",)
+    mcmc.run(random.PRNGKey(1), *args, extra_fields=extra)
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
     total_wall_s = time.time() - t0

@@ -39,9 +39,16 @@ __all__ = [
     "taylor_proxy",
 ]
 
-TaylorProxyStats = namedtuple("TaylorProxyStats", "value, grad, hess")
+TaylorProxyStats = namedtuple("TaylorProxyStats", "value, grad")
 """Per-plate dicts of reference log-lik statistics at the current
-subsample: value (m,), grad (m, P), hess (m, P, P) or None."""
+subsample: value (m,), grad (m, P).
+
+No per-point Hessian panel is stored: an (m, P, P) panel costs
+m*P^2*4 bytes PER CHAIN (12 MB at covtype shape) and out-of-memories a
+4096-chain run (measured: 30.5 GB demand on a 16 GB chip).  The degree-2
+per-point quadratic term is instead recomputed at evaluation time as a
+second directional derivative along d = params - ref (two nested JVPs —
+O(m) memory, ~2 extra subsample passes per potential eval)."""
 
 
 def block_refresh(rng_key, idx, size, num_blocks):
@@ -101,6 +108,7 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
         self._params = None
         self._collected = {}
         self._plates_seen = {}
+        self._plate_idx = {}
         self._gibbs_state = None
 
     def _in_potential_eval(self):
@@ -134,7 +142,10 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
                 fn, value, dim
             )
         total_all, total_sub = self._proxy(
-            self._params, tuple(sub_ll), self._gibbs_state
+            self._params,
+            tuple(sub_ll),
+            self._gibbs_state,
+            {k: v for k, v in self._plate_idx.items() if k in sub_ll},
         )
         estimate = 0.0
         for plate, ll in sub_ll.items():
@@ -176,6 +187,14 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
                         msg["fn"], msg["value"], frame.dim, frame.name
                     )
                     msg["fn"] = msg["fn"].mask(False)
+
+    def postprocess_message(self, msg):
+        if self._params is None:
+            return
+        # final (post-substitution) subsample index vector per plate — the
+        # degree-2 proxy re-derives its quadratic terms at these indices
+        if msg["type"] == "plate" and msg["name"] in self._plates_seen:
+            self._plate_idx[msg["name"]] = msg["value"]
 
 
 def taylor_proxy(reference_params, degree=2):
@@ -239,13 +258,11 @@ def taylor_proxy(reference_params, degree=2):
 
         def _stats_at(idx_dict):
             value = pointwise_loglik(ref_flat, idx_dict)
-            grad = jax.jacrev(pointwise_loglik)(ref_flat, idx_dict)
-            hess = (
-                jax.jacfwd(jax.jacrev(pointwise_loglik))(ref_flat, idx_dict)
-                if degree == 2
-                else None
-            )
-            return TaylorProxyStats(value, grad, hess)
+            # forward-mode jacobian: P << m, so P forward tangents beat m
+            # reverse cotangents in both time and (vmapped-over-chains)
+            # memory
+            grad = jax.jacfwd(pointwise_loglik)(ref_flat, idx_dict)
+            return TaylorProxyStats(value, grad)
 
         # full-data reference statistics, computed once
         full_idx = {k: jnp.arange(v[0]) for k, v in plate_sizes.items()}
@@ -287,24 +304,42 @@ def taylor_proxy(reference_params, degree=2):
 
             value = merge(stats.value, repl_stats.value)
             grad = merge(stats.grad, repl_stats.grad)
-            hess = (
-                merge(stats.hess, repl_stats.hess) if degree == 2 else None
-            )
-            return new_idx, TaylorProxyStats(value, grad, hess)
+            return new_idx, TaylorProxyStats(value, grad)
 
-        def proxy_fn(params, plate_names, stats):
+        def _second_directional(d, idx_dict):
+            """Per-point d^2/dt^2 loglik(ref + t d) — the degree-2 Taylor
+            quadratic terms, without any stored (m, P, P) Hessian panel."""
+
+            def along(t):
+                return pointwise_loglik(ref_flat + t * d, idx_dict)
+
+            def first(t):
+                return jax.jvp(along, (t,), (jnp.ones(()),))[1]
+
+            return jax.jvp(first, (jnp.zeros(()),), (jnp.ones(()),))[1]
+
+        def proxy_fn(params, plate_names, stats, idx_dict=None):
             # params arrive already unconstrained (they come from the
             # potential-energy substitution)
+            if degree == 2 and idx_dict is None:
+                # first-order per-point terms with a second-order full term
+                # would break the difference estimator's telescoping
+                raise ValueError(
+                    "degree-2 taylor_proxy requires the subsample indices "
+                    "at evaluation time"
+                )
             params_flat, _ = ravel_pytree(params)
             d = params_flat - ref_flat
+            quad = (
+                _second_directional(d, idx_dict) if degree == 2 else None
+            )
             total_all, total_sub = {}, {}
             for name in plate_names:
                 sub = stats.value[name] + stats.grad[name] @ d
                 full = full_value[name] + full_grad[name] @ d
                 if degree == 2:
-                    sub = sub + 0.5 * jnp.einsum(
-                        "mij,i,j->m", stats.hess[name], d, d
-                    )
+                    if quad is not None:
+                        sub = sub + 0.5 * quad[name]
                     full = full + 0.5 * d @ full_hess[name] @ d
                 total_sub[name] = sub
                 total_all[name] = full

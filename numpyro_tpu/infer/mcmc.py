@@ -610,7 +610,9 @@ class MCMC:
             states_by_field = {collect_fields[0]: states}
 
         site_values = states_by_field[self._sample_field]
-        if isinstance(site_values, dict) and postprocess_fn is not identity:
+        # applies to dict site panels AND flat packed panels (e.g. the TFP
+        # kernel bridge collects a raveled z and unravels in postprocess)
+        if site_values is not None and postprocess_fn is not identity:
             # jit with the model data as inputs (constants are slow on TPU)
             if self.postprocess_fn is None:
                 dyn, meta = split_dynamic((self._args, self._kwargs))

@@ -36,8 +36,54 @@ __all__ = [
     "block_refresh",
     "block_update",
     "subsample_estimator",
+    "subsample_panels",
     "taylor_proxy",
 ]
+
+
+class subsample_panels(numpyro_tpu.primitives.Messenger):
+    """Hoist subsample gathers out of compiled potential evaluations.
+
+    The per-chain random-row gather ``X[idx]`` dominates HMCECS wall time
+    when it replays inside the leapfrog while_loop (measured: ~7 gather
+    fusions per tree iteration — primal, JVP replays, and AD recompute —
+    at ~55 ms per 512-chain gather).  The indices are CONSTANT within a
+    trajectory, so the kernel gathers ONCE per Gibbs step in ``record``
+    mode and every potential eval replays the stored panels:
+
+    - ``record=True``: perform the enclosing subsampled plates' takes
+      eagerly, append each panel to ``out``, and flag the message so the
+      plates skip their own take.
+    - ``record=False``: substitute ``panels`` (in model call order) and
+      flag the message.
+
+    Record and replay traverse the same model, so call order aligns.
+    """
+
+    def __init__(self, fn=None, panels=None, record=False, out=None):
+        self.record = record
+        self.panels = out if record else panels
+        self._i = 0
+        super().__init__(fn)
+
+    def __enter__(self):
+        self._i = 0
+        return super().__enter__()
+
+    def postprocess_message(self, msg):
+        if msg["type"] != "subsample" or msg.get("_pregathered"):
+            return
+        if self.record:
+            from numpyro_tpu.primitives import _PYRO_STACK, plate as _plate
+
+            for h in _PYRO_STACK:
+                if isinstance(h, _plate) and h.subsample_size < h.size:
+                    h.postprocess_message(msg)
+            self.panels.append(msg["value"])
+        else:
+            msg["value"] = self.panels[self._i]
+            self._i += 1
+        msg["_pregathered"] = True
 
 TaylorProxyStats = namedtuple("TaylorProxyStats", "value, grad")
 """Per-plate dicts of reference log-lik statistics at the current
@@ -110,6 +156,7 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
         self._plates_seen = {}
         self._plate_idx = {}
         self._gibbs_state = None
+        self._panels = None
 
     def _in_potential_eval(self):
         from numpyro_tpu.infer.util import _unconstrain_reparam
@@ -123,6 +170,18 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
             ):
                 return handler.substitute_fn.args[0]
         return None
+
+    def __call__(self, *args, **kwargs):
+        # stash the live (traced) model args: the proxy threads them into
+        # its pointwise re-evaluations instead of its construct-time
+        # closure (which would bake the dataset as a program constant)
+        self._call_args = args
+        self._call_kwargs = {
+            k: v
+            for k, v in kwargs.items()
+            if k not in ("_gibbs_sites", "_gibbs_state", "_subsample_panels")
+        }
+        return super().__call__(*args, **kwargs)
 
     def __enter__(self):
         self._reset()
@@ -146,6 +205,9 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
             tuple(sub_ll),
             self._gibbs_state,
             {k: v for k, v in self._plate_idx.items() if k in sub_ll},
+            panels=self._panels,
+            margs=getattr(self, "_call_args", None),
+            mkwargs=getattr(self, "_call_kwargs", None),
         )
         estimate = 0.0
         for plate, ll in sub_ll.items():
@@ -165,6 +227,9 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
             return
         if msg["type"] == "_gibbs_state":
             self._gibbs_state = msg["value"]
+            return
+        if msg["type"] == "_subsample_panels":
+            self._panels = msg["value"]
             return
         if (
             msg["type"] == "plate"
@@ -233,18 +298,38 @@ def taylor_proxy(reference_params, degree=2):
 
         ref_flat, unravel = ravel_pytree(_unconstrain(reference_params))
 
-        def pointwise_loglik(params_flat, idx_dict):
-            """{plate: (m,)} per-datapoint log-lik at given indices."""
+        def pointwise_loglik(
+            params_flat, idx_dict, panels=None, margs=None, mkwargs=None
+        ):
+            """{plate: (m,)} per-datapoint log-lik at given indices.
+
+            With ``panels`` the subsample gathers are replayed from the
+            recorded panels instead of re-gathering (keeps the proxy's
+            JVP re-evaluations gather-free inside leapfrog loops).
+            ``margs``/``mkwargs`` override the construct-time model args so
+            compiled callers can thread the data as TRACED inputs — the
+            closure fallback bakes the dataset into the program as an MLIR
+            constant (a minutes-long device pull on tunneled backends)."""
+            from contextlib import nullcontext
+
+            margs = model_args if margs is None else margs
+            mkwargs = model_kwargs if mkwargs is None else mkwargs
+            replay = (
+                subsample_panels(panels=list(panels))
+                if panels is not None
+                else nullcontext()
+            )
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 params = _constrain(unravel(params_flat))
                 with (
                     block(),
+                    replay,
                     trace() as tr,
                     substitute(data=idx_dict),
                     substitute(data=params),
                 ):
-                    model(*model_args, **model_kwargs)
+                    model(*margs, **mkwargs)
             out = {}
             for site in tr.values():
                 if site["type"] == "sample" and site["is_observed"]:
@@ -256,30 +341,50 @@ def taylor_proxy(reference_params, degree=2):
                             out[frame.name] = out.get(frame.name, 0.0) + ll
             return out
 
-        def _stats_at(idx_dict):
-            value = pointwise_loglik(ref_flat, idx_dict)
+        def _stats_at(idx_dict, margs=None, mkwargs=None):
+            value = pointwise_loglik(ref_flat, idx_dict, None, margs, mkwargs)
             # forward-mode jacobian: P << m, so P forward tangents beat m
             # reverse cotangents in both time and (vmapped-over-chains)
             # memory
-            grad = jax.jacfwd(pointwise_loglik)(ref_flat, idx_dict)
+            grad = jax.jacfwd(pointwise_loglik)(
+                ref_flat, idx_dict, None, margs, mkwargs
+            )
             return TaylorProxyStats(value, grad)
 
-        # full-data reference statistics, computed once
+        # full-data reference statistics, computed once — as ONE jitted
+        # program with the data as traced inputs (eager op-by-op dispatch
+        # plus an MLIR-constant dataset bake costs minutes on tunneled
+        # TPU backends)
+        from numpyro_tpu.util import merge_dynamic, split_dynamic
+
         full_idx = {k: jnp.arange(v[0]) for k, v in plate_sizes.items()}
+        dyn0, meta0 = split_dynamic((model_args, model_kwargs))
 
-        def _summed(params_flat):
-            return {
-                k: v.sum() for k, v in pointwise_loglik(params_flat, full_idx).items()
-            }
+        @jax.jit
+        def _full_stats(dyn):
+            margs, mkwargs = merge_dynamic(dyn, meta0)
 
-        full_value = _summed(ref_flat)
-        full_grad = jax.jacobian(_summed)(ref_flat)
-        full_hess = jax.jacfwd(jax.jacrev(_summed))(ref_flat) if degree == 2 else None
+            def _summed(params_flat):
+                lls = pointwise_loglik(
+                    params_flat, full_idx, None, margs, mkwargs
+                )
+                return {k: v.sum() for k, v in lls.items()}
 
-        def proxy_init(idx_dict):
-            return _stats_at(idx_dict)
+            fv = _summed(ref_flat)
+            fg = jax.jacobian(_summed)(ref_flat)
+            fh = (
+                jax.jacfwd(jax.jacrev(_summed))(ref_flat)
+                if degree == 2
+                else None
+            )
+            return fv, fg, fh
 
-        def proxy_update(rng_key, idx_dict, stats):
+        full_value, full_grad, full_hess = _full_stats(dyn0)
+
+        def proxy_init(idx_dict, margs=None, mkwargs=None):
+            return _stats_at(idx_dict, margs, mkwargs)
+
+        def proxy_update(rng_key, idx_dict, stats, margs=None, mkwargs=None):
             keys = random.split(rng_key, max(len(idx_dict), 1))
             new_idx, masks, repls, starts = {}, {}, {}, {}
             for key, name in zip(keys, sorted(idx_dict)):
@@ -288,7 +393,7 @@ def taylor_proxy(reference_params, degree=2):
                         key, idx_dict[name], plate_sizes[name][0], num_blocks
                     )
                 )
-            repl_stats = _stats_at(repls)
+            repl_stats = _stats_at(repls, margs, mkwargs)
 
             def merge(old, new):
                 merged = {}
@@ -306,19 +411,23 @@ def taylor_proxy(reference_params, degree=2):
             grad = merge(stats.grad, repl_stats.grad)
             return new_idx, TaylorProxyStats(value, grad)
 
-        def _second_directional(d, idx_dict):
+        def _second_directional(d, idx_dict, panels=None, margs=None,
+                                mkwargs=None):
             """Per-point d^2/dt^2 loglik(ref + t d) — the degree-2 Taylor
             quadratic terms, without any stored (m, P, P) Hessian panel."""
 
             def along(t):
-                return pointwise_loglik(ref_flat + t * d, idx_dict)
+                return pointwise_loglik(
+                    ref_flat + t * d, idx_dict, panels, margs, mkwargs
+                )
 
             def first(t):
                 return jax.jvp(along, (t,), (jnp.ones(()),))[1]
 
             return jax.jvp(first, (jnp.zeros(()),), (jnp.ones(()),))[1]
 
-        def proxy_fn(params, plate_names, stats, idx_dict=None):
+        def proxy_fn(params, plate_names, stats, idx_dict=None, panels=None,
+                     margs=None, mkwargs=None):
             # params arrive already unconstrained (they come from the
             # potential-energy substitution)
             if degree == 2 and idx_dict is None:
@@ -331,7 +440,9 @@ def taylor_proxy(reference_params, degree=2):
             params_flat, _ = ravel_pytree(params)
             d = params_flat - ref_flat
             quad = (
-                _second_directional(d, idx_dict) if degree == 2 else None
+                _second_directional(d, idx_dict, panels, margs, mkwargs)
+                if degree == 2
+                else None
             )
             total_all, total_sub = {}, {}
             for name in plate_names:

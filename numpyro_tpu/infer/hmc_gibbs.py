@@ -40,6 +40,7 @@ import numpyro_tpu
 from numpyro_tpu.contrib.ecs_proxies import (
     block_refresh,
     subsample_estimator,
+    subsample_panels,
     taylor_proxy,
 )
 from numpyro_tpu.handlers import condition, seed, substitute, trace
@@ -425,6 +426,15 @@ class DiscreteHMCGibbs(HMCGibbs):
 def _wrap_gibbs_state(model, *args, **kwargs):
     msg = {"type": "_gibbs_state", "value": kwargs.pop("_gibbs_state", ())}
     numpyro_tpu.primitives.apply_stack(msg)
+    panels = kwargs.pop("_subsample_panels", None)
+    if panels is not None:
+        # announce the panels to the estimator (for the proxy's pointwise
+        # re-evaluations) and replay them in place of in-potential gathers
+        numpyro_tpu.primitives.apply_stack(
+            {"type": "_subsample_panels", "value": panels}
+        )
+        with subsample_panels(panels=panels):
+            return model(*args, **kwargs)
     return model(*args, **kwargs)
 
 
@@ -482,10 +492,13 @@ class HMCECS(HMCGibbs):
                     "The likelihood proxy does not support models with "
                     "discrete latent sites."
                 )
+            # the PRISTINE wrapped model: re-initialization must not hand
+            # the proxy the estimator-wrapped model from a previous init —
+            # its pointwise evaluations would recurse into the estimator
             proxy_fn, proxy_init, self._proxy_update = self._proxy(
                 tr,
                 self._subsample_plate_sizes,
-                self.model,
+                self._base_inner_model,
                 model_args,
                 model_kwargs.copy(),
                 num_blocks=self._num_blocks,
@@ -507,7 +520,20 @@ class HMCECS(HMCGibbs):
             proto_idx,
         )
         if proxy_init is not None:
-            gibbs_state = vmap(lambda idx: proxy_init(idx))(idx_panel)
+            # ONE jitted program with the data as traced inputs: eager
+            # op-by-op dispatch is pathological on tunneled backends, and
+            # a jit over the data-closing closure would bake the dataset
+            # as an MLIR constant (minutes-long device pull)
+            from numpyro_tpu.util import merge_dynamic, split_dynamic
+
+            dyn_i, meta_i = split_dynamic((model_args, model_kwargs))
+
+            @jax.jit
+            def _batched_proxy_init(idxp, dyn):
+                margs, mkwargs = merge_dynamic(dyn, meta_i)
+                return vmap(lambda idx: proxy_init(idx, margs, mkwargs))(idxp)
+
+            gibbs_state = _batched_proxy_init(idx_panel, dyn_i)
         else:
             gibbs_state = ()
         self._has_proxy = proxy_init is not None
@@ -551,18 +577,41 @@ class HMCECS(HMCGibbs):
         return state
 
     def _chain_potential_ecs(self, model_args, model_kwargs):
-        def pe(z_gibbs_c, gibbs_state_c, z_hmc_c):
+        def pe(z_gibbs_c, gibbs_state_c, z_hmc_c, panels_c=None):
+            extra = (
+                {} if panels_c is None else {"_subsample_panels": panels_c}
+            )
             return self.inner_kernel._potential_fn_gen(
                 *model_args,
                 _gibbs_sites=z_gibbs_c,
                 _gibbs_state=gibbs_state_c,
+                **extra,
                 **model_kwargs,
             )(z_hmc_c)
 
         return pe
 
+    def _record_panels(self, keys, z_gibbs, model_args, model_kwargs):
+        """Gather every subsample plate's data panels ONCE for the given
+        per-chain index sets — potential evals then replay these instead of
+        re-gathering inside the leapfrog loop (measured ~7 replayed gather
+        fusions per tree iteration without this)."""
+        from numpyro_tpu.handlers import block as _block, seed as _seed
+
+        def one(key, zg):
+            out = []
+            with _block(), subsample_panels(record=True, out=out):
+                _seed(self._base_inner_model, key)(
+                    *model_args, _gibbs_sites=zg, **model_kwargs
+                )
+            return tuple(out)
+
+        return vmap(one)(keys, z_gibbs)
+
     def _sample_batched(self, state, model_args, model_kwargs):
-        keys, refresh_keys, accept_keys = _split_keys(state.rng_key, 3)
+        keys, refresh_keys, accept_keys, panel_keys, panel_keys2 = _split_keys(
+            state.rng_key, 5
+        )
         z_gibbs = {
             k: v for k, v in state.z.items() if k not in state.hmc_state.z
         }
@@ -570,7 +619,9 @@ class HMCECS(HMCGibbs):
         # propose a block refresh of each chain's subsample indices
         if self._has_proxy:
             def refresh(key, idx, gstate):
-                return self._proxy_update(key, idx, gstate)
+                return self._proxy_update(
+                    key, idx, gstate, model_args, model_kwargs
+                )
 
             z_gibbs_new, gibbs_state_new = vmap(refresh)(
                 refresh_keys, z_gibbs, state.gibbs_state
@@ -594,7 +645,12 @@ class HMCECS(HMCGibbs):
         # batched pseudo-marginal MH on the likelihood-estimator difference
         pe_fn = self._chain_potential_ecs(model_args, model_kwargs)
         pe = state.hmc_state.potential_energy
-        pe_new = vmap(pe_fn)(z_gibbs_new, gibbs_state_new, state.hmc_state.z)
+        panels_new = self._record_panels(
+            panel_keys, z_gibbs_new, model_args, model_kwargs
+        )
+        pe_new = vmap(pe_fn)(
+            z_gibbs_new, gibbs_state_new, state.hmc_state.z, panels_new
+        )
         accept_prob = jnp.exp(jnp.minimum(0.0, pe - pe_new))
         take = (
             jnp.log(vmap(random.uniform)(accept_keys)) < (pe - pe_new)
@@ -612,17 +668,22 @@ class HMCECS(HMCGibbs):
         z_gibbs = sel(z_gibbs_new, z_gibbs)
         gibbs_state = sel(gibbs_state_new, state.gibbs_state)
         pe = jnp.where(take, pe_new, pe)
+        # panels for the SELECTED index sets (one gather per step; the
+        # whole inner trajectory replays them)
+        panels = self._record_panels(
+            panel_keys2, z_gibbs, model_args, model_kwargs
+        )
 
         # gradient under the selected conditioning
         if self.inner_kernel._forward_mode_differentiation:
-            grad_fn = lambda g, s, zc: jacfwd(  # noqa: E731
-                lambda z: pe_fn(g, s, z)
+            grad_fn = lambda g, s, zc, p: jacfwd(  # noqa: E731
+                lambda z: pe_fn(g, s, z, p)
             )(zc)
         else:
-            grad_fn = lambda g, s, zc: jax.grad(  # noqa: E731
-                lambda z: pe_fn(g, s, z)
+            grad_fn = lambda g, s, zc, p: jax.grad(  # noqa: E731
+                lambda z: pe_fn(g, s, z, p)
             )(zc)
-        z_grad = vmap(grad_fn)(z_gibbs, gibbs_state, state.hmc_state.z)
+        z_grad = vmap(grad_fn)(z_gibbs, gibbs_state, state.hmc_state.z, panels)
         hmc_state = state.hmc_state._replace(
             z_grad=z_grad, potential_energy=pe
         )
@@ -631,6 +692,7 @@ class HMCECS(HMCGibbs):
         inner_kwargs["_per_chain"] = {
             "_gibbs_sites": z_gibbs,
             "_gibbs_state": gibbs_state,
+            "_subsample_panels": panels,
         }
         hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}

@@ -267,6 +267,17 @@ class MCMC:
             a, kw = merge_dynamic(dynamic, meta)
             return self.sampler.sample(state, a, kw)
 
+        # bounded device executions on accelerator backends: one monolithic
+        # fori_loop execution past ~1 minute faults tunneled TPU runtimes
+        # (chunking is a no-op semantically; state stays on device)
+        import os as _os
+
+        step_chunk = int(_os.environ.get("NUMPYRO_TPU_STEP_CHUNK", "5"))
+        chunk_size = (
+            step_chunk
+            if step_chunk > 0 and jax.default_backend() != "cpu"
+            else None
+        )
         collection, last_state = fori_collect(
             lower_idx,
             upper_idx,
@@ -277,6 +288,7 @@ class MCMC:
             return_last_val=True,
             thinning=self.thinning,
             collection_size=None,
+            chunk_size=chunk_size,
             body_args=(dyn,),
             progbar_desc=lambda i: (
                 "warmup" if i < self.num_warmup else "sample"

@@ -384,6 +384,10 @@ class plate(Messenger):
     def postprocess_message(self, msg):
         if msg["type"] not in ("subsample", "param") or self.dim is None:
             return
+        if msg.get("_pregathered"):
+            # an outer cache handler already substituted the subselected
+            # panel (HMCECS hoists the gather out of the leapfrog loop)
+            return
         event_dim = msg["kwargs"].get("event_dim")
         if event_dim is None:
             return

@@ -25,7 +25,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import device_put, jit, lax, vmap
+from jax import device_get, device_put, jit, lax, vmap
 
 _DISABLE_CONTROL_FLOW_PRIM = False
 _CHAIN_RE = "chain"
@@ -247,6 +247,7 @@ def fori_collect(
     collection_size=None,
     thinning: int = 1,
     body_args: tuple = (),
+    chunk_size=None,
     **progbar_opts,
 ):
     """Run ``body_fun`` ``upper`` times, collecting ``transform(state)`` for
@@ -320,12 +321,34 @@ def fori_collect(
         def loop_body(i, vals):
             return _body_fn(i, *vals)
 
-        last_val, collection, _, _, _ = fori_loop(
-            0,
-            upper,
-            loop_body,
-            (init_val, collection, start_idx, thinning, body_args),
-        )
+        vals = (init_val, collection, start_idx, thinning, body_args)
+        if chunk_size is not None and 0 < chunk_size < upper:
+            # host-driven chunks of the same compiled program: single
+            # device executions beyond ~1 minute fault tunneled TPU
+            # backends, so the loop advances in bounded slices with all
+            # state left on device between calls
+            chunk_prog = maybe_jit(
+                lambda i0, n, vals: fori_loop(i0, n, loop_body, vals)
+            )
+            vals = jax.tree.map(
+                lambda x: x if isinstance(x, jax.Array) else device_put(x),
+                vals,
+            )
+            i0 = 0
+            while i0 < upper:
+                n = min(i0 + chunk_size, upper)
+                vals = chunk_prog(i0, n, vals)
+                # tiny transfer = the tunnel-reliable sync point
+                device_get(jax.tree.leaves(vals[0])[0])
+                i0 = n
+            last_val, collection, _, _, _ = vals
+        else:
+            last_val, collection, _, _, _ = fori_loop(
+                0,
+                upper,
+                loop_body,
+                (init_val, collection, start_idx, thinning, body_args),
+            )
     else:
         diagnostics_fn = progbar_opts.pop("diagnostics_fn", None)
         progbar_desc = progbar_opts.pop("progbar_desc", lambda x: "")

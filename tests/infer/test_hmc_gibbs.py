@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from jax import random
 
 import numpyro_tpu
+import numpyro_tpu as npt
 import numpyro_tpu.distributions as dist
 from numpyro_tpu.infer import MCMC, NUTS, DiscreteHMCGibbs, HMCECS, HMCGibbs
 
@@ -73,3 +74,35 @@ def test_hmcecs_subsampled_gaussian(use_proxy):
     m.run(random.PRNGKey(0), data)
     s = m.get_samples()["x"]
     assert abs(float(jnp.mean(s)) - 1.0) < 0.1
+
+
+def test_hmcecs_reinit_after_warmup():
+    """Regression: a second init (warmup() after run()) used to hand the
+    Taylor proxy the estimator-wrapped model from the first init, so the
+    degree-2 per-eval directional derivative recursed into the estimator."""
+    N, D = 1000, 3
+    X = random.normal(random.PRNGKey(0), (N, D))
+    tw = jnp.array([0.5, -0.3, 0.8])
+    y = dist.Bernoulli(logits=X @ tw).sample(random.PRNGKey(1)).astype(
+        jnp.float32
+    )
+
+    def model(X, y):
+        w = npt.sample("w", dist.Normal(jnp.zeros(D), 1.0).to_event(1))
+        with npt.plate("N", X.shape[0], subsample_size=100):
+            xb = npt.subsample(X, event_dim=1)
+            yb = npt.subsample(y, event_dim=0)
+            npt.sample("obs", dist.Bernoulli(logits=xb @ w), obs=yb)
+
+    proxy = HMCECS.taylor_proxy({"w": tw})
+    m = MCMC(
+        HMCECS(NUTS(model, max_tree_depth=5), num_blocks=5, proxy=proxy),
+        num_warmup=50, num_samples=50, num_chains=2,
+        chain_method="vectorized", progress_bar=False,
+    )
+    m.run(random.PRNGKey(2), X, y)
+    # re-initialize: warmup again, then continue from the warmed state
+    m.warmup(random.PRNGKey(3), X, y)
+    m.run(m.post_warmup_state.rng_key, X, y)
+    s = np.asarray(m.get_samples()["w"])
+    assert np.isfinite(s).all()

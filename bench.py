@@ -200,7 +200,12 @@ def main():
 
     warmup_s = steady(wt)
     sample_s = steady(st)
-    if sample_s == 0.0:
+    if sample_s == 0.0 and os.environ.get("BENCH_STEADY_RERUN", "1") == "0":
+        # budget mode (the embedded ECS leg): accept compile-inclusive wall
+        # time as the denominator instead of paying a second full run
+        warmup_s = 0.0
+        sample_s = total_wall_s
+    elif sample_s == 0.0:
         # non-fused kernels (e.g. HMCECS) don't report chunk times and their
         # first-run timers include the compile.  Re-run both phases from the
         # now-compiled programs for steady-state rates.
@@ -310,6 +315,67 @@ def main():
             **({"roofline": roofline} if roofline else {}),
         },
     }
+
+    # --- embedded north-star measurement: HMCECS at chain-massive scale ---
+    # (BASELINE.md's primary config shape: subsample 1000, 100 blocks,
+    # Taylor proxy).  Runs as a subprocess with its own budget so the
+    # headline JSON always lands even if the ECS leg times out.  4096
+    # chains exceed one 16 GB chip's HBM with this estimator (measured);
+    # 1024/chip is the single-chip point — the 4096-chain target is the
+    # multi-chip configuration exercised by dryrun_multichip's sharded
+    # HMCECS step.
+    if MODE == "nuts" and os.environ.get("BENCH_EMBED_ECS", "1") != "0":
+        import subprocess
+        import sys
+
+        # safety line: if the driver's budget kills the process during the
+        # ECS leg, the headline is already on stdout (the final combined
+        # line below supersedes it when the leg completes)
+        print(json.dumps(result), flush=True)
+        _progress("headline done; starting embedded HMCECS measurement")
+        env = dict(os.environ)
+        env.update(
+            BENCH_MODE="ecs",
+            BENCH_CHAINS=os.environ.get("BENCH_ECS_CHAINS", "1024"),
+            BENCH_WARMUP=os.environ.get("BENCH_ECS_WARMUP", "100"),
+            BENCH_SAMPLES=os.environ.get("BENCH_ECS_SAMPLES", "100"),
+            BENCH_STEADY_RERUN="0",
+            BENCH_EMBED_ECS="0",
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=float(os.environ.get("BENCH_ECS_TIMEOUT_S", "700")),
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            ecs = json.loads(line) if line.startswith("{") else None
+            if ecs is not None and out.returncode == 0:
+                result["detail"]["ecs"] = {
+                    "ess_per_sec_per_chip_wall_amortized": ecs["value"],
+                    "metric": ecs["metric"],
+                    **{
+                        k: ecs["detail"][k]
+                        for k in (
+                            "ess_median",
+                            "max_coef_abs_err",
+                            "num_chains",
+                            "total_wall_incl_compile_s",
+                        )
+                    },
+                }
+            else:
+                result["detail"]["ecs"] = {
+                    "status": f"failed rc={out.returncode}",
+                    "tail": (out.stderr or "")[-300:],
+                }
+        except subprocess.TimeoutExpired:
+            result["detail"]["ecs"] = {"status": "timeout"}
+        except Exception as e:  # pragma: no cover
+            result["detail"]["ecs"] = {"status": f"error: {e}"}
+
     print(json.dumps(result))
 
 

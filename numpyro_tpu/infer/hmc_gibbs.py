@@ -444,8 +444,16 @@ class HMCECS(HMCGibbs):
     (role parity: numpyro/infer/hmc_gibbs.py:502-687; Dang et al. 2019,
     Tran et al. 2017, Quiroz et al. 2018)."""
 
-    def __init__(self, inner_kernel, *, num_blocks=1, proxy=None):
+    def __init__(
+        self,
+        inner_kernel,
+        *,
+        num_blocks=1,
+        proxy=None,
+        collect_subsample_indices=False,
+    ):
         super().__init__(inner_kernel, identity, None)
+        self._collect_subsample_indices = collect_subsample_indices
         self.inner_kernel._model = partial(
             _wrap_gibbs_state, self.inner_kernel._model
         )
@@ -481,6 +489,10 @@ class HMCECS(HMCGibbs):
         assert self._gibbs_sites, (
             "Cannot detect any subsample statements in the model."
         )
+        if not self._collect_subsample_indices:
+            # drop the (chains, subsample) int panels from the collected
+            # samples; they remain on last_state.z
+            self.collect_exclude_sites = tuple(self._gibbs_sites)
         if self._proxy is not None:
             if any(
                 site["type"] == "sample"

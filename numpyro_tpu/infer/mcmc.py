@@ -331,7 +331,13 @@ class MCMC:
                 + tuple(extra_fields)
             )
         )
-        remove_sites = ()
+        # kernels may exclude bulky bookkeeping sites from collection
+        # (e.g. HMCECS per-chain subsample index panels: 1.6 GB at the
+        # 4096-chain x 100-draw north-star config); they stay available on
+        # ``last_state``
+        remove_sites = tuple(
+            getattr(self.sampler, "collect_exclude_sites", ()) or ()
+        )
         # sort so sample_field is first
         collect_fields = (self._sample_field,) + tuple(
             sorted(f for f in collect_fields if f != self._sample_field)

@@ -297,6 +297,28 @@ def fori_collect(
         # nothing to collect (e.g. warmup-only run): just advance the state
         val = init_val
         if not progbar:
+            if chunk_size is not None and 0 < chunk_size < upper:
+                # bounded device executions (see the chunked path below)
+                prog = maybe_jit(
+                    lambda i0, n, c: fori_loop(
+                        i0, n, lambda i, cc: (body_fun(cc[0], *cc[1]), cc[1]), c
+                    )
+                )
+                c = (val, body_args)
+                i0 = 0
+                while i0 < upper:
+                    n = min(i0 + chunk_size, upper)
+                    c = prog(i0, n, c)
+                    device_get(jax.tree.leaves(c[0])[0])
+                    i0 = n
+                val = c[0]
+                empty = jax.tree.map(
+                    lambda x: jnp.zeros(
+                        (0,) + jnp.shape(x), dtype=jnp.result_type(x)
+                    ),
+                    init_val_transformed,
+                )
+                return (empty, val) if return_last_val else empty
             val, _ = fori_loop(
                 0,
                 upper,

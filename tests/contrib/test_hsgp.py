@@ -39,6 +39,7 @@ def test_spectral_density_positive():
     assert (np.asarray(spd) > 0).all()
 
 
+@pytest.mark.slow
 def test_hsgp_se_recovers_function():
     x = jnp.linspace(-1, 1, 80)
     ytrue = jnp.sin(3 * x)

@@ -61,6 +61,7 @@ def test_haiku_module_svi():
     assert np.isfinite(np.asarray(res.losses)).all()
 
 
+@pytest.mark.slow
 def test_random_flax_module_bnn():
     import flax.linen as nn
 

@@ -306,6 +306,7 @@ def test_tfp_distribution_enumerate_support_bernoulli():
     np.testing.assert_array_equal(np.asarray(vals), [0, 1])
 
 
+@pytest.mark.slow
 def test_nuts_over_tfp_distributions():
     """NUTS samples a model whose sites are all TFP-wrapped (incl. a
     positive-support site through the bijector->constraint mapping)."""

@@ -80,7 +80,7 @@ def test_hmcecs_reinit_after_warmup():
     """Regression: a second init (warmup() after run()) used to hand the
     Taylor proxy the estimator-wrapped model from the first init, so the
     degree-2 per-eval directional derivative recursed into the estimator."""
-    N, D = 1000, 3
+    N, D = 400, 3
     X = random.normal(random.PRNGKey(0), (N, D))
     tw = jnp.array([0.5, -0.3, 0.8])
     y = dist.Bernoulli(logits=X @ tw).sample(random.PRNGKey(1)).astype(
@@ -97,7 +97,7 @@ def test_hmcecs_reinit_after_warmup():
     proxy = HMCECS.taylor_proxy({"w": tw})
     m = MCMC(
         HMCECS(NUTS(model, max_tree_depth=5), num_blocks=5, proxy=proxy),
-        num_warmup=50, num_samples=50, num_chains=2,
+        num_warmup=25, num_samples=25, num_chains=2,
         chain_method="vectorized", progress_bar=False,
     )
     m.run(random.PRNGKey(2), X, y)

@@ -48,6 +48,7 @@ def test_pooled_adaptation_shares_step_size(data, dense_mass):
     assert abs(float(s["scale"].mean()) - 0.7) < 0.15
 
 
+@pytest.mark.slow
 def test_unpooled_adaptation_differs_across_chains(data):
     m = MCMC(
         NUTS(model, pooled_adaptation=False),

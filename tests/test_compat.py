@@ -82,6 +82,7 @@ def test_svi_pyro_style(elbo_cls):
     assert abs(float(svi.get_params()["loc"]) - 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_mcmc_pyro_style():
     def model(data):
         mu = pyro.sample("mu", dist.Normal(0.0, 10.0))

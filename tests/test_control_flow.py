@@ -1,6 +1,7 @@
 """Effectful scan/cond tests (pattern: reference test/contrib/test_control_flow.py)."""
 
 import numpy as np
+import pytest
 import scipy.stats as st
 
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_scan_log_density_matches_manual():
     np.testing.assert_allclose(float(ld), expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_nuts_smoothing():
     yobs = np.sin(np.linspace(0, 3, 15)) + 0.1 * np.asarray(
         random.normal(random.PRNGKey(3), (15,))
@@ -75,6 +77,7 @@ def test_scan_svi_autoguide():
     assert np.isfinite(np.asarray(res.losses)).all()
 
 
+@pytest.mark.slow
 def test_scan_constrained_site():
     # non-real support inside scan exercises the per-step unconstrain slice
     def model(T=5):

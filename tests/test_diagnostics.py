@@ -2,6 +2,7 @@
 ESS, HPDI, summary) against analytic expectations on synthetic chains."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from jax import random
 
@@ -19,6 +20,7 @@ def _iid_chains(key, n_chains=4, n_draws=2000):
     return random.normal(key, (n_chains, n_draws))
 
 
+@pytest.mark.slow
 def test_ess_iid_close_to_n():
     x = _iid_chains(random.PRNGKey(0))
     ess = float(effective_sample_size(x))
@@ -26,6 +28,7 @@ def test_ess_iid_close_to_n():
     assert 0.8 * total < ess < 1.3 * total
 
 
+@pytest.mark.slow
 def test_ess_ar1_matches_theory():
     # AR(1) with coefficient rho has ESS/N = (1-rho)/(1+rho)
     rho = 0.7

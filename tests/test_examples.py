@@ -59,9 +59,9 @@ CASES = [
 # integration coverage behind --runslow (each example costs ~30s of compile
 # on this 1-core box)
 FAST_CASES = {
-    CASES[5],   # hmcecs_covtype: subsampled likelihood (NUTS + plate path)
-    CASES[18],  # dais_demo: SVI/autoguide path
+    CASES[5].replace("--num-data 5000", "--num-data 2000"),
 }
+CASES[5] = CASES[5].replace("--num-data 5000", "--num-data 2000")
 
 
 @pytest.mark.parametrize(

@@ -2,6 +2,7 @@
 the Pallas path is exercised on TPU by bench.py and verify runs)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,7 @@ def test_split_mode_matches_bf16_design_model():
     np.testing.assert_allclose(g, g_ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_model_matches_plain_posterior():
     N, D, C = 2000, 6, 4
     kx, ky = random.split(random.PRNGKey(0), 2)
@@ -87,8 +89,8 @@ def test_fused_model_matches_plain_posterior():
 
     m1 = MCMC(
         NUTS(fused_model),
-        num_warmup=300,
-        num_samples=300,
+        num_warmup=150,
+        num_samples=200,
         num_chains=C,
         chain_method="vectorized",
         progress_bar=False,
@@ -96,8 +98,8 @@ def test_fused_model_matches_plain_posterior():
     m1.run(random.PRNGKey(1), data)
     m2 = MCMC(
         NUTS(plain_model),
-        num_warmup=300,
-        num_samples=300,
+        num_warmup=150,
+        num_samples=200,
         num_chains=C,
         chain_method="vectorized",
         progress_bar=False,

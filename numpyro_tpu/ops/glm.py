@@ -49,6 +49,12 @@ __all__ = ["BernoulliLogitsGLMData", "bernoulli_logits_loglik", "prepare_glm_dat
 
 _TILE = 4096
 _LANE = 128
+# data layout pads N to multiples of 32768 so the kernels can pick any
+# power-of-two tile up to that (grid-step count, not bandwidth, bounds the
+# kernel's serial latency); cap the per-grid-step X block at ~4 MB
+# (double-buffered by the pipeline)
+_N_PAD = 32768
+_TILE_BYTES_CAP = 4 * 1024 * 1024
 
 # MXU precision for f32-stored X: HIGHEST (6-pass, exact f32) by default.
 # HIGH (3-pass bf16) costs half the MXU passes at ~7e-4 relative gradient
@@ -95,7 +101,7 @@ def prepare_glm_data(X, y, dtype=jnp.float32):
     """
     N, D = X.shape
     d_pad = max(8 * ((D + 7) // 8), 8)
-    n_pad = _TILE * ((N + _TILE - 1) // _TILE)
+    n_pad = _N_PAD * ((N + _N_PAD - 1) // _N_PAD)
     store = jnp.bfloat16 if dtype == "split" else dtype
     x_t = jnp.zeros((d_pad, n_pad), dtype=store)
     x_t = x_t.at[:D, :N].set(X.T.astype(store))
@@ -152,10 +158,30 @@ def _pallas_split(w_pad, data):
     b_pad, d_pad = w_pad.shape
     n_pad = data.x_t.shape[1]
     # measured VMEM envelope on v5e for this kernel's temps: keep the
-    # (B, T) f32 logits block at <= 4 MB (8 MB blocks fail to compile)
-    tile = _TILE
-    while b_pad * tile * 4 > 4 * 1024 * 1024 and tile > 128:
-        tile //= 2
+    # (B, inner) f32 logits block at <= 4 MB (8 MB blocks fail to compile)
+    inner = _TILE
+    while b_pad * inner * 4 > 4 * 1024 * 1024 and inner > 128:
+        inner //= 2
+    # grid-step overhead dominates the kernel's SERIAL latency inside the
+    # leapfrog while_loop (~9us per grid step measured: a 142-step grid is
+    # 1.28 ms/call while the X pass itself is ~80us).  Each grid step
+    # therefore processes several VMEM-sized sub-blocks with a static
+    # inner loop — fewer grid steps, same VMEM residency per sub-block.
+    import os as _os
+
+    # measured on v5e at 256 chains: subs=2 is the sweet spot (5503 vs
+    # 5153 ESS/s/chip at subs=1-legacy; 4491 at subs=4, 4166 at subs=8 —
+    # larger blocks trade grid-step overhead for coarser DMA/compute
+    # overlap)
+    subs_cap = int(_os.environ.get("NUMPYRO_TPU_GLM_SUBS", "2"))
+    subs = 1
+    while (
+        subs < subs_cap
+        and inner * subs * 2 < _TILE_BYTES_CAP // max(d_pad * 2, 1)
+        and n_pad % (inner * subs * 2) == 0
+    ):
+        subs *= 2
+    tile = inner * subs
     num_tiles = n_pad // tile
 
     def kernel(w_ref, x_ref, y_ref, pe_ref, g_ref, pe_slots, acc_g):
@@ -166,60 +192,66 @@ def _pallas_split(w_pad, data):
             pe_slots[:, :] = jnp.zeros_like(pe_slots)
             acc_g[:, :] = jnp.zeros_like(acc_g)
 
-        x = x_ref[:, :]  # (D, T) bf16
-        x2 = jnp.concatenate([x, x], axis=0)  # (2D, T): [x ; x]
-        # pin DEFAULT precision: operands are already bf16 (native single
-        # MXU pass); the driver's ambient default_matmul_precision("highest")
-        # must not leak in — Mosaic rejects fp32 contract precision on bf16
-        logits = jnp.dot(
-            w_ref[:, :],
-            x2,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (B, T) f32
-        y = y_ref[0, :][None, :]
-        e = jnp.exp(-jnp.abs(logits))
-        nll = jnp.maximum(logits, 0.0) + jnp.log1p(e) - y * logits
-        # PE accumulation precision: the full nll sum at covtype scale
-        # reaches ~2e5 while each term is ~0.3, and an in-kernel f32
-        # reduction of that magnitude costs ~±1.3 absolute PE error — the
-        # MH accept then sees exp(-|dE_err|) ≈ 0.25 and dual averaging
-        # collapses the step size (measured: step 1e-4, every tree at the
-        # depth cap).  So NO high-magnitude sum ever happens in-kernel:
-        # each tile folds into a (B, 128) lane-partial accumulator (every
-        # in-kernel add is at <= total/128 magnitude), and the single
-        # 128->1 reduction runs OUTSIDE in XLA on the kernel output.
-        for k in range(tile // _LANE):
-            pe_slots[:, :] += nll[:, k * _LANE : (k + 1) * _LANE]
-        sig = jnp.where(logits >= 0, 1.0, e) / (1.0 + e)
-        r = sig - y  # (B, T) f32
-        # hi/lo residual split.  A plain f32->bf16->f32 round-trip is
-        # ELIDED by the compiler's convert simplifier (silently zeroing the
-        # lo half — observed under jit), and reduce_precision has no Pallas
-        # lowering, so round-to-nearest-even to bf16 is done on the raw
-        # bits (r is finite and |r|<=1: no NaN/overflow edge cases).
-        bits = jax.lax.bitcast_convert_type(r, jnp.uint32)
-        rne = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
-        r_hi_f = jax.lax.bitcast_convert_type(
-            rne & jnp.uint32(0xFFFF0000), jnp.float32
-        )
-        r_hi = r_hi_f.astype(jnp.bfloat16)
-        r_lo = (r - r_hi_f).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            r_hi,
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        g += jax.lax.dot_general(
-            r_lo,
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc_g[:, :] += g
+        g_total = None
+        for s in range(subs):
+            x = x_ref[:, s * inner : (s + 1) * inner]  # (D, inner) bf16
+            x2 = jnp.concatenate([x, x], axis=0)  # (2D, inner): [x ; x]
+            # pin DEFAULT precision: operands are already bf16 (native
+            # single MXU pass); the driver's ambient
+            # default_matmul_precision("highest") must not leak in —
+            # Mosaic rejects fp32 contract precision on bf16
+            logits = jnp.dot(
+                w_ref[:, :],
+                x2,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (B, inner) f32
+            y = y_ref[0, s * inner : (s + 1) * inner][None, :]
+            e = jnp.exp(-jnp.abs(logits))
+            nll = jnp.maximum(logits, 0.0) + jnp.log1p(e) - y * logits
+            # PE accumulation precision: the full nll sum at covtype scale
+            # reaches ~2e5 while each term is ~0.3, and an in-kernel f32
+            # reduction of that magnitude costs ~±1.3 absolute PE error —
+            # the MH accept then sees exp(-|dE_err|) ≈ 0.25 and dual
+            # averaging collapses the step size (measured: step 1e-4,
+            # every tree at the depth cap).  So NO high-magnitude sum ever
+            # happens in-kernel: everything folds into a (B, 128)
+            # lane-partial accumulator (every in-kernel add stays at
+            # <= total/128 magnitude) and the single 128->1 reduction runs
+            # OUTSIDE in XLA on the kernel output.
+            for k in range(inner // _LANE):
+                pe_slots[:, :] += nll[:, k * _LANE : (k + 1) * _LANE]
+            sig = jnp.where(logits >= 0, 1.0, e) / (1.0 + e)
+            r = sig - y  # (B, inner) f32
+            # hi/lo residual split.  A plain f32->bf16->f32 round-trip is
+            # ELIDED by the compiler's convert simplifier (silently
+            # zeroing the lo half — observed under jit), and
+            # reduce_precision has no Pallas lowering, so
+            # round-to-nearest-even to bf16 is done on the raw bits (r is
+            # finite and |r|<=1: no NaN/overflow edge cases).
+            bits = jax.lax.bitcast_convert_type(r, jnp.uint32)
+            rne = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
+            r_hi_f = jax.lax.bitcast_convert_type(
+                rne & jnp.uint32(0xFFFF0000), jnp.float32
+            )
+            r_hi = r_hi_f.astype(jnp.bfloat16)
+            r_lo = (r - r_hi_f).astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                r_hi,
+                x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            g += jax.lax.dot_general(
+                r_lo,
+                x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            g_total = g if g_total is None else g_total + g
+        acc_g[:, :] += g_total
 
         @pl.when(i == num_tiles - 1)
         def _():

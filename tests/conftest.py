@@ -44,10 +44,32 @@ def pytest_addoption(parser):
     )
 
 
+# Whole modules whose tests are long statistical / multi-process checks:
+# the default `pytest tests/ -q` is a fast lane (target: <10 min on one
+# core); these run under --runslow, which CI executes in a dedicated job
+# every round alongside the per-test slow marks.
+_SLOW_MODULES = {
+    "test_multihost",            # spawns a 2-process jax.distributed run
+    "test_pooled_adaptation",
+    "test_batched_samplers",     # chi-square/KS statistical checks
+    "test_smc",
+    "test_chees",
+    "test_reparam",
+    "test_mass_adaptation",
+    "test_autoguide_extra",
+    "test_kernels",              # per-kernel posterior-moment sweeps
+    "test_mixed_hmc",
+    "test_einstein",             # SteinVI particle-flow statistical checks
+    "test_distributions_structured",  # structured-family statistical checks
+    "test_nested_sampling",
+    "test_hsgp",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow"):
         return
     skip_slow = pytest.mark.skip(reason="slow test: pass --runslow to include")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or item.module.__name__ in _SLOW_MODULES:
             item.add_marker(skip_slow)

@@ -298,39 +298,31 @@ def _some_values(d, spec, key, sample_shape):
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=IDS)
-def test_sample_and_logprob_shapes(spec):
+def test_family_core(spec):
+    """Shape laws + support membership + pytree/jit round-trip in ONE body
+    per family: the suite is compile-bound on this 1-core box, so the
+    per-family sampler compiles are shared across the three checks."""
     d = spec.make()
     key = random.PRNGKey(0)
-    for sample_shape in [(), (7,), (2, 3)]:
+    # shape laws
+    for sample_shape in [(), (2, 3)]:
         s = _some_values(d, spec, key, sample_shape)
         assert jnp.shape(s) == sample_shape + d.batch_shape + d.event_shape
         lp = d.log_prob(s)
         assert jnp.shape(lp) == sample_shape + d.batch_shape
         assert bool(jnp.isfinite(lp).all()), f"non-finite log_prob for {spec}"
-
-
-@pytest.mark.parametrize("spec", SPECS, ids=IDS)
-def test_support_membership(spec):
-    d = spec.make()
-    s = _some_values(d, spec, random.PRNGKey(1), (20,))
+    # support membership (reuse the (2, 3) draw)
     ok = d.support(s)
     assert bool(jnp.all(ok)), f"samples outside support for {spec}"
-
-
-@pytest.mark.parametrize("spec", SPECS, ids=IDS)
-def test_pytree_and_jit_roundtrip(spec):
-    d = spec.make()
+    # pytree flatten/unflatten + jit round trip
     leaves, treedef = jax.tree.flatten(d)
     rebuilt = jax.tree.unflatten(treedef, leaves)
     assert type(rebuilt) is type(d)
     assert rebuilt.batch_shape == d.batch_shape
     assert rebuilt.event_shape == d.event_shape
-    # log_prob through jit with the distribution as a pytree argument
-    s = _some_values(d, spec, random.PRNGKey(2), (3,))
-    lp_direct = d.log_prob(s)
     lp_jit = jax.jit(lambda dd, x: dd.log_prob(x))(d, s)
     np.testing.assert_allclose(
-        np.asarray(lp_jit), np.asarray(lp_direct), rtol=1e-5, atol=1e-5
+        np.asarray(lp_jit), np.asarray(lp), rtol=1e-5, atol=1e-5
     )
 
 

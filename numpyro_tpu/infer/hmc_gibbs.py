@@ -54,8 +54,12 @@ HMCGibbsState = namedtuple("HMCGibbsState", "z, hmc_state, rng_key")
 state; ``rng_key``: outer Gibbs key(s)."""
 
 HMCECSState = namedtuple(
-    "HMCECSState", "z, hmc_state, rng_key, gibbs_state, accept_prob"
+    "HMCECSState", "z, hmc_state, rng_key, gibbs_state, accept_prob, panels"
 )
+# ``panels``: recorded subsample data panels for the CURRENT index sets,
+# carried so each Gibbs step gathers once (for the proposal) instead of
+# twice; ``()`` when the model has no panels yet (fresh init).
+HMCECSState.__new__.__defaults__ = ((),)
 
 
 def _wrap_model(model, *args, **kwargs):
@@ -548,6 +552,21 @@ class HMCECS(HMCGibbs):
             gibbs_state = _batched_proxy_init(idx_panel, dyn_i)
         else:
             gibbs_state = ()
+            from numpyro_tpu.util import merge_dynamic, split_dynamic
+
+            dyn_i, meta_i = split_dynamic((model_args, model_kwargs))
+        # panels for the initial index sets, gathered once (jitted with the
+        # data as traced inputs, like proxy init)
+        init_panel_keys = vmap(lambda k: random.fold_in(k, 7))(
+            rng_key if batched else rng_key[None]
+        )
+
+        @jax.jit
+        def _init_panels(keys, idxp, dyn):
+            margs, mkwargs = merge_dynamic(dyn, meta_i)
+            return self._record_panels(keys, idxp, margs, mkwargs)
+
+        panels = _init_panels(init_panel_keys, idx_panel, dyn_i)
         self._has_proxy = proxy_init is not None
 
         model_kwargs["_gibbs_state"] = jax.tree.map(
@@ -559,8 +578,11 @@ class HMCECS(HMCGibbs):
         accept = jnp.zeros(() if not batched else (num_chains,))
         if not batched:
             gibbs_state = jax.tree.map(lambda x: x[0], gibbs_state)
+        if not batched:
+            panels = jax.tree.map(lambda x: x[0], panels)
         return HMCECSState(
-            state.z, state.hmc_state, state.rng_key, gibbs_state, accept
+            state.z, state.hmc_state, state.rng_key, gibbs_state, accept,
+            panels,
         )
 
     def sample(self, state, model_args, model_kwargs):
@@ -572,9 +594,12 @@ class HMCECS(HMCGibbs):
             gibbs_state = jax.tree.map(
                 lambda x: jnp.asarray(x)[None], state.gibbs_state
             )
+            panels = jax.tree.map(
+                lambda x: jnp.asarray(x)[None], state.panels
+            )
             state = HMCECSState(
                 hg.z, hg.hmc_state, hg.rng_key, gibbs_state,
-                jnp.asarray(state.accept_prob)[None],
+                jnp.asarray(state.accept_prob)[None], panels,
             )
         state = self._sample_batched(state, model_args, model_kwargs)
         if not self._chain_mode:
@@ -585,6 +610,7 @@ class HMCECS(HMCGibbs):
                 hg.z, hg.hmc_state, hg.rng_key,
                 jax.tree.map(lambda x: x[0], state.gibbs_state),
                 state.accept_prob[0],
+                jax.tree.map(lambda x: x[0], state.panels),
             )
         return state
 
@@ -621,8 +647,8 @@ class HMCECS(HMCGibbs):
         return vmap(one)(keys, z_gibbs)
 
     def _sample_batched(self, state, model_args, model_kwargs):
-        keys, refresh_keys, accept_keys, panel_keys, panel_keys2 = _split_keys(
-            state.rng_key, 5
+        keys, refresh_keys, accept_keys, panel_keys = _split_keys(
+            state.rng_key, 4
         )
         z_gibbs = {
             k: v for k, v in state.z.items() if k not in state.hmc_state.z
@@ -663,6 +689,7 @@ class HMCECS(HMCGibbs):
         pe_new = vmap(pe_fn)(
             z_gibbs_new, gibbs_state_new, state.hmc_state.z, panels_new
         )
+        panels_old = state.panels
         accept_prob = jnp.exp(jnp.minimum(0.0, pe - pe_new))
         take = (
             jnp.log(vmap(random.uniform)(accept_keys)) < (pe - pe_new)
@@ -680,11 +707,10 @@ class HMCECS(HMCGibbs):
         z_gibbs = sel(z_gibbs_new, z_gibbs)
         gibbs_state = sel(gibbs_state_new, state.gibbs_state)
         pe = jnp.where(take, pe_new, pe)
-        # panels for the SELECTED index sets (one gather per step; the
-        # whole inner trajectory replays them)
-        panels = self._record_panels(
-            panel_keys2, z_gibbs, model_args, model_kwargs
-        )
+        # panels for the SELECTED index sets: select between the proposal's
+        # freshly-gathered panels and the carried ones — ONE gather per
+        # step total, the whole inner trajectory replays them
+        panels = sel(panels_new, panels_old)
 
         # gradient under the selected conditioning
         if self.inner_kernel._forward_mode_differentiation:
@@ -708,7 +734,9 @@ class HMCECS(HMCGibbs):
         }
         hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}
-        return HMCECSState(z, hmc_state, keys, gibbs_state, accept_prob)
+        return HMCECSState(
+            z, hmc_state, keys, gibbs_state, accept_prob, panels
+        )
 
     @staticmethod
     def taylor_proxy(reference_params, degree=2):

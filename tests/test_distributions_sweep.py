@@ -66,13 +66,13 @@ SPECS = [
     T("Exponential", dict(rate=2.0), lambda p: osp.expon(scale=0.5)),
     T("Gamma", dict(concentration=2.5, rate=1.5),
       lambda p: osp.gamma(2.5, scale=1 / 1.5)),
-    T("Gompertz", dict(concentration=1.5, rate=0.8), gof=False, moments=False),
+    T("Gompertz", dict(concentration=1.5, rate=0.8), moments=False),
     T("Gumbel", dict(loc=0.3, scale=1.2), lambda p: osp.gumbel_r(0.3, 1.2)),
     T("HalfCauchy", dict(scale=2.0), lambda p: osp.halfcauchy(scale=2.0), moments=False),
     T("HalfNormal", dict(scale=1.5), lambda p: osp.halfnorm(scale=1.5)),
     T("InverseGamma", dict(concentration=3.0, rate=2.0),
       lambda p: osp.invgamma(3.0, scale=2.0)),
-    T("Kumaraswamy", dict(concentration1=2.0, concentration0=3.0), gof=False),
+    T("Kumaraswamy", dict(concentration1=2.0, concentration0=3.0)),
     T("Laplace", dict(loc=0.1, scale=2.0), lambda p: osp.laplace(0.1, 2.0)),
     T("Levy", dict(loc=0.0, scale=1.0), lambda p: osp.levy(0.0, 1.0),
       gof=False, moments=False),
@@ -92,12 +92,12 @@ SPECS = [
       gof=False, moments=False),
     T("Normal", dict(loc=1.0, scale=0.5), lambda p: osp.norm(1.0, 0.5)),
     T("Pareto", dict(scale=1.5, alpha=3.0), lambda p: osp.pareto(3.0, scale=1.5)),
-    T("SoftLaplace", dict(loc=0.0, scale=1.0), gof=False),
+    T("SoftLaplace", dict(loc=0.0, scale=1.0)),
     T("StudentT", dict(df=4.0, loc=0.5, scale=1.5),
       lambda p: osp.t(4.0, 0.5, 1.5)),
     T("TruncatedNormal", dict(loc=0.5, scale=1.0, low=-1.0, high=2.0),
       lambda p: osp.truncnorm(-1.5, 1.5, 0.5, 1.0)),
-    T("TruncatedCauchy", dict(loc=0.0, scale=1.0, low=-2.0), gof=False,
+    T("TruncatedCauchy", dict(loc=0.0, scale=1.0, low=-2.0),
       moments=False),
     T("Uniform", dict(low=-1.0, high=2.0), lambda p: osp.uniform(-1.0, 3.0)),
     T("VonMises", dict(loc=0.5, concentration=2.0),
@@ -232,7 +232,7 @@ SPECS += [
       gof=False, moments=False),
     T("TruncatedPolyaGamma", dict(batch_shape=()), gof=False, moments=False),
     T("DoublyTruncatedPowerLaw", dict(alpha=-1.5, low=1.0, high=10.0),
-      gof=False, moments=False),
+      moments=False),
     T("LowerTruncatedPowerLaw", dict(alpha=-2.5, low=1.0),
       gof=False, moments=False),
     T("WishartCholesky",
@@ -257,14 +257,14 @@ SPECS += [
     T("TransformedDistribution",
       dict(base_distribution=dist.Normal(0.0, 1.0),
            transforms=dist.transforms.ExpTransform()),
-      lambda p: osp.lognorm(1.0), gof=False),
+      lambda p: osp.lognorm(1.0)),
     T("FoldedDistribution",
       dict(base_dist=dist.Normal(0.5, 1.0)),
-      lambda p: osp.foldnorm(0.5), gof=False, moments=False),
+      lambda p: osp.foldnorm(0.5), moments=False),
     T("LeftTruncatedDistribution",
       dict(base_dist=dist.Normal(1.0, 2.0), low=0.5),
       lambda p: osp.truncnorm(-0.25, np.inf, 1.0, 2.0),
-      gof=False, moments=False),
+      moments=False),
     T("RightTruncatedDistribution",
       dict(base_dist=dist.Normal(0.0, 1.0), high=1.0),
       lambda p: osp.truncnorm(-np.inf, 1.0), gof=False, moments=False),

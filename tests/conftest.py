@@ -71,5 +71,8 @@ def pytest_collection_modifyitems(config, items):
         return
     skip_slow = pytest.mark.skip(reason="slow test: pass --runslow to include")
     for item in items:
-        if "slow" in item.keywords or item.module.__name__ in _SLOW_MODULES:
+        if (
+            "slow" in item.keywords
+            or item.module.__name__.split(".")[-1] in _SLOW_MODULES
+        ):
             item.add_marker(skip_slow)

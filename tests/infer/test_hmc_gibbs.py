@@ -76,6 +76,7 @@ def test_hmcecs_subsampled_gaussian(use_proxy):
     assert abs(float(jnp.mean(s)) - 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_hmcecs_reinit_after_warmup():
     """Regression: a second init (warmup() after run()) used to hand the
     Taylor proxy the estimator-wrapped model from the first init, so the

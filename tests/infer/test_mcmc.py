@@ -223,8 +223,8 @@ def test_chain_padding_uses_all_devices():
 
     mcmc = MCMC(
         NUTS(model),
-        num_warmup=30,
-        num_samples=40,
+        num_warmup=20,
+        num_samples=25,
         num_chains=num_chains,
         chain_method="parallel",
         progress_bar=False,
@@ -239,7 +239,7 @@ def test_chain_padding_uses_all_devices():
     with pytest.warns(UserWarning, match="padding the chain axis"):
         mcmc.run(random.PRNGKey(0))
     samples = mcmc.get_samples(group_by_chain=True)
-    assert samples["x"].shape == (num_chains, 40)
+    assert samples["x"].shape == (num_chains, 25)
     # last_state is stripped back to the requested chain count too
     assert mcmc.last_state.z["x"].shape == (num_chains,)
     assert abs(np.asarray(samples["x"]).mean()) < 0.5

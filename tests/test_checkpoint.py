@@ -22,7 +22,7 @@ def test_checkpoint_roundtrip_and_resume():
         numpyro_tpu.sample("y", dist.Normal(mu, 1.0), obs=y)
 
     y = jnp.array(2.0)
-    m = MCMC(NUTS(model), num_warmup=200, num_samples=100, progress_bar=False)
+    m = MCMC(NUTS(model), num_warmup=80, num_samples=60, progress_bar=False)
     m.warmup(random.PRNGKey(0), y)
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "warm")

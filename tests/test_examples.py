@@ -58,10 +58,7 @@ CASES = [
 # a representative cross-section stays in the fast suite; the rest are
 # integration coverage behind --runslow (each example costs ~30s of compile
 # on this 1-core box)
-FAST_CASES = {
-    CASES[5].replace("--num-data 5000", "--num-data 2000"),
-}
-CASES[5] = CASES[5].replace("--num-data 5000", "--num-data 2000")
+FAST_CASES = {c for c in CASES if c.startswith("minipyro.py")}
 
 
 @pytest.mark.parametrize(

@@ -22,7 +22,7 @@ def normal_model(x):
 
 def test_pickle_mcmc():
     x = 2.0 + random.normal(random.PRNGKey(0), (50,))
-    m = MCMC(NUTS(normal_model), num_warmup=100, num_samples=100,
+    m = MCMC(NUTS(normal_model), num_warmup=50, num_samples=60,
              progress_bar=False)
     m.run(random.PRNGKey(1), x)
     dumped = pickle.dumps(m)

@@ -121,12 +121,18 @@ def _mapped_size(d, axes):
                     return jnp.shape(leaf)[ax]
         elif ax is not None:
             # nested spec (e.g. a per-component list of child specs): pair
-            # its int leaves with the value's leaves to learn the size
-            spec_leaves = jax.tree.flatten(
-                ax, is_leaf=lambda x: x is None or isinstance(x, int)
+            # its int leaves with the value's leaves to learn the size.
+            # Both trees are flattened with the SAME is_leaf (None kept as a
+            # leaf) so a None-valued field in the child (e.g. a bool-mask
+            # MaskedDistribution._mask) cannot shift the pairing; strict zip
+            # turns any structural mismatch into a loud error instead of a
+            # silently truncated pairing
+            keep = lambda x: x is None or isinstance(x, int)  # noqa: E731
+            spec_leaves = jax.tree.flatten(ax, is_leaf=keep)[0]
+            val_leaves = jax.tree.flatten(
+                value, is_leaf=lambda x: x is None
             )[0]
-            val_leaves = jax.tree.leaves(value)
-            for s, leaf in zip(spec_leaves, val_leaves):
+            for s, leaf in zip(spec_leaves, val_leaves, strict=True):
                 if isinstance(s, int) and jnp.ndim(leaf) > s:
                     return jnp.shape(leaf)[s]
     return None

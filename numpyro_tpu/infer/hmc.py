@@ -634,8 +634,25 @@ class HMC(MCMCKernel):
         import time as _time
         from functools import partial as _partial
 
-        warm_chunk = int(_os.environ.get("NUMPYRO_TPU_WARMUP_CHUNK", "5"))
-        samp_chunk = int(_os.environ.get("NUMPYRO_TPU_SAMPLE_CHUNK", "20"))
+        # chunking defaults ON only where it pays: tunneled-TPU runtimes
+        # (execution wall limit) and progress-bar runs (per-chunk bar
+        # updates); otherwise one chunk per phase avoids per-chunk host
+        # sync latency on GPUs / locally-attached TPUs / CPU
+        from numpyro_tpu.util import tunneled_tpu_backend as _tunneled
+
+        _small_chunks = _tunneled() or progress is not None
+        warm_chunk = int(
+            _os.environ.get(
+                "NUMPYRO_TPU_WARMUP_CHUNK",
+                "5" if _small_chunks else str(max(num_warmup, 1)),
+            )
+        )
+        samp_chunk = int(
+            _os.environ.get(
+                "NUMPYRO_TPU_SAMPLE_CHUNK",
+                "20" if _small_chunks else str(max(num_samples, 1)),
+            )
+        )
         # hard per-execution leapfrog budget for the async harvest loop: a
         # harvest-target-only chunk is O(chunk * 2^max_depth) leapfrogs in
         # the worst case (one slow chain maxing depth-10 trees holds the

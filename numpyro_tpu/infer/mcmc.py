@@ -33,6 +33,7 @@ from numpyro_tpu.util import (
     merge_dynamic,
     nested_attrgetter,
     split_dynamic,
+    tunneled_tpu_backend as _tunneled_tpu_backend,
 )
 
 __all__ = ["MCMCKernel", "MCMC"]
@@ -267,12 +268,21 @@ class MCMC:
             a, kw = merge_dynamic(dynamic, meta)
             return self.sampler.sample(state, a, kw)
 
-        # bounded device executions on accelerator backends: one monolithic
-        # fori_loop execution past ~1 minute faults tunneled TPU runtimes
-        # (chunking is a no-op semantically; state stays on device)
+        # bounded device executions on TUNNELED TPU backends: one monolithic
+        # fori_loop execution past ~1 minute faults the tunnel runtime
+        # (chunking is a no-op semantically; state stays on device).  On
+        # GPUs / locally-attached TPUs the per-chunk host sync is pure
+        # overhead, so chunking defaults ON only when the tunnel runtime is
+        # detected; NUMPYRO_TPU_STEP_CHUNK overrides in either direction
+        # (0 disables, N>0 forces a chunk size).
         import os as _os
 
-        step_chunk = int(_os.environ.get("NUMPYRO_TPU_STEP_CHUNK", "5"))
+        step_chunk = int(
+            _os.environ.get(
+                "NUMPYRO_TPU_STEP_CHUNK",
+                "5" if _tunneled_tpu_backend() else "0",
+            )
+        )
         chunk_size = (
             step_chunk
             if step_chunk > 0 and jax.default_backend() != "cpu"
@@ -348,7 +358,9 @@ class MCMC:
         # chains never idle waiting for the slowest tree (hmc_core).
         if self._can_fuse(collect_fields, init_state):
             if self.chain_method == "parallel":
-                rng_key = self._shard_over_chains(rng_key)
+                rng_key = self._shard_over_chains(
+                    rng_key, allow_pad=init_state is None
+                )
             progress = None
             bar = None
             if self.progress_bar:
@@ -468,7 +480,9 @@ class MCMC:
                 # chain-massive SPMD: vectorized program + sharded chain axis.
                 # Keys are placed over the mesh axis "chains"; GSPMD then
                 # partitions every (C, ...) tensor in the program.
-                rng_key = self._shard_over_chains(rng_key)
+                rng_key = self._shard_over_chains(
+                    rng_key, allow_pad=init_state is None
+                )
             elif callable(self.chain_method):
                 # user-supplied vmap/pmap-like transform mapped over the
                 # chain axis (reference: numpyro/infer/mcmc.py:282-287)
@@ -565,14 +579,19 @@ class MCMC:
             and set(collect_fields) <= set(self.sampler.FUSED_FIELDS)
         )
 
-    def _shard_over_chains(self, rng_key):
+    def _shard_over_chains(self, rng_key, allow_pad=True):
         """Shard the chain axis over every local device.
 
         When ``num_chains`` is not a multiple of the device count, the chain
-        axis is PADDED to the next multiple (duplicating the first keys) so
-        all devices stay busy, and the extra chains are dropped at
-        collection (``_strip_chain_pad``) — running 1023 chains on 8 devices
-        costs one extra chain per device, not a 8x single-device fallback.
+        axis is PADDED to the next multiple so all devices stay busy, and the
+        extra chains are dropped at collection (``_strip_chain_pad``) —
+        running 1023 chains on 8 devices costs one extra chain per device,
+        not a 8x single-device fallback.  Padded chains get *distinct* keys
+        (``fold_in`` of the duplicated ones) so cross-chain statistics
+        (pooled adaptation) are never double-weighted by bitwise-replica
+        chains.  ``allow_pad=False`` (resume from an existing, unpadded
+        kernel state) skips both padding and the stripping bookkeeping —
+        the key batch must then match the state batch exactly.
         """
         import warnings
 
@@ -580,6 +599,14 @@ class MCMC:
         if n_dev <= 1:
             return rng_key
         pad = (-self.num_chains) % n_dev
+        if pad and not allow_pad:
+            warnings.warn(
+                f"num_chains={self.num_chains} is not divisible by device "
+                f"count {n_dev} and the run resumes from an existing state, "
+                "so the chain axis cannot be padded; running unsharded.",
+                stacklevel=2,
+            )
+            return rng_key
         if pad:
             warnings.warn(
                 f"num_chains={self.num_chains} is not divisible by device "
@@ -589,14 +616,23 @@ class MCMC:
                 "the padded work.",
                 stacklevel=2,
             )
-            rng_key = jnp.concatenate([rng_key, rng_key[:pad]], axis=0)
+            pad_keys = vmap(lambda k: random.fold_in(k, self.num_chains))(
+                rng_key[:pad]
+            )
+            rng_key = jnp.concatenate([rng_key, pad_keys], axis=0)
             self._chain_pad = pad
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
         sharding = NamedSharding(mesh, P("chains"))
         return jax.device_put(rng_key, sharding)
 
     def _strip_chain_pad(self, tree):
-        """Drop padded chains from any leaf carrying the padded chain axis."""
+        """Drop padded chains from the chain-batched leaves of a collected
+        tree.  Every array leaf of the vectorized program's output carries
+        the chain batch at dim 0 (vmap ``out_axes=0`` — collected fields are
+        swapped to chain-major before stripping), so leaves whose leading
+        dim equals the padded count are exactly the chain-batched ones;
+        ``_chain_pad`` is reset at the start of every run and never set on
+        resumed runs, so the predicate cannot fire on stale sizes."""
         pad = getattr(self, "_chain_pad", 0)
         if not pad:
             return tree

@@ -35,7 +35,9 @@ def vindex(arr, keys):
     if Ellipsis in keys:
         raise NotImplementedError("only a leading Ellipsis is understood")
 
-    batched = [jnp.ndim(k) > 0 for k in keys]
+    batched = [
+        not isinstance(k, slice) and jnp.ndim(k) > 0 for k in keys
+    ]
 
     # plain advanced indexing already broadcasts correctly when the array
     # has no extra batch dims in front and only the head key is batched

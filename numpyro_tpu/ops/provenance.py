@@ -40,7 +40,19 @@ except ImportError:  # pragma: no cover
     _debug_info = None
 
 from jax.interpreters.partial_eval import trace_to_jaxpr_dynamic
-from jax.interpreters.pxla import xla_pmap_p
+
+# pmap's primitive moved around across JAX versions and is deprecated from
+# jax.interpreters.pxla since 0.8.2; it only sharpens provenance inside a
+# traced pmap (rare in model functions), so fall back to the conservative
+# union rule when the symbol is gone rather than pinning a deprecated path.
+try:  # pragma: no cover - version dependent
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.interpreters.pxla import xla_pmap_p
+except Exception:  # pragma: no cover
+    xla_pmap_p = None
 
 
 def eval_provenance(fn, **kwargs):
@@ -114,7 +126,8 @@ def _pjit_rule(eqn, in_tags):
 
 _RULES = {
     call_p: _call_rule,
-    xla_pmap_p: _call_rule,
     closed_call_p: _closed_call_rule,
     pjit_p: _pjit_rule,
 }
+if xla_pmap_p is not None:
+    _RULES[xla_pmap_p] = _call_rule

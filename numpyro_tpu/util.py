@@ -15,6 +15,7 @@ Chain-massive design notes:
 
 from __future__ import annotations
 
+import functools
 import os
 import random as pyrandom
 from contextlib import contextmanager
@@ -89,6 +90,18 @@ def _debug_mode():
 
 def maybe_jit(fn, *args, **kwargs):
     return fn if _debug_mode() else jit(fn, *args, **kwargs)
+
+
+@functools.lru_cache(maxsize=1)
+def tunneled_tpu_backend():
+    """True when JAX runs against a tunneled/remote TPU runtime (the axon
+    plugin) rather than a locally-attached device.  Tunneled runtimes fault
+    on single device executions past ~1 minute, so the drivers split loops
+    into host-driven chunks there; on local backends chunking is pure
+    per-chunk sync overhead and stays off by default."""
+    import importlib.util
+
+    return importlib.util.find_spec("axon") is not None
 
 
 def cond(pred, true_operand, true_fun, false_operand, false_fun):
@@ -298,20 +311,24 @@ def fori_collect(
         val = init_val
         if not progbar:
             if chunk_size is not None and 0 < chunk_size < upper:
-                # bounded device executions (see the chunked path below)
+                # bounded device executions (see the chunked path below);
+                # the carried state is donated so each chunk reuses the
+                # previous chunk's buffers instead of holding both copies
                 prog = maybe_jit(
-                    lambda i0, n, c: fori_loop(
-                        i0, n, lambda i, cc: (body_fun(cc[0], *cc[1]), cc[1]), c
-                    )
+                    lambda i0, n, v, ba: fori_loop(
+                        i0,
+                        n,
+                        lambda i, cc: (body_fun(cc[0], *cc[1]), cc[1]),
+                        (v, ba),
+                    )[0],
+                    donate_argnums=2,
                 )
-                c = (val, body_args)
                 i0 = 0
                 while i0 < upper:
                     n = min(i0 + chunk_size, upper)
-                    c = prog(i0, n, c)
-                    device_get(jax.tree.leaves(c[0])[0])
+                    val = prog(i0, n, val, body_args)
+                    device_get(jax.tree.leaves(val)[0])
                     i0 = n
-                val = c[0]
                 empty = jax.tree.map(
                     lambda x: jnp.zeros(
                         (0,) + jnp.shape(x), dtype=jnp.result_type(x)
@@ -348,22 +365,32 @@ def fori_collect(
             # host-driven chunks of the same compiled program: single
             # device executions beyond ~1 minute fault tunneled TPU
             # backends, so the loop advances in bounded slices with all
-            # state left on device between calls
+            # state left on device between calls.  The carried state AND
+            # the collection buffer are donated (argnums 2, 3) so chunks
+            # reuse buffers in place — without donation each call keeps
+            # input+output copies of the full collection live, doubling
+            # HBM residency; body_args (model data) is NOT donated since
+            # callers keep references to it
             chunk_prog = maybe_jit(
-                lambda i0, n, vals: fori_loop(i0, n, loop_body, vals)
+                lambda i0, n, v, coll, si, th, ba: fori_loop(
+                    i0, n, loop_body, (v, coll, si, th, ba)
+                )[:2],
+                donate_argnums=(2, 3),
             )
             vals = jax.tree.map(
                 lambda x: x if isinstance(x, jax.Array) else device_put(x),
                 vals,
             )
+            last_val, collection, si, th, ba = vals
             i0 = 0
             while i0 < upper:
                 n = min(i0 + chunk_size, upper)
-                vals = chunk_prog(i0, n, vals)
+                last_val, collection = chunk_prog(
+                    i0, n, last_val, collection, si, th, ba
+                )
                 # tiny transfer = the tunnel-reliable sync point
-                device_get(jax.tree.leaves(vals[0])[0])
+                device_get(jax.tree.leaves(last_val)[0])
                 i0 = n
-            last_val, collection, _, _, _ = vals
         else:
             last_val, collection, _, _, _ = fori_loop(
                 0,

@@ -169,9 +169,6 @@ def _scan_enum_wrapper(
             "python-loop `markov(range(T), history=h)` form for longer "
             "dependencies"
         )
-    if any(s_type == "replay" for s_type, _ in substitute_stack):
-        raise NotImplementedError("replay through an enumerated scan")
-
     history = min(history, length)
     unroll = history  # min(2 * history - 1, length) for history <= 1
     fad = first_available_dim
@@ -188,10 +185,23 @@ def _scan_enum_wrapper(
         )
         seeded_fn = handlers.seed(fn, subkey) if subkey is not None else fn
         for subs_type, subs_map in substitute_stack:
+            if subs_type == "replay":
+                # same treatment as the plain scan wrapper: replaying an
+                # outer trace through the scan body is a substitution of
+                # its (possibly time-stacked) recorded sample values —
+                # sites absent from the trace (e.g. the enumerated Markov
+                # site under an ELBO guide replay) pass through untouched
+                subs_map = {
+                    name: site["value"]
+                    for name, site in subs_map.items()
+                    if site["type"] == "sample"
+                    and not site.get("is_observed", False)
+                    and site["value"] is not None
+                }
             subs_fn = partial(_subs_wrapper, subs_map, i, length)
             if subs_type == "condition":
                 seeded_fn = handlers.condition(seeded_fn, condition_fn=subs_fn)
-            elif subs_type == "substitute":
+            else:
                 seeded_fn = handlers.substitute(seeded_fn, substitute_fn=subs_fn)
         frame["slot"] = slot
         _MARKOV_STACK.append(frame)

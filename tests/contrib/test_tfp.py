@@ -7,7 +7,24 @@ import pytest
 import jax.numpy as jnp
 from jax import random
 
-tfp = pytest.importorskip("tensorflow_probability.substrates.jax")
+# Install attempt in this environment (2026-08-20, round 5):
+#   pip install tensorflow-probability
+#   -> NameResolutionError: Failed to resolve 'pypi.org'
+#      ([Errno -2] Name or service not known); zero-egress image, no
+#      local wheel available.  The bridge interface is therefore
+#      conformance-tested against the in-repo stub (test_tfp_stub.py)
+#      which implements exactly the tfd/tfp.mcmc surface the bridge
+#      consumes; this real-TFP suite activates unchanged the moment
+#      tensorflow_probability becomes installable.
+tfp = pytest.importorskip(
+    "tensorflow_probability.substrates.jax",
+    reason=(
+        "tensorflow_probability is not installed and cannot be: "
+        "pip install fails with NameResolutionError for pypi.org "
+        "(zero-egress environment, attempt recorded 2026-08-20); "
+        "interface conformance runs against the stub in test_tfp_stub.py"
+    ),
+)
 
 import numpyro_tpu
 from numpyro_tpu.contrib.tfp.distributions import TFPDistribution

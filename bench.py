@@ -81,6 +81,13 @@ NUM_CHAINS = int(
 # 1.5-1.7x the f32 mode on v5e.  Set BENCH_GLM_DTYPE=f32 for the exact-f32
 # design matrix.
 GLM_DTYPE = os.environ.get("BENCH_GLM_DTYPE", "split")
+# Cross-chain pooled warmup adaptation (one shared step size + mass matrix
+# from all chains' pooled Welford moments): with hundreds-thousands of
+# chains estimating the SAME mass matrix, pooling needs far fewer warmup
+# steps per chain for equal quality — BENCH_POOLED=1 enables it and
+# BENCH_WARMUP should then be lowered (the A/B in round 5 measured the
+# default below).
+POOLED = os.environ.get("BENCH_POOLED", "0") == "1"
 NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", 300))
 NUM_SAMPLES = int(
     os.environ.get("BENCH_SAMPLES", 500 if MODE == "ecs" else 1000)
@@ -126,12 +133,19 @@ def build_mcmc(X, y, true_w):
     if MODE == "ecs":
         # Taylor proxy anchored at the generating coefficients (the
         # reference's covtype recipe anchors at an SVI MAP; on synthetic
-        # data the generator IS the MAP up to sampling noise)
-        proxy = HMCECS.taylor_proxy({"w": true_w})
+        # data the generator IS the MAP up to sampling noise).  proxy and
+        # panel modes default to "auto": at 4096 chains on a 16 GB chip
+        # they resolve to recompute-stats + bf16 panels (no per-chain
+        # (m, P) statistics panels; data panels at half width) — the
+        # memory-lean configuration that fits the north-star scale.
+        proxy = HMCECS.taylor_proxy(
+            {"w": true_w}, mode=os.environ.get("BENCH_ECS_PROXY_MODE", "auto")
+        )
         kernel = HMCECS(
             NUTS(model_ecs, max_tree_depth=MAX_TREE_DEPTH),
             num_blocks=NUM_BLOCKS,
             proxy=proxy,
+            panel_mode=os.environ.get("BENCH_ECS_PANEL_MODE", "auto"),
         )
         args = (X, y)
     else:
@@ -141,7 +155,11 @@ def build_mcmc(X, y, true_w):
             X, y, dtype="split" if GLM_DTYPE == "split" else _jnp.float32
         )
         jax.block_until_ready(data.x_t)
-        kernel = NUTS(model, max_tree_depth=MAX_TREE_DEPTH)
+        kernel = NUTS(
+            model,
+            max_tree_depth=MAX_TREE_DEPTH,
+            pooled_adaptation=POOLED,
+        )
         args = (data,)
     return (
         MCMC(
@@ -279,6 +297,44 @@ def main():
         }
 
     if MODE == "ecs":
+        # --- ECS roofline: panel traffic per leapfrog -------------------
+        # the per-chain subsample panels (bf16 X rows + y) are the hot
+        # data: each potential eval reads them once for the exact sub
+        # log-lik and ~3 more times inside the nested-JVP proxy recompute
+        # (value/first/second directional terms).  MXU flops are
+        # negligible (m*P matvecs), so the leg is HBM-bound on panels.
+        panel_bytes = NUM_CHAINS * SUBSAMPLE * D * 2  # bf16 X panels
+        passes_per_eval = 4.0
+        kern = getattr(mcmc.sampler, "_panel_mode_resolved", "?")
+        # leapfrogs are not collected for the nested kernel; bound them
+        # from the total transitions x the post-adaptation tree size
+        # measured on the full-data leg (~7 leapfrogs/draw at depth 10)
+        est_leapfrogs = (NUM_WARMUP + NUM_SAMPLES) * 7.0
+        ecs_gbps = (
+            est_leapfrogs * passes_per_eval * panel_bytes / max(total_s, 1e-9) / 1e9
+        )
+        peak_hbm_gbps = float(os.environ.get("BENCH_PEAK_HBM_GBPS", 819))
+        roofline = {
+            "panel_mode": str(kern),
+            "panel_bytes_per_pass": panel_bytes,
+            "est_passes_per_leapfrog": passes_per_eval,
+            "hbm_gbps_panel_traffic_est": round(ecs_gbps, 1),
+            "hbm_roofline_frac": round(ecs_gbps / peak_hbm_gbps, 3),
+            "note": "estimate: leapfrog count of the nested kernel is not "
+            "collected; assumes ~7 leapfrogs/transition as measured on the "
+            "full-data leg",
+        }
+        crossover_note = (
+            "At covtype scale the full-data fused kernel reads ONE shared "
+            f"{'bf16' if GLM_DTYPE != 'f32' else 'f32'} X pass "
+            f"(~{N * D * 2 / 1e6:.0f} MB) per leapfrog for ALL chains, "
+            f"while ECS reads per-chain panels "
+            f"(~{panel_bytes / 1e6:.0f} MB x ~{passes_per_eval:.0f} passes) "
+            "— subsampling therefore LOSES on HBM traffic whenever "
+            "N < ~4*C*m (here N=%d vs C*m=%d).  ECS pays off at "
+            "N >> 4*C*m, for expensive per-row likelihoods, or when the "
+            "full dataset cannot live in HBM." % (N, NUM_CHAINS * SUBSAMPLE)
+        )
         workload = (
             f"HMCECS subsample={SUBSAMPLE} blocks={NUM_BLOCKS} Taylor proxy,"
             f" covtype-shape logistic regression, {NUM_CHAINS} chains"
@@ -308,11 +364,15 @@ def main():
             "num_samples_per_chain": NUM_SAMPLES,
             "max_tree_depth": str(MAX_TREE_DEPTH),
             "glm_dtype": GLM_DTYPE,
+            "pooled_adaptation": POOLED,
             "data_shape": [N, D],
             "device": str(jax.devices()[0]),
             "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"
             " 100 draws/chain, sample-phase-only ESS/s",
             **({"roofline": roofline} if roofline else {}),
+            **(
+                {"crossover_note": crossover_note} if MODE == "ecs" else {}
+            ),
         },
     }
 
@@ -363,7 +423,10 @@ def main():
                             "max_coef_abs_err",
                             "num_chains",
                             "total_wall_incl_compile_s",
+                            "roofline",
+                            "crossover_note",
                         )
+                        if k in ecs["detail"]
                     },
                 }
             else:

@@ -85,6 +85,25 @@ class subsample_panels(numpyro_tpu.primitives.Messenger):
             self._i += 1
         msg["_pregathered"] = True
 
+def _device_hbm_bytes():
+    """Best-effort accelerator memory budget for auto mode selection."""
+    import os
+
+    env = os.environ.get("NUMPYRO_TPU_HBM_GB")
+    if env:
+        return float(env) * 1e9
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return float(limit)
+    except Exception:
+        pass
+    # v5e default; CPU tests see a huge budget so auto keeps the proven
+    # stats-carrying mode
+    return 16e9 if jax.default_backend() != "cpu" else 1e12
+
+
 TaylorProxyStats = namedtuple("TaylorProxyStats", "value, grad")
 """Per-plate dicts of reference log-lik statistics at the current
 subsample: value (m,), grad (m, P).
@@ -262,7 +281,7 @@ class subsample_estimator(numpyro_tpu.primitives.Messenger):
             self._plate_idx[msg["name"]] = msg["value"]
 
 
-def taylor_proxy(reference_params, degree=2):
+def taylor_proxy(reference_params, degree=2, mode="auto"):
     """Taylor control variate around reference (MAP) parameters.
 
     Returns a constructor matching the HMCECS proxy contract:
@@ -270,12 +289,30 @@ def taylor_proxy(reference_params, degree=2):
     num_blocks) -> (proxy_fn, proxy_init, proxy_update)`` with per-chain
     ``proxy_init(idx_dict)`` / ``proxy_update(key, idx_dict, stats)``
     (role parity: numpyro/contrib/ecs_proxies.py:99-254).
+
+    ``mode`` selects the memory/compute trade for the per-point reference
+    statistics:
+
+    - ``"stats"``: carry ``(m,)`` value and ``(m, P)`` gradient panels per
+      chain in the kernel state, block-merged on each index refresh.  One
+      extra subsample pass per refresh; per-eval cost is dot products.
+    - ``"recompute"``: carry NOTHING per chain.  Each potential evaluation
+      recovers value, first and second directional terms from a single
+      nested JVP of the pointwise log-lik along ``d = params - ref``
+      (``jvp`` of ``t -> jvp(ll(ref + t d))`` at 0 returns all three).
+      ~1 extra subsample-sized pass per eval; removes the
+      ``num_chains * m * P`` stats panels entirely — the difference
+      between fitting and OOMing a 16 GB chip at 4096 chains.
+    - ``"auto"``: pick by estimated HBM demand of the stats panels vs the
+      device budget (the kernel threads ``num_chains`` in).
     """
     if degree not in (1, 2):
         raise ValueError("taylor_proxy supports degree 1 or 2 only")
+    if mode not in ("stats", "recompute", "auto"):
+        raise ValueError("taylor_proxy mode must be stats|recompute|auto")
 
     def construct(prototype_trace, plate_sizes, model, model_args, model_kwargs,
-                  num_blocks=1):
+                  num_blocks=1, num_chains=1, hbm_budget=None):
         def _unconstrain(values):
             return {
                 name: (
@@ -380,6 +417,66 @@ def taylor_proxy(reference_params, degree=2):
             return fv, fg, fh
 
         full_value, full_grad, full_hess = _full_stats(dyn0)
+
+        # --- resolve the stats-vs-recompute trade --------------------------
+        resolved = mode
+        if resolved == "auto":
+            m_total = sum(int(m) for _, m in plate_sizes.values())
+            p_dim = int(ref_flat.size)
+            # old + refreshed + merged copies of the (C, m, P+1) panels are
+            # live inside one compiled Gibbs step
+            stats_bytes = 3 * num_chains * m_total * (p_dim + 1) * 4
+            budget = hbm_budget if hbm_budget else _device_hbm_bytes()
+            resolved = "stats" if stats_bytes <= 0.15 * budget else "recompute"
+
+        if resolved == "recompute":
+
+            def proxy_init_r(idx_dict, margs=None, mkwargs=None):
+                return ()
+
+            def proxy_update_r(rng_key, idx_dict, stats, margs=None,
+                               mkwargs=None):
+                keys = random.split(rng_key, max(len(idx_dict), 1))
+                new_idx = {}
+                for key, name in zip(keys, sorted(idx_dict)):
+                    new_idx[name] = block_refresh(
+                        key, idx_dict[name], plate_sizes[name][0], num_blocks
+                    )[0]
+                return new_idx, ()
+
+            def proxy_fn_r(params, plate_names, stats, idx_dict=None,
+                           panels=None, margs=None, mkwargs=None):
+                if idx_dict is None:
+                    raise ValueError(
+                        "recompute-mode taylor_proxy requires the subsample "
+                        "indices at evaluation time"
+                    )
+                params_flat, _ = ravel_pytree(params)
+                d = params_flat - ref_flat
+
+                def along(t):
+                    return pointwise_loglik(
+                        ref_flat + t * d, idx_dict, panels, margs, mkwargs
+                    )
+
+                def val_and_first(t):
+                    return jax.jvp(along, (t,), (jnp.ones(()),))
+
+                (vals, firsts), (_, seconds) = jax.jvp(
+                    val_and_first, (jnp.zeros(()),), (jnp.ones(()),)
+                )
+                total_all, total_sub = {}, {}
+                for name in plate_names:
+                    sub = vals[name] + firsts[name]
+                    full = full_value[name] + full_grad[name] @ d
+                    if degree == 2:
+                        sub = sub + 0.5 * seconds[name]
+                        full = full + 0.5 * d @ full_hess[name] @ d
+                    total_sub[name] = sub
+                    total_all[name] = full
+                return total_all, total_sub
+
+            return proxy_fn_r, proxy_init_r, proxy_update_r
 
         def proxy_init(idx_dict, margs=None, mkwargs=None):
             return _stats_at(idx_dict, margs, mkwargs)

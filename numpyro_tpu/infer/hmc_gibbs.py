@@ -455,9 +455,19 @@ class HMCECS(HMCGibbs):
         num_blocks=1,
         proxy=None,
         collect_subsample_indices=False,
+        panel_mode="auto",
     ):
+        if panel_mode not in ("auto", "carry", "bf16", "lean"):
+            raise ValueError("panel_mode must be auto|carry|bf16|lean")
         super().__init__(inner_kernel, identity, None)
         self._collect_subsample_indices = collect_subsample_indices
+        # subsample data-panel handling: "carry" keeps the gathered
+        # (chains, m, ...) panels in the kernel state (one gather per Gibbs
+        # step), "bf16" carries them at half width, "lean" carries nothing
+        # and re-gathers inside each potential evaluation (the reference's
+        # behavior, numpyro/infer/hmc_gibbs.py:690-769); "auto" picks by
+        # estimated HBM demand vs the device budget
+        self._panel_mode = panel_mode
         self.inner_kernel._model = partial(
             _wrap_gibbs_state, self.inner_kernel._model
         )
@@ -511,6 +521,19 @@ class HMCECS(HMCGibbs):
             # the PRISTINE wrapped model: re-initialization must not hand
             # the proxy the estimator-wrapped model from a previous init —
             # its pointwise evaluations would recurse into the estimator
+            import inspect
+
+            n_chains_hint = 1 if is_prng_key(rng_key) else rng_key.shape[0]
+            extra_hints = {}
+            try:
+                sig = inspect.signature(self._proxy)
+                if "num_chains" in sig.parameters or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig.parameters.values()
+                ):
+                    extra_hints["num_chains"] = n_chains_hint
+            except (TypeError, ValueError):  # builtins / odd callables
+                pass
             proxy_fn, proxy_init, self._proxy_update = self._proxy(
                 tr,
                 self._subsample_plate_sizes,
@@ -518,6 +541,7 @@ class HMCECS(HMCGibbs):
                 model_args,
                 model_kwargs.copy(),
                 num_blocks=self._num_blocks,
+                **extra_hints,
             )
             self.inner_kernel._model = subsample_estimator(
                 self._base_inner_model,
@@ -560,13 +584,19 @@ class HMCECS(HMCGibbs):
         init_panel_keys = vmap(lambda k: random.fold_in(k, 7))(
             rng_key if batched else rng_key[None]
         )
+        self._resolve_panel_mode(
+            init_panel_keys, idx_panel, dyn_i, meta_i, num_chains
+        )
 
         @jax.jit
         def _init_panels(keys, idxp, dyn):
             margs, mkwargs = merge_dynamic(dyn, meta_i)
             return self._record_panels(keys, idxp, margs, mkwargs)
 
-        panels = _init_panels(init_panel_keys, idx_panel, dyn_i)
+        if self._panel_mode_resolved == "lean":
+            panels = ()
+        else:
+            panels = _init_panels(init_panel_keys, idx_panel, dyn_i)
         self._has_proxy = proxy_init is not None
 
         model_kwargs["_gibbs_state"] = jax.tree.map(
@@ -629,6 +659,40 @@ class HMCECS(HMCGibbs):
 
         return pe
 
+    def _resolve_panel_mode(self, keys, idx_panel, dyn, meta, num_chains):
+        """Pick carry/bf16/lean for ``panel_mode="auto"`` from the estimated
+        HBM footprint of the carried panels (3 copies — old, refreshed,
+        selected — are live inside one compiled Gibbs step) against the
+        device budget.  Shapes come from ``jax.eval_shape`` — no gathers."""
+        mode = self._panel_mode
+        if mode != "auto":
+            self._panel_mode_resolved = mode
+            return
+        from numpyro_tpu.contrib.ecs_proxies import _device_hbm_bytes
+        from numpyro_tpu.util import merge_dynamic as _merge
+
+        try:
+            one_key = keys[:1]
+            one_idx = jax.tree.map(lambda x: x[:1], idx_panel)
+            shapes = jax.eval_shape(
+                lambda k, i, d: self._record_panels(k, i, *_merge(d, meta)),
+                one_key, one_idx, dyn,
+            )
+            per_chain = sum(
+                int(np.prod(s.shape)) * s.dtype.itemsize
+                for s in jax.tree.leaves(shapes)
+            )
+        except Exception:
+            per_chain = 0
+        est = 3 * num_chains * per_chain
+        budget = _device_hbm_bytes()
+        if est <= 0.15 * budget:
+            self._panel_mode_resolved = "carry"
+        elif est / 2 <= 0.15 * budget:
+            self._panel_mode_resolved = "bf16"
+        else:
+            self._panel_mode_resolved = "lean"
+
     def _record_panels(self, keys, z_gibbs, model_args, model_kwargs):
         """Gather every subsample plate's data panels ONCE for the given
         per-chain index sets — potential evals then replay these instead of
@@ -644,7 +708,18 @@ class HMCECS(HMCGibbs):
                 )
             return tuple(out)
 
-        return vmap(one)(keys, z_gibbs)
+        panels = vmap(one)(keys, z_gibbs)
+        if getattr(self, "_panel_mode_resolved", None) == "bf16":
+            panels = jax.tree.map(
+                lambda x: (
+                    x.astype(jnp.bfloat16)
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.dtype != jnp.bfloat16
+                    else x
+                ),
+                panels,
+            )
+        return panels
 
     def _sample_batched(self, state, model_args, model_kwargs):
         keys, refresh_keys, accept_keys, panel_keys = _split_keys(
@@ -681,15 +756,25 @@ class HMCECS(HMCGibbs):
             gibbs_state_new = state.gibbs_state
 
         # batched pseudo-marginal MH on the likelihood-estimator difference
+        lean = getattr(self, "_panel_mode_resolved", "carry") == "lean"
         pe_fn = self._chain_potential_ecs(model_args, model_kwargs)
         pe = state.hmc_state.potential_energy
-        panels_new = self._record_panels(
-            panel_keys, z_gibbs_new, model_args, model_kwargs
-        )
-        pe_new = vmap(pe_fn)(
-            z_gibbs_new, gibbs_state_new, state.hmc_state.z, panels_new
-        )
-        panels_old = state.panels
+        if lean:
+            # no carried panels: every potential evaluation re-gathers its
+            # subsample rows (the reference's memory profile,
+            # numpyro/infer/hmc_gibbs.py:690-769)
+            panels_new = panels_old = ()
+            pe_new = vmap(lambda g, s, zc: pe_fn(g, s, zc))(
+                z_gibbs_new, gibbs_state_new, state.hmc_state.z
+            )
+        else:
+            panels_new = self._record_panels(
+                panel_keys, z_gibbs_new, model_args, model_kwargs
+            )
+            pe_new = vmap(pe_fn)(
+                z_gibbs_new, gibbs_state_new, state.hmc_state.z, panels_new
+            )
+            panels_old = state.panels
         accept_prob = jnp.exp(jnp.minimum(0.0, pe - pe_new))
         take = (
             jnp.log(vmap(random.uniform)(accept_keys)) < (pe - pe_new)
@@ -710,18 +795,23 @@ class HMCECS(HMCGibbs):
         # panels for the SELECTED index sets: select between the proposal's
         # freshly-gathered panels and the carried ones — ONE gather per
         # step total, the whole inner trajectory replays them
-        panels = sel(panels_new, panels_old)
+        panels = () if lean else sel(panels_new, panels_old)
 
         # gradient under the selected conditioning
-        if self.inner_kernel._forward_mode_differentiation:
-            grad_fn = lambda g, s, zc, p: jacfwd(  # noqa: E731
-                lambda z: pe_fn(g, s, z, p)
+        fwd = self.inner_kernel._forward_mode_differentiation
+        diff = jacfwd if fwd else jax.grad
+        if lean:
+            grad_fn = lambda g, s, zc: diff(  # noqa: E731
+                lambda z: pe_fn(g, s, z)
             )(zc)
+            z_grad = vmap(grad_fn)(z_gibbs, gibbs_state, state.hmc_state.z)
         else:
-            grad_fn = lambda g, s, zc, p: jax.grad(  # noqa: E731
+            grad_fn = lambda g, s, zc, p: diff(  # noqa: E731
                 lambda z: pe_fn(g, s, z, p)
             )(zc)
-        z_grad = vmap(grad_fn)(z_gibbs, gibbs_state, state.hmc_state.z, panels)
+            z_grad = vmap(grad_fn)(
+                z_gibbs, gibbs_state, state.hmc_state.z, panels
+            )
         hmc_state = state.hmc_state._replace(
             z_grad=z_grad, potential_energy=pe
         )
@@ -730,7 +820,7 @@ class HMCECS(HMCGibbs):
         inner_kwargs["_per_chain"] = {
             "_gibbs_sites": z_gibbs,
             "_gibbs_state": gibbs_state,
-            "_subsample_panels": panels,
+            **({} if lean else {"_subsample_panels": panels}),
         }
         hmc_state = self.inner_kernel.sample(hmc_state, model_args, inner_kwargs)
         z = {**z_gibbs, **hmc_state.z}
@@ -739,6 +829,9 @@ class HMCECS(HMCGibbs):
         )
 
     @staticmethod
-    def taylor_proxy(reference_params, degree=2):
-        """Taylor-expansion control variate around MAP reference params."""
-        return taylor_proxy(reference_params, degree)
+    def taylor_proxy(reference_params, degree=2, mode="auto"):
+        """Taylor-expansion control variate around MAP reference params.
+        ``mode``: "stats" (carried per-chain panels), "recompute" (nothing
+        carried — directional derivatives per eval), or "auto" (by HBM
+        budget); see :func:`numpyro_tpu.contrib.ecs_proxies.taylor_proxy`."""
+        return taylor_proxy(reference_params, degree, mode=mode)

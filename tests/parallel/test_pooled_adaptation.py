@@ -84,3 +84,41 @@ def test_pooled_adaptation_sharded_chains(data):
     # posterior itself to agree
     assert abs(draws["vectorized"].mean() - draws["parallel"].mean()) < 0.03
     assert abs(draws["vectorized"].std() - draws["parallel"].std()) < 0.03
+
+
+def test_pooled_short_warmup_matches_unpooled_long(data):
+    """The pooled-adaptation payoff: 8 chains pooling their Welford moments
+    and accept statistics reach (in 100 warmup steps) an adapted step size
+    and mass matrix equivalent to what per-chain adaptation needs 300 steps
+    for — the configuration the bench's warmup A/B measures."""
+
+    def run(pooled, warmup):
+        m = MCMC(
+            NUTS(model, pooled_adaptation=pooled),
+            num_warmup=warmup,
+            num_samples=50,
+            num_chains=8,
+            progress_bar=False,
+        )
+        m.run(random.PRNGKey(3), data)
+        st = m.last_state.adapt_state
+        return (
+            np.asarray(st.step_size),
+            np.concatenate(
+                [np.ravel(b) for b in np.asarray(st.inverse_mass_matrix)]
+            )
+            if not hasattr(st.inverse_mass_matrix, "shape")
+            else np.asarray(st.inverse_mass_matrix),
+        )
+
+    ss_pool, imm_pool = run(True, 100)
+    ss_per, imm_per = run(False, 300)
+    # pooled step size (shared across chains) lands inside the per-chain
+    # population's spread at the longer schedule
+    ratio = float(np.ravel(ss_pool)[0] / np.median(ss_per))
+    assert 0.35 < ratio < 2.8, (ss_pool, ss_per)
+    # pooled mass matrix (shared) matches the per-chain median estimate of
+    # the same posterior variances
+    imm_pool_one = imm_pool.reshape(imm_pool.shape[0], -1)[0]
+    imm_per_med = np.median(imm_per.reshape(imm_per.shape[0], -1), axis=0)
+    np.testing.assert_allclose(imm_pool_one, imm_per_med, rtol=0.6)

@@ -8,7 +8,11 @@ package namespace in one pass.
 from importlib import import_module
 
 from . import constraints, transforms
-from .distribution import enable_validation, validation_enabled
+from .distribution import (
+    DistributionLike,
+    enable_validation,
+    validation_enabled,
+)
 from .kl import kl_divergence, register_kl
 from .transforms import biject_to
 
@@ -52,8 +56,8 @@ _INVENTORY = {
 }
 
 __all__ = [
-    "biject_to", "constraints", "enable_validation", "kl_divergence",
-    "register_kl", "transforms", "validation_enabled",
+    "biject_to", "constraints", "DistributionLike", "enable_validation",
+    "kl_divergence", "register_kl", "transforms", "validation_enabled",
 ]
 for _mod_name, _names in _INVENTORY.items():
     _mod = import_module(f".{_mod_name}", __name__)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import warnings
 from contextlib import contextmanager
+from typing import Protocol, runtime_checkable
 
 import numpy as np
 
@@ -59,6 +60,48 @@ def validation_enabled(is_validate: bool = True):
 
 
 COERCIONS = []  # hook: enumeration machinery may intercept construction
+
+
+@runtime_checkable
+class DistributionLike(Protocol):
+    """Structural (duck) type of anything the inference machinery accepts
+    as a distribution: native :class:`Distribution`, a TFP bridge wrapper,
+    or any user object exposing the same surface (reference:
+    numpyro/distributions/distribution.py:575).  ``runtime_checkable`` so
+    ``isinstance(obj, DistributionLike)`` works for type-checking consumers.
+    """
+
+    @property
+    def batch_shape(self) -> tuple:
+        ...
+
+    @property
+    def event_shape(self) -> tuple:
+        ...
+
+    @property
+    def event_dim(self) -> int:
+        ...
+
+    def sample(self, key, sample_shape=()):
+        ...
+
+    def log_prob(self, value):
+        ...
+
+    @property
+    def mean(self):
+        ...
+
+    @property
+    def variance(self):
+        ...
+
+    def cdf(self, value):
+        ...
+
+    def icdf(self, q):
+        ...
 
 
 class DistributionMeta(type):

@@ -266,3 +266,39 @@ def test_promote_batch_shape():
     stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (5,) + jnp.shape(x)), ind)
     promoted = promote_batch_shape(stacked)
     assert promoted.batch_shape == (5,) and promoted.event_shape == (3,)
+
+
+def test_distribution_like_protocol():
+    """DistributionLike is a runtime-checkable structural type: native
+    distributions satisfy it, arbitrary objects do not (reference surface:
+    numpyro/distributions/distribution.py:575)."""
+    import numpyro_tpu.distributions as dist
+    from numpyro_tpu.distributions import DistributionLike
+
+    assert isinstance(dist.Normal(0.0, 1.0), DistributionLike)
+    assert isinstance(
+        dist.MultivariateNormal(jnp.zeros(2), covariance_matrix=jnp.eye(2)),
+        DistributionLike,
+    )
+    assert not isinstance(object(), DistributionLike)
+
+    class Duck:
+        batch_shape = ()
+        event_shape = ()
+        event_dim = 0
+        mean = 0.0
+        variance = 1.0
+
+        def sample(self, key, sample_shape=()):
+            return 0.0
+
+        def log_prob(self, value):
+            return 0.0
+
+        def cdf(self, value):
+            return 0.5
+
+        def icdf(self, q):
+            return 0.0
+
+    assert isinstance(Duck(), DistributionLike)

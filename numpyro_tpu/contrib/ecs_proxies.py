@@ -334,6 +334,17 @@ def taylor_proxy(reference_params, degree=2, mode="auto"):
             }
 
         ref_flat, unravel = ravel_pytree(_unconstrain(reference_params))
+        # keep the reference vector HOST-side: it is closed over by every
+        # jitted potential, and a device-resident closure becomes an MLIR
+        # constant whose lowering does a device->host pull — minutes-long
+        # behind a tunneled backend's transfer queue (observed: the 4096-
+        # chain init stuck in _pjit_lower on exactly this)
+        try:
+            import numpy as _np
+
+            ref_flat = _np.asarray(jax.device_get(ref_flat))
+        except Exception:
+            pass  # tracer-valued reference params: leave as-is
 
         def pointwise_loglik(
             params_flat, idx_dict, panels=None, margs=None, mkwargs=None
@@ -394,7 +405,12 @@ def taylor_proxy(reference_params, degree=2, mode="auto"):
         # TPU backends)
         from numpyro_tpu.util import merge_dynamic, split_dynamic
 
-        full_idx = {k: jnp.arange(v[0]) for k, v in plate_sizes.items()}
+        import numpy as _np
+
+        # host-side iota: closed over by the jitted full-stats program, so
+        # a device-resident arange would be lowering-time device pull (see
+        # ref_flat note above)
+        full_idx = {k: _np.arange(v[0]) for k, v in plate_sizes.items()}
         dyn0, meta0 = split_dynamic((model_args, model_kwargs))
 
         @jax.jit
@@ -416,7 +432,9 @@ def taylor_proxy(reference_params, degree=2, mode="auto"):
             )
             return fv, fg, fh
 
-        full_value, full_grad, full_hess = _full_stats(dyn0)
+        full_value, full_grad, full_hess = jax.device_get(
+            _full_stats(dyn0)
+        )  # host constants: closed over by every potential eval
 
         # --- resolve the stats-vs-recompute trade --------------------------
         resolved = mode

@@ -470,10 +470,144 @@ def _tracegraph_case_downstream():
     return model, guide, exact_elbo, {"ql": jnp.array(0.1)}
 
 
+def _tracegraph_case_two_indep():
+    # two independent non-reparam sites feeding one collider observation:
+    # each site's downstream cost includes the obs term but NOT the other
+    # site's prior — a wrong sum_to/dependency computation biases the
+    # gradient (reference: test/infer/test_compute_downstream_costs.py)
+    mus = jnp.array([-0.8, 0.3, 0.9])
+    ob = jnp.array(0.2)
+
+    def model(ql1, ql2):
+        z1 = numpyro_tpu.sample("z1", dist.Bernoulli(0.35))
+        z2 = numpyro_tpu.sample("z2", dist.Bernoulli(0.6))
+        numpyro_tpu.sample("x", dist.Normal(mus[z1 + z2], 1.0), obs=ob)
+
+    def guide(ql1, ql2):
+        numpyro_tpu.sample("z1", dist.Bernoulli(logits=ql1))
+        numpyro_tpu.sample("z2", dist.Bernoulli(logits=ql2))
+
+    def exact_elbo(p):
+        q1, q2 = _bern_p(p["ql1"]), _bern_p(p["ql2"])
+        lp1 = jnp.stack([jnp.log(0.65), jnp.log(0.35)])
+        lp2 = jnp.stack([jnp.log(0.4), jnp.log(0.6)])
+        lq1 = jnp.stack([jnp.log1p(-q1), jnp.log(q1)])
+        lq2 = jnp.stack([jnp.log1p(-q2), jnp.log(q2)])
+        total = 0.0
+        for a in range(2):
+            for b in range(2):
+                w = jnp.exp(lq1[a] + lq2[b])
+                term = (
+                    lp1[a]
+                    + lp2[b]
+                    + dist.Normal(mus[a + b], 1.0).log_prob(ob)
+                    - lq1[a]
+                    - lq2[b]
+                )
+                total = total + w * term
+        return total
+
+    return model, guide, exact_elbo, {
+        "ql1": jnp.array(0.25), "ql2": jnp.array(-0.4)
+    }
+
+
+def _tracegraph_case_chain():
+    # z1 -> z2 -> obs with a mean-field guide: z1's downstream cost spans
+    # p(z2|z1) AND p(x|z2); z2's spans only its own terms
+    mus = jnp.array([-1.0, 1.2])
+    trans = jnp.array([0.8, -0.5])  # logits of z2=1 given z1
+    ob = jnp.array(0.4)
+
+    def model(ql1, ql2):
+        z1 = numpyro_tpu.sample("z1", dist.Bernoulli(0.45))
+        z2 = numpyro_tpu.sample("z2", dist.Bernoulli(logits=trans[z1]))
+        numpyro_tpu.sample("x", dist.Normal(mus[z2], 0.8), obs=ob)
+
+    def guide(ql1, ql2):
+        numpyro_tpu.sample("z1", dist.Bernoulli(logits=ql1))
+        numpyro_tpu.sample("z2", dist.Bernoulli(logits=ql2))
+
+    def exact_elbo(p):
+        q1, q2 = _bern_p(p["ql1"]), _bern_p(p["ql2"])
+        lq1 = jnp.stack([jnp.log1p(-q1), jnp.log(q1)])
+        lq2 = jnp.stack([jnp.log1p(-q2), jnp.log(q2)])
+        lp1 = jnp.stack([jnp.log(0.55), jnp.log(0.45)])
+        total = 0.0
+        for a in range(2):
+            lp2 = jnp.stack(
+                [-jax.nn.softplus(trans[a]), -jax.nn.softplus(-trans[a])]
+            )
+            for b in range(2):
+                w = jnp.exp(lq1[a] + lq2[b])
+                term = (
+                    lp1[a]
+                    + lp2[b]
+                    + dist.Normal(mus[b], 0.8).log_prob(ob)
+                    - lq1[a]
+                    - lq2[b]
+                )
+                total = total + w * term
+        return total
+
+    return model, guide, exact_elbo, {
+        "ql1": jnp.array(-0.2), "ql2": jnp.array(0.3)
+    }
+
+
+def _tracegraph_case_plate_collider():
+    # per-element z_j in a plate plus a GLOBAL collider obs on the sum:
+    # each z_j's downstream cost mixes an in-plate term (its own obs) with
+    # a cross-plate term (the shared collider) — the MultiFrameTensor
+    # sum_to reduction is what this exercises
+    mus = jnp.array([-0.6, 0.7])
+    obs_local = jnp.array([0.1, -0.3])
+    ob_glob = jnp.array(1.0)
+
+    def model(ql):
+        with numpyro_tpu.plate("N", 2):
+            z = numpyro_tpu.sample("z", dist.Bernoulli(0.4))
+            numpyro_tpu.sample(
+                "x", dist.Normal(mus[z], 1.0), obs=obs_local
+            )
+        numpyro_tpu.sample(
+            "g", dist.Normal(jnp.sum(z).astype(jnp.float32), 1.0), obs=ob_glob
+        )
+
+    def guide(ql):
+        with numpyro_tpu.plate("N", 2):
+            numpyro_tpu.sample("z", dist.Bernoulli(logits=ql))
+
+    def exact_elbo(p):
+        q = _bern_p(p["ql"])
+        lq = jnp.stack([jnp.log1p(-q), jnp.log(q)])
+        lp = jnp.stack([jnp.log(0.6), jnp.log(0.4)])
+        total = 0.0
+        for a in range(2):
+            for b in range(2):
+                w = jnp.exp(lq[a] + lq[b])
+                term = (
+                    lp[a]
+                    + lp[b]
+                    + dist.Normal(mus[a], 1.0).log_prob(obs_local[0])
+                    + dist.Normal(mus[b], 1.0).log_prob(obs_local[1])
+                    + dist.Normal(float(a + b), 1.0).log_prob(ob_glob)
+                    - lq[a]
+                    - lq[b]
+                )
+                total = total + w * term
+        return total
+
+    return model, guide, exact_elbo, {"ql": jnp.array(0.15)}
+
+
 TG_CASES = {
     "scalar": _tracegraph_case_scalar,
     "plate": _tracegraph_case_plate,
     "downstream": _tracegraph_case_downstream,
+    "two_indep": _tracegraph_case_two_indep,
+    "chain": _tracegraph_case_chain,
+    "plate_collider": _tracegraph_case_plate_collider,
 }
 
 
@@ -488,13 +622,14 @@ def test_tracegraph_gradient_matches_analytic(name):
             random.PRNGKey(7), {}, lambda: model(**p), lambda: guide(**p)
         )
 
-    g_est = jax.grad(loss)(params)["ql"]
-    g_true = jax.grad(lambda p: -exact_elbo(p))(params)["ql"]
+    g_est = jax.grad(loss)(params)
+    g_true = jax.grad(lambda p: -exact_elbo(p))(params)
     # score-function estimator: matches in expectation; Rao-Blackwellization
     # keeps the variance small enough for a 5-8% band at 20k particles
-    assert np.abs(np.asarray(g_est) - np.asarray(g_true)) < 0.08 * max(
-        1.0, abs(float(g_true))
-    ), (g_est, g_true)
+    for k in params:
+        assert np.abs(
+            np.asarray(g_est[k]) - np.asarray(g_true[k])
+        ) < 0.08 * max(1.0, abs(float(g_true[k]))), (k, g_est[k], g_true[k])
 
 
 @pytest.mark.parametrize("name", list(TG_CASES), ids=list(TG_CASES))

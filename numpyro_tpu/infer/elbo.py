@@ -249,6 +249,17 @@ class TraceEnum_ELBO(ELBO):
         ]
         return -min(dims) if dims else 0
 
+    @staticmethod
+    def _guide_enum_sites(guide_trace):
+        return [
+            name
+            for name, site in guide_trace.items()
+            if site["type"] == "sample"
+            and not site.get("is_observed", False)
+            and site.get("infer", {}).get("enumerate") == "parallel"
+            and getattr(site["fn"], "has_enumerate_support", False)
+        ]
+
     def _particle_elbo(self, rng_key, param_map, model, guide, args, kwargs):
         from numpyro_tpu.contrib.enum import config_enumerate, enum
         from numpyro_tpu.contrib.enum import log_density as enum_log_density
@@ -271,6 +282,14 @@ class TraceEnum_ELBO(ELBO):
         else:
             max_plate_nesting = self.max_plate_nesting
 
+        if self._guide_enum_sites(guide_trace):
+            # exact expectations over guide-enumerated discretes
+            elbo = self._enumerated_guide_elbo(
+                model_seed, guide_seed, params, model, guide, args, kwargs,
+                max_plate_nesting,
+            )
+            return self._wrap_mutable(elbo, mutable_params)
+
         enum_model = enum(
             config_enumerate(handlers.seed(model, model_seed)),
             first_available_dim=-1 - max_plate_nesting,
@@ -280,6 +299,150 @@ class TraceEnum_ELBO(ELBO):
         )
         mutable_params.update(_sites_of_type(model_trace, "mutable"))
         return self._wrap_mutable(model_ld - guide_ld, mutable_params)
+
+    def _enumerated_guide_elbo(
+        self, model_seed, guide_seed, params, model, guide, args, kwargs,
+        max_plate_nesting,
+    ):
+        """ELBO with EXACT (pathwise-differentiable) expectations over
+        guide sites marked ``infer={"enumerate": "parallel"}`` (reference
+        surface: numpyro/infer/elbo.py:1073 TraceEnum_ELBO guide
+        enumeration via TVE).
+
+        Semantics: guide-enumerated discretes are expanded over their
+        supports; the ELBO integrand's log-factors (model ``+``, guide
+        ``-``) are each contracted against the product of the relevant
+        guide marginals ``q_s`` — exact gradients flow through the
+        weights, no score-function terms.  Model-only enumerable
+        discretes are still summed out of ``log p`` on their own dims
+        (logsumexp elimination) before the expectation.  Like the
+        model-side machinery, couplings must stay plate-local (the plated
+        factor-graph restriction of TVE).
+        """
+        from numpyro_tpu.contrib.enum import config_enumerate, enum
+        from numpyro_tpu.contrib.enum.enum_messenger import (
+            ENUM_DIM_KEY,
+            ENUM_SERIAL_KEY,
+        )
+        from numpyro_tpu.contrib.enum.infer_util import (
+            _eliminate,
+            _Factor,
+            _factor_enum_dims,
+        )
+        from numpyro_tpu.distributions.util import scale_and_mask
+
+        fad = -1 - max_plate_nesting
+        genum_guide = enum(
+            handlers.substitute(
+                handlers.seed(guide, guide_seed), data=params
+            ),
+            first_available_dim=fad,
+        )
+        with handlers.trace() as gtr:
+            genum_guide(*args, **kwargs)
+
+        def site_log_prob(site):
+            value = site["value"]
+            intermediates = site.get("intermediates")
+            if intermediates:
+                lp = site["fn"].log_prob(value, intermediates)
+            else:
+                lp = site["fn"].log_prob(value)
+            return scale_and_mask(lp, site.get("scale"))
+
+        def plate_axes_of(site, lp):
+            axes = {
+                fr.dim
+                for fr in site["cond_indep_stack"]
+                if fr.dim is not None
+            }
+            nd = jnp.ndim(lp)
+            for ax in range(max(0, nd - max_plate_nesting), nd):
+                if lp.shape[ax] > 1:
+                    axes.add(ax - nd)
+            return axes
+
+        guide_dims = {}  # dim -> (weight array, plate axes)
+        factors = []
+        for name, site in gtr.items():
+            if site["type"] != "sample" or site.get("is_observed", False):
+                continue
+            d = site.get("infer", {}).get(ENUM_DIM_KEY)
+            lp = site_log_prob(site)
+            axes = plate_axes_of(site, lp)
+            if d is not None:
+                if site.get("infer", {}).get(ENUM_SERIAL_KEY) is not None and (
+                    d in guide_dims
+                ):
+                    raise NotImplementedError(
+                        "markov dim recycling in an enumerated guide is not "
+                        "supported; enumerate guide chains in the model"
+                    )
+                guide_dims[d] = (jnp.exp(lp), axes)
+            # the -log q cost term (enumerated or reparameterized alike)
+            factors.append(
+                _Factor(-lp, _factor_enum_dims(lp, max_plate_nesting), axes)
+            )
+
+        # model: replay guide values (enumerated sites ride in expanded),
+        # enumerate any model-only discretes on dims BELOW the guide's
+        model_fad = (min(guide_dims) - 1) if guide_dims else fad
+        enum_model = enum(
+            config_enumerate(
+                handlers.substitute(
+                    handlers.seed(model, model_seed), data=params
+                )
+            ),
+            first_available_dim=model_fad,
+        )
+        with handlers.trace() as mtr:
+            handlers.replay(enum_model, gtr)(*args, **kwargs)
+
+        model_dims = set()
+        dim_owner_axes = {}
+        for name, site in mtr.items():
+            if site["type"] != "sample":
+                continue
+            lp = site_log_prob(site)
+            axes = plate_axes_of(site, lp)
+            d = site.get("infer", {}).get(ENUM_DIM_KEY)
+            if d is not None and d not in guide_dims:
+                model_dims.add(d)
+                dim_owner_axes[d] = axes
+            factors.append(
+                _Factor(lp, _factor_enum_dims(lp, max_plate_nesting), axes)
+            )
+
+        # 1. sum model-only discretes out of log p (logsumexp elimination)
+        for d in sorted(model_dims):
+            factors = _eliminate(factors, d, dim_owner_axes.get(d, set()))
+
+        # 2. exact expectation: contract each remaining factor against the
+        # guide weights on its dims (linear in the log-factors, so
+        # E[sum] = sum of per-factor expectations; plate axes stay
+        # elementwise through the weighting).  Contracting a conditional
+        # weight q(z2 | z1) can INTRODUCE the parent's dim into the
+        # running value, so dims are re-detected after every contraction;
+        # deepest (latest-allocated, i.e. conditional-side) dims first so
+        # children integrate out before their parents.
+        total = 0.0
+        for f in factors:
+            r = f.lp
+            while True:
+                live = [
+                    d
+                    for d in sorted(
+                        _factor_enum_dims(r, max_plate_nesting)
+                    )
+                    if d in guide_dims
+                ]
+                if not live:
+                    break
+                d = live[0]
+                w, _ = guide_dims[d]
+                r = jnp.sum(r * w, axis=jnp.ndim(r) + d, keepdims=True)
+            total = total + jnp.sum(r)
+        return total
 
 
 class MultiFrameTensor(dict):

@@ -492,3 +492,208 @@ def test_enum_matrix_gradient(name):
             atol=1e-5,
             err_msg=f"{name}: grad wrt {k}",
         )
+
+
+# --------------------------------------------------------------------------
+# guide-side enumeration: exact expectations over guide discretes
+# (reference surface: numpyro/infer/elbo.py:1073 TraceEnum_ELBO guide
+# enumeration).  Each case compares the ELBO value AND gradient against a
+# fully-enumerated analytic expectation.
+
+def _ge_loss(model, guide, mpn=None):
+    def f(p):
+        elbo = TraceEnum_ELBO(
+            **({"max_plate_nesting": mpn} if mpn is not None else {})
+        )
+        return -elbo.loss(
+            random.PRNGKey(0), {}, lambda: model(**p), lambda: guide(**p)
+        )
+
+    return f
+
+
+def _ge_case_mixture():
+    ob = jnp.array(0.3)
+
+    def model(ql):
+        z = numpyro_tpu.sample("z", dist.Bernoulli(0.4))
+        numpyro_tpu.sample("x", dist.Normal(MUS[z], 1.0), obs=ob)
+
+    def guide(ql):
+        numpyro_tpu.sample(
+            "z", dist.Bernoulli(logits=ql), infer={"enumerate": "parallel"}
+        )
+
+    def exact(p):
+        lq = _bern_lp(p["ql"])
+        lp = jnp.stack([jnp.log(0.6), jnp.log(0.4)])
+        lx = dist.Normal(MUS[:2], 1.0).log_prob(ob)
+        return jnp.sum(jnp.exp(lq) * (lp + lx - lq))
+
+    return model, guide, exact, {"ql": jnp.array(0.2)}, None
+
+
+def _ge_case_plate():
+    def model(ql):
+        with numpyro_tpu.plate("N", 3):
+            z = numpyro_tpu.sample("z", dist.Bernoulli(0.4))
+            numpyro_tpu.sample("x", dist.Normal(MUS[z], 1.0), obs=OBS3)
+
+    def guide(ql):
+        with numpyro_tpu.plate("N", 3):
+            numpyro_tpu.sample(
+                "z",
+                dist.Bernoulli(logits=ql * jnp.ones(3)),
+                infer={"enumerate": "parallel"},
+            )
+
+    def exact(p):
+        lq = _bern_lp(p["ql"])  # (2,)
+        lp = jnp.stack([jnp.log(0.6), jnp.log(0.4)])
+        lx = dist.Normal(MUS[None, :2], 1.0).log_prob(OBS3[:, None])  # (N,2)
+        per = jnp.sum(
+            jnp.exp(lq)[None, :] * (lp[None, :] + lx - lq[None, :]), axis=-1
+        )
+        return per.sum()
+
+    return model, guide, exact, {"ql": jnp.array(-0.3)}, 1
+
+
+def _ge_case_guide_chain():
+    # conditional guide q(z1) q(z2 | z1): contraction must integrate the
+    # child out before the parent
+    L = jnp.array([0.6, -0.8])  # guide logits of z2=1 given z1
+    ob = jnp.array(0.4)
+
+    def model(ql):
+        z1 = numpyro_tpu.sample("z1", dist.Bernoulli(0.45))
+        z2 = numpyro_tpu.sample("z2", dist.Bernoulli(0.3 + 0.4 * z1))
+        numpyro_tpu.sample("x", dist.Normal(MUS[z1 + z2], 0.9), obs=ob)
+
+    def guide(ql):
+        z1 = numpyro_tpu.sample(
+            "z1", dist.Bernoulli(logits=ql), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample(
+            "z2",
+            dist.Bernoulli(logits=L[z1]),
+            infer={"enumerate": "parallel"},
+        )
+
+    def exact(p):
+        lq1 = _bern_lp(p["ql"])
+        total = 0.0
+        for a in range(2):
+            lq2 = _bern_lp(L[a])
+            p2 = 0.3 + 0.4 * a
+            lp2 = jnp.stack([jnp.log1p(-p2), jnp.log(p2)])
+            for b in range(2):
+                w = jnp.exp(lq1[a] + lq2[b])
+                lp1 = jnp.log(jnp.where(a, 0.45, 0.55))
+                term = (
+                    lp1
+                    + lp2[b]
+                    + dist.Normal(MUS[a + b], 0.9).log_prob(ob)
+                    - lq1[a]
+                    - lq2[b]
+                )
+                total = total + w * term
+        return total
+
+    return model, guide, exact, {"ql": jnp.array(0.1)}, None
+
+
+def _ge_case_mixed_model_enum():
+    # guide enumerates z_g; the model ALSO has its own enumerable discrete
+    # z_m (absent from the guide) that must be logsumexp-eliminated inside
+    # log p before the expectation
+    ob = jnp.array(0.2)
+
+    def model(ql):
+        zg = numpyro_tpu.sample("zg", dist.Bernoulli(0.4))
+        zm = numpyro_tpu.sample(
+            "zm", dist.Bernoulli(0.3), infer={"enumerate": "parallel"}
+        )
+        numpyro_tpu.sample("x", dist.Normal(MUS[zg + zm], 1.0), obs=ob)
+
+    def guide(ql):
+        numpyro_tpu.sample(
+            "zg", dist.Bernoulli(logits=ql), infer={"enumerate": "parallel"}
+        )
+
+    def exact(p):
+        lq = _bern_lp(p["ql"])
+        lpg = jnp.stack([jnp.log(0.6), jnp.log(0.4)])
+        lpm = jnp.stack([jnp.log(0.7), jnp.log(0.3)])
+        total = 0.0
+        for g in range(2):
+            # log p(x, zg) with zm summed out
+            inner = jax.scipy.special.logsumexp(
+                lpm + dist.Normal(MUS[g + jnp.arange(2)], 1.0).log_prob(ob)
+            )
+            total = total + jnp.exp(lq[g]) * (lpg[g] + inner - lq[g])
+        return total
+
+    return model, guide, exact, {"ql": jnp.array(-0.15)}, None
+
+
+def _ge_case_with_continuous():
+    # enumerated discrete + reparameterized continuous site in the guide:
+    # Delta guide on w makes the continuous part deterministic, so the
+    # whole ELBO still has a closed form
+    w0 = jnp.array(0.37)
+    ob = jnp.array(0.1)
+
+    def model(ql):
+        w = numpyro_tpu.sample("w", dist.Normal(0.0, 1.0))
+        z = numpyro_tpu.sample("z", dist.Bernoulli(0.35))
+        numpyro_tpu.sample("x", dist.Normal(MUS[z] + w, 1.0), obs=ob)
+
+    def guide(ql):
+        numpyro_tpu.sample("w", dist.Delta(w0))
+        numpyro_tpu.sample(
+            "z", dist.Bernoulli(logits=ql), infer={"enumerate": "parallel"}
+        )
+
+    def exact(p):
+        lq = _bern_lp(p["ql"])
+        lp = jnp.stack([jnp.log(0.65), jnp.log(0.35)])
+        lw = dist.Normal(0.0, 1.0).log_prob(w0)
+        lx = dist.Normal(MUS[:2] + w0, 1.0).log_prob(ob)
+        return lw + jnp.sum(jnp.exp(lq) * (lp + lx - lq))
+
+    return model, guide, exact, {"ql": jnp.array(0.45)}, None
+
+
+GUIDE_ENUM_CASES = {
+    "mixture": _ge_case_mixture,
+    "plate": _ge_case_plate,
+    "guide_chain": _ge_case_guide_chain,
+    "mixed_model_enum": _ge_case_mixed_model_enum,
+    "with_continuous": _ge_case_with_continuous,
+}
+
+
+@pytest.mark.parametrize(
+    "name", list(GUIDE_ENUM_CASES), ids=list(GUIDE_ENUM_CASES)
+)
+def test_guide_enum_value(name):
+    model, guide, exact, params, mpn = GUIDE_ENUM_CASES[name]()
+    got = _ge_loss(model, guide, mpn)(params)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exact(params)), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "name", list(GUIDE_ENUM_CASES), ids=list(GUIDE_ENUM_CASES)
+)
+def test_guide_enum_gradient(name):
+    model, guide, exact, params, mpn = GUIDE_ENUM_CASES[name]()
+    g_got = jax.grad(_ge_loss(model, guide, mpn))(params)
+    g_want = jax.grad(exact)(params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_got[k]), np.asarray(g_want[k]),
+            rtol=1e-4, atol=1e-5, err_msg=f"{name}: grad wrt {k}",
+        )

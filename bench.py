@@ -105,12 +105,20 @@ MAX_TREE_DEPTH = (
 
 
 def make_data():
-    key = random.PRNGKey(0)
-    kx, kw, ky = random.split(key, 3)
-    X = random.normal(kx, (N, D - 1))
-    X = jnp.concatenate([X, jnp.ones((N, 1))], axis=1)  # intercept column
-    true_w = random.normal(kw, (D,)) * 0.5
-    y = dist.Bernoulli(logits=X @ true_w).sample(ky)
+    # X is generated host-side and shipped once (H2D); true_w stays a HOST
+    # numpy array — it feeds taylor_proxy's reference params, and host
+    # params keep the proxy's construct free of device round-trips (a
+    # device-resident reference vector wedged the 4096-chain init behind
+    # the tunnel's transfer queue; see ecs_proxies.py)
+    rng = np.random.default_rng(0)
+    X_host = rng.standard_normal((N, D - 1), dtype=np.float32)
+    true_w = (0.5 * rng.standard_normal(D)).astype(np.float32)
+    X = jnp.concatenate(
+        [jnp.asarray(X_host), jnp.ones((N, 1))], axis=1
+    )  # intercept column
+    y = dist.Bernoulli(logits=X @ jnp.asarray(true_w)).sample(
+        random.PRNGKey(2)
+    )
     return X, y.astype(jnp.float32), true_w
 
 

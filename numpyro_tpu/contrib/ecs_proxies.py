@@ -20,6 +20,7 @@ functions over its chain axis.
 
 from __future__ import annotations
 
+import os
 import warnings
 from collections import namedtuple
 
@@ -333,18 +334,49 @@ def taylor_proxy(reference_params, degree=2, mode="auto"):
                 for name, v in values.items()
             }
 
-        ref_flat, unravel = ravel_pytree(_unconstrain(reference_params))
         # keep the reference vector HOST-side: it is closed over by every
         # jitted potential, and a device-resident closure becomes an MLIR
         # constant whose lowering does a device->host pull — minutes-long
         # behind a tunneled backend's transfer queue (observed: the 4096-
-        # chain init stuck in _pjit_lower on exactly this)
-        try:
-            import numpy as _np
+        # chain init stuck in _pjit_lower on exactly this).  When the
+        # reference params are already host arrays (the recommended way to
+        # pass them), the unconstrain+ravel is done entirely in numpy so
+        # construct performs NO device round-trip at all.
+        import numpy as _np
 
-            ref_flat = _np.asarray(jax.device_get(ref_flat))
-        except Exception:
-            pass  # tracer-valued reference params: leave as-is
+        unc = _unconstrain(reference_params)
+        unc_leaves, unc_treedef = jax.tree.flatten(unc)
+        if all(not isinstance(x, jax.Array) for x in unc_leaves):
+            # pure-host params: flatten AND unravel entirely in numpy
+            # (same leaf order / row-major layout as ravel_pytree) —
+            # zero device traffic, no eager ops
+            shapes = [_np.shape(x) for x in unc_leaves]
+            sizes = [int(_np.prod(s)) if s else 1 for s in shapes]
+            ref_flat = (
+                _np.concatenate(
+                    [
+                        _np.ravel(_np.asarray(x, dtype=_np.result_type(float)))
+                        for x in unc_leaves
+                    ]
+                )
+                if unc_leaves
+                else _np.zeros((0,), _np.result_type(float))
+            )
+
+            def unravel(flat):
+                out, i = [], 0
+                for shp, n in zip(shapes, sizes):
+                    out.append(jnp.reshape(flat[i : i + n], shp))
+                    i += n
+                return jax.tree.unflatten(unc_treedef, out)
+
+        else:
+            ref_flat, unravel = ravel_pytree(unc)
+            if not isinstance(ref_flat, jax.core.Tracer):
+                try:
+                    ref_flat = _np.asarray(jax.device_get(ref_flat))
+                except Exception:
+                    pass  # device pull failed: leave as a device array
 
         def pointwise_loglik(
             params_flat, idx_dict, panels=None, margs=None, mkwargs=None
@@ -446,6 +478,15 @@ def taylor_proxy(reference_params, degree=2, mode="auto"):
             stats_bytes = 3 * num_chains * m_total * (p_dim + 1) * 4
             budget = hbm_budget if hbm_budget else _device_hbm_bytes()
             resolved = "stats" if stats_bytes <= 0.15 * budget else "recompute"
+        if os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+            import sys
+
+            print(
+                f"[taylor_proxy] mode={resolved} (requested {mode}, "
+                f"chains={num_chains})",
+                file=sys.stderr,
+                flush=True,
+            )
 
         if resolved == "recompute":
 

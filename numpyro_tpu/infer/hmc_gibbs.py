@@ -692,6 +692,18 @@ class HMCECS(HMCGibbs):
             self._panel_mode_resolved = "bf16"
         else:
             self._panel_mode_resolved = "lean"
+        import os as _os
+
+        if _os.environ.get("NUMPYRO_TPU_DEBUG_CHUNKS"):
+            import sys as _sys
+
+            print(
+                f"[hmcecs] panel_mode={self._panel_mode_resolved} "
+                f"(est {est / 1e9:.2f} GB carried vs budget "
+                f"{budget / 1e9:.1f} GB, chains={num_chains})",
+                file=_sys.stderr,
+                flush=True,
+            )
 
     def _record_panels(self, keys, z_gibbs, model_args, model_kwargs):
         """Gather every subsample plate's data panels ONCE for the given

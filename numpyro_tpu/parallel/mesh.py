@@ -77,8 +77,10 @@ def shard_data(data, mesh, axis=0):
 
 def cross_chain_diagnostics(samples_by_chain):
     """Device-side split-R̂ and ESS on (possibly sharded) (C, N, ...) sample
-    buffers — stays on device; with a sharded chain axis XLA inserts the
-    cross-device reductions."""
+    buffers.  Plain ``jnp`` reductions — under a GSPMD-sharded chain axis
+    XLA inserts the cross-device collectives (multichip behavior is
+    validated by the dryrun_multichip entry and the sharded-chain tests,
+    not by this docstring)."""
     from numpyro_tpu.diagnostics import effective_sample_size, split_gelman_rubin
 
     return jax.tree.map(
@@ -123,8 +125,14 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
 
 
 def pooled_step_size(adapt_state, mesh=None):
-    """Cross-chain pooled step size: the harmonic mean over the (sharded)
-    chain axis — a device-side psum-style reduction usable inside warmup for
-    pooled adaptation experiments."""
+    """Cross-chain pooled step size: the harmonic mean over the chain axis.
+
+    Mechanically a plain ``jnp.mean`` — when the chain axis is
+    GSPMD-sharded, XLA lowers it to a cross-device reduction (the behavior
+    exercised by ``tests/parallel/test_pooled_adaptation.py::
+    test_pooled_adaptation_sharded_chains`` and the no-all-gather
+    assertions in ``tests/parallel/test_ecs_sharded_data.py``).  The
+    production pooling path is ``NUTS(pooled_adaptation=True)``
+    (``infer/hmc_core.py``); this helper serves ad-hoc experiments."""
     ss = getattr(adapt_state, "step_size", adapt_state)
     return 1.0 / jnp.mean(1.0 / ss)

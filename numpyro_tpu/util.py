@@ -371,11 +371,16 @@ def fori_collect(
             # input+output copies of the full collection live, doubling
             # HBM residency; body_args (model data) is NOT donated since
             # callers keep references to it
+            donate = (
+                {}
+                if os.environ.get("NUMPYRO_TPU_NO_DONATE")
+                else {"donate_argnums": (2, 3)}
+            )
             chunk_prog = maybe_jit(
                 lambda i0, n, v, coll, si, th, ba: fori_loop(
                     i0, n, loop_body, (v, coll, si, th, ba)
                 )[:2],
-                donate_argnums=(2, 3),
+                **donate,
             )
             vals = jax.tree.map(
                 lambda x: x if isinstance(x, jax.Array) else device_put(x),

@@ -208,7 +208,18 @@ def main():
     # num_steps feeds the roofline detail; HMCECS state nests it under the
     # inner hmc_state and the fused collector doesn't expose it there
     extra = () if MODE == "ecs" else ("num_steps",)
-    mcmc.run(random.PRNGKey(1), *args, extra_fields=extra)
+    # the tunneled backend intermittently kills an execution with an opaque
+    # "TPU backend error (InvalidArgument)" (observed after worker crashes/
+    # OOMs; the device recovers); one retry salvages the measurement
+    try:
+        mcmc.run(random.PRNGKey(1), *args, extra_fields=extra)
+    except Exception as e:  # jax.errors.JaxRuntimeError and friends
+        if "TPU backend error" not in str(e):
+            raise
+        _progress(f"run failed with transient backend error ({e}); retrying once in 60s")
+        time.sleep(60)
+        t0 = time.time()
+        mcmc.run(random.PRNGKey(1), *args, extra_fields=extra)
     samples = mcmc.get_samples(group_by_chain=True)["w"]
     jax.block_until_ready(samples)
     total_wall_s = time.time() - t0

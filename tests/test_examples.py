@@ -13,6 +13,8 @@ CASES = [
     "eight_schools.py --num-warmup 50 --num-samples 50 --num-chains 2",
     "stochastic_volatility.py --num-warmup 50 --num-samples 50 --num-steps 30",
     "hmm_enum.py --num-warmup 30 --num-samples 30 --num-steps 15",
+    "hmm_semisupervised.py --num-warmup 40 --num-samples 40 "
+    "--num-supervised 40 --num-unsupervised 40",
     "gaussian_mixture.py --num-warmup 30 --num-samples 30",
     "covtype.py --num-warmup 10 --num-samples 10 --num-chains 2 "
     "--max-tree-depth 4 --num-data 2000",

@@ -81,3 +81,54 @@ def test_mcmc_phase_timers_and_profiler_trace(tmp_path):
     with profiler_trace(str(tmp_path)):
         m.run(random.PRNGKey(2), x)
     assert len(os.listdir(str(tmp_path))) > 0
+
+
+def test_step_chunking_gated_to_tunneled_backends(monkeypatch):
+    """Host-driven step chunking (a per-chunk device sync) must default ON
+    only when the tunneled TPU runtime is detected; local backends run one
+    program per phase (ADVICE r4: the sync is pure latency on GPUs /
+    locally-attached TPUs)."""
+    import jax
+
+    import numpyro_tpu as npt
+    import numpyro_tpu.infer.mcmc as mcmc_mod
+    from numpyro_tpu.infer import MCMC, NUTS
+    from numpyro_tpu.util import tunneled_tpu_backend
+
+    # this environment ships the axon tunnel package on TPU PYTHONPATH
+    # only; under the CPU test profile the detection must be stable and
+    # the fori_collect chunk default must follow it
+    detected = tunneled_tpu_backend()
+    monkeypatch.delenv("NUMPYRO_TPU_STEP_CHUNK", raising=False)
+
+    calls = {}
+    orig = mcmc_mod.fori_collect
+
+    def spy(*args, **kwargs):
+        calls["chunk_size"] = kwargs.get("chunk_size")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mcmc_mod, "fori_collect", spy)
+
+    def model():
+        npt.sample("x", dist.Normal(0.0, 1.0))
+
+    m = MCMC(NUTS(model), num_warmup=10, num_samples=10, progress_bar=False)
+    # force the generic (non-fused) path so the spy sees the call
+    monkeypatch.setattr(m, "_can_fuse", lambda *a, **k: False)
+    m.run(random.PRNGKey(0))
+    if jax.default_backend() == "cpu":
+        # chunking never applies on CPU regardless of detection
+        assert calls["chunk_size"] is None
+    elif detected:
+        assert calls["chunk_size"] == 5
+    else:
+        assert calls["chunk_size"] is None
+
+    # env var override forces chunking on any backend (except cpu)
+    monkeypatch.setenv("NUMPYRO_TPU_STEP_CHUNK", "7")
+    m2 = MCMC(NUTS(model), num_warmup=5, num_samples=5, progress_bar=False)
+    monkeypatch.setattr(m2, "_can_fuse", lambda *a, **k: False)
+    m2.run(random.PRNGKey(1))
+    expect = None if jax.default_backend() == "cpu" else 7
+    assert calls["chunk_size"] == expect

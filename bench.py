@@ -303,6 +303,13 @@ def main():
         # kernel-level utilization: achieved traffic per unit of KERNEL
         # time (passes x measured per-pass latency), vs per unit WALL time.
         # The gap between the two is harvest-loop bookkeeping overhead.
+        # pointwise VPU work — the measured bound: every leapfrog evaluates
+        # ~2 transcendentals (exp, log1p) + ~10 elementwise ALU ops per
+        # (chain, data point); this scales linearly with chains while
+        # ESS/draw stays constant, which is why MFU cannot be pushed toward
+        # the MXU roof by adding chains (see chain_scaling_sweep_r5)
+        pointwise_ops = 12.0 * NUM_CHAINS * n_pad
+        vpu_gops = passes * pointwise_ops / sample_s / 1e9
         roofline = {
             "sample_phase_leapfrogs_per_chain_total": int(leapfrogs),
             "data_passes": int(passes),
@@ -310,9 +317,34 @@ def main():
             "hbm_roofline_frac": round(hbm_gbps / peak_hbm_gbps, 3),
             "mxu_tflops": round(tflops, 1),
             "mfu": round(tflops / peak_tflops, 3),
+            "vpu_pointwise_gops": round(vpu_gops, 1),
+            "bound": "vpu-pointwise (likelihood transcendentals/ALU), not "
+            "MXU or HBM",
             "peak_assumed": {
                 "hbm_gbps": peak_hbm_gbps, "bf16_tflops": peak_tflops,
             },
+        }
+        chain_sweep = {
+            "note": "round-5 sweep measured 2026-08-21 on this chip "
+            "(600 draws/chain, depth (6,10), split GLM): sample-phase "
+            "ESS/s/chip DECLINES with chain count because the harvest "
+            "loop's per-iteration cost is dominated by per-(chain, point) "
+            "VPU pointwise work in the likelihood (linear in chains) while "
+            "ESS/draw stays constant (~1.38/chain/draw); 256 chains is the "
+            "ESS/s-optimal configuration and is the default",
+            "points": [
+                {"chains": 256, "glm_subs": 2,
+                 "sample_only_ess_per_s": 10566.7},
+                {"chains": 512, "glm_subs": 4,
+                 "sample_only_ess_per_s": 8414.3},
+                {"chains": 1024, "glm_subs": 4,
+                 "sample_only_ess_per_s": 5946.2},
+            ],
+            "physical_bound": "per-leapfrog wall ~= chains * N_pad * ~12 "
+            "VPU ops / ~1.9e12 ops/s (17-27 us per chain measured across "
+            "256/512/1024); the shared bf16 X pass (HBM, ~80 us total) and "
+            "the logits/grad MXU contractions sit 10-60x below their "
+            "roofs, so higher MFU via more chains cannot raise ESS/s",
         }
 
     if MODE == "ecs":
@@ -389,6 +421,11 @@ def main():
             "baseline_config_delta": "round-1 baseline was 16 chains, depth<=7,"
             " 100 draws/chain, sample-phase-only ESS/s",
             **({"roofline": roofline} if roofline else {}),
+            **(
+                {"chain_scaling_sweep_r5": chain_sweep}
+                if MODE != "ecs"
+                else {}
+            ),
             **(
                 {"crossover_note": crossover_note} if MODE == "ecs" else {}
             ),

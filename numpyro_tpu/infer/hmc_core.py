@@ -1303,9 +1303,17 @@ def build_fused_run(
             keep = boundary & (ss.trans_idx % thinning == 0)
             slot = jnp.where(keep, ss.trans_idx // thinning, num_collect)
             rows = jnp.arange(c)
-            buf_z, buf = _bank(
-                ss.buf_z, ss.buf, rows, slot, t, acc, mean_acc
-            )
+            import os as _os
+
+            if _os.environ.get("NUMPYRO_TPU_NO_BANK"):
+                # TIMING DIAGNOSTIC ONLY: skip the per-iteration banking
+                # scatters (collected samples are garbage) to measure their
+                # share of the harvest loop's per-iteration cost
+                buf_z, buf = ss.buf_z, ss.buf
+            else:
+                buf_z, buf = _bank(
+                    ss.buf_z, ss.buf, rows, slot, t, acc, mean_acc
+                )
             trans_idx = jnp.where(boundary, n1, ss.trans_idx)
             # refresh momentum and restart the machines at boundaries
             restart = boundary & (trans_idx < num_samples)
